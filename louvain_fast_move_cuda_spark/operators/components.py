@@ -1,0 +1,89 @@
+"""Connected components via alternating large-star / small-star.
+
+Not in the CUDA reference (SURVEY.md §2.11); semantics from the published
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond"), which converges in O(log² n) rounds on any graph — the right
+choice at 10^12-edge scale where min-label flooding's O(diameter) rounds
+is unbounded.
+
+State is a parent pointer table; both stars are one groupBy-min plus a
+join per round, all DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.edges import GraphTables
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each u: connect every strictly-larger neighbor v>u to min(N(u) ∪ {u})."""
+    nbrs = edges.select("src", "dst")  # symmetric: contains both directions
+    mins = (
+        nbrs.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("mn"))
+    )
+    return (
+        nbrs.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each u: connect all neighbors v<=u (and u) to their minimum."""
+    nbrs = edges.select("src", "dst").filter(F.col("dst") < F.col("src"))
+    mins = nbrs.groupBy("src").agg(F.min("dst").alias("mn"))
+    moved = (
+        nbrs.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+    )
+    self_edge = mins.select("src", F.col("mn").alias("dst"))
+    return moved.unionByName(self_edge).filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(graph: GraphTables, max_iter: int = 50) -> DataFrame:
+    """Returns (id: long, component: long) — component = min vertex id reachable."""
+    spark = graph.edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    edges = (
+        graph.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .repartition(npart, "src")
+        .localCheckpoint(eager=True)
+    )
+    all_vertices = graph.vertices.select("id").localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        e1 = _large_star(edges)
+        e1 = e1.unionByName(e1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        e2 = _small_star(e1)
+        sym = e2.unionByName(
+            e2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        sym = sym.repartition(npart, "src").localCheckpoint(eager=True)
+        # converged when every edge points directly at a root:
+        # (u -> p) with no edge (p -> q), q < p
+        changed = (
+            sym.alias("a")
+            .join(
+                sym.alias("b"),
+                (F.col("a.dst") == F.col("b.src")) & (F.col("b.dst") < F.col("a.dst")),
+                "left_semi",
+            )
+            .count()
+        )
+        edges = sym
+        if changed == 0:
+            break
+    parents = (
+        edges.filter(F.col("dst") < F.col("src"))
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("component"))
+    )
+    return (
+        all_vertices.join(parents, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )

@@ -1,0 +1,220 @@
+"""Deduplication operators for training-data pipelines over `documents`.
+
+All pure DataFrame ops (no Python UDFs): shingles via built-in string /
+array functions, MinHash via k independent xxhash64 draws reduced with
+``array_min``, SimHash via per-bit majority votes, banded LSH via
+groupBy on band signatures. Each stage is a groupBy/join that shuffles
+on content-derived keys — uniformly distributed by construction, so no
+skew handling is needed beyond AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _normalized(text: F.Column) -> F.Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact normalized-text group.
+
+    Returns (doc_id, n_dupes) for group representatives.
+    """
+    return (
+        docs.select(F.col(id_col), _normalized(F.col(text_col)).alias("_t"))
+        .groupBy("_t")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dupes"))
+        .drop("_t")
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """(id, shingle_hash:long) — k-word shingles hashed to 64-bit."""
+    words = F.split(_normalized(F.col(text_col)), " ")
+    n = F.size(words)
+    idxs = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idxs, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, k))))
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 32, seed: int = 42
+) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) from a (id, shingle) table.
+
+    h_i(x) = xxhash64(x, seed+i); one groupBy computing all k mins at once
+    (single shuffle, k tiny agg columns — not k passes).
+    """
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    g = sh.groupBy("id").agg(*aggs)
+    return g.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: pairs (id_a < id_b) sharing ≥1 band bucket.
+
+    Explode each signature into `bands` band-hashes, groupBy(band, hash)
+    bucket-join. Candidate pairs come out of a self-join *within buckets*
+    only — never a full cross join.
+    """
+    assert bands * rows_per_band <= 1 << 10
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+        ).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+    )
+    pairs = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_jaccard(sigs_a: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Estimated Jaccard per candidate pair from signature agreement."""
+    s1 = sigs_a.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    s2 = sigs_a.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(s1, "id_a")
+        .join(s2, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x))
+                / F.size("sig_a")
+            ).alias("jaccard_est"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle.
+
+    |A∩B| from a groupBy on the inverted shingle index; |A∪B| = |A|+|B|−|A∩B|.
+    """
+    sh = shingles(docs, text_col, id_col, k).localCheckpoint(eager=True)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """(id, simhash: long) — per-bit majority vote over token hashes.
+
+    Token hash h; bit_j vote = +1 if bit set else −1; simhash bit_j = vote>0.
+    Implemented as explode(tokens) + one groupBy(id) with `bits` conditional
+    sums, then bitwise OR-fold — JVM-side only.
+    """
+    words = F.split(_normalized(F.col(text_col)), " ")
+    tok = docs.select(F.col(id_col).alias("id"), F.explode(words).alias("t")).withColumn(
+        "h", F.xxhash64("t")
+    )
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    sim = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim.bitwiseOR(bit)
+    return votes.select("id", sim.alias("simhash"))
+
+
+def embedding_near_dupes(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.98,
+    bucket_bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Scale path: random-hyperplane LSH (sign of dot with `bucket_bits`
+    deterministic pseudo-random planes) buckets vectors; the exact cosine
+    is verified only within buckets. Planes derive from xxhash64(dim, i) —
+    deterministic, computed columnwise, no UDF.
+    """
+    dims = F.size(F.col(vec_col))
+    def plane_sign(i: int) -> F.Column:
+        # pseudo-random +-1 per (dimension, plane) from a hash; dot>0 -> bit
+        prods = F.zip_with(
+            F.col(vec_col),
+            F.transform(F.sequence(F.lit(0), dims - 1), lambda d: F.xxhash64(d, F.lit(seed + i))),
+            lambda v, h: v * F.when(F.pmod(h, F.lit(2)) == 0, 1.0).otherwise(-1.0),
+        )
+        dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        return F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+
+    sig = None
+    for i in range(bucket_bits):
+        s = plane_sign(i)
+        sig = s if sig is None else sig.bitwiseOR(s)
+    norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x))
+    v = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket"), norm.alias("nrm")
+    ).localCheckpoint(eager=True)
+    pairs = (
+        v.alias("x")
+        .join(v.alias("y"), "bucket")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            (
+                F.aggregate(
+                    F.zip_with(F.col("x.v"), F.col("y.v"), lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / (F.col("x.nrm") * F.col("y.nrm"))
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs

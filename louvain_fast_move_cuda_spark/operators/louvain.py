@@ -1,0 +1,292 @@
+"""Louvain community detection — fast-local-move + graph coarsening.
+
+Spark-native re-expression of the CUDA reference's two phases
+(SURVEY.md §2.9, §3):
+
+* **Optimization phase** (phaseOptimization.cuh:158-181): parallel move
+  rounds. Every round scores, for each active vertex n, every candidate
+  destination community c among its neighbors using *stale* per-round
+  community state (that parallel semantics IS the "fast local move"), then
+  applies all positive-gain argmax moves simultaneously.
+* **Round-0 exact fast path** (phaseOptimizationSort.cu:28-158): at the
+  start of each level communities are singletons, so each edge is itself
+  the (node, community) candidate with self-weight 0; the asymmetric
+  guard — only moves to a *higher* community id are applied
+  (phaseOptimizationUpdate.cu:99 skips node > c) — prevents 2-cycles.
+* **Aggregation phase** (phaseAggregation.cuh:19-175): dense-relabel the
+  surviving communities in community-id order, flatten the per-original-
+  vertex labels, and merge edges into the coarse graph (self-loops kept —
+  they carry the intra-community weight; total weight conserved).
+
+Scale design (this is where we diverge from a port):
+
+* state lives in ``edges_state = (src, dst, w, k_src, cs, cd)`` — the
+  community of both endpoints is *carried on the edge row* and updated by
+  joining only against the (small) per-round ``moves`` set, broadcast when
+  it fits, instead of re-joining the full vertex table every round;
+* per-round ``localCheckpoint`` truncates the iterative lineage;
+* optional durable parquet checkpoints per superstep with per-partition
+  metrics enable mid-iteration resume (plans/checkpoint.py);
+* the candidate aggregation is a single shuffle on (src, cd); the argmax is
+  ``max(struct(delta, -cd))`` — no sort, no window over big data.
+
+Canonical tie-break: highest ΔQ, then **lowest** community id — this is
+the reference's SORT/fast-path rule (reduce_by_key + GetMaxValue over
+(node, community)-sorted candidates keeps the first = lowest community,
+operators.h:30-40), and round 0 always runs that path. Labels are
+therefore deterministic across parallelism levels.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.modularity import delta_q, modularity
+from ..sources.edges import GraphTables, assign_contiguous_ids
+
+MODULARITY_CONVERGED_THRESHOLD = 0.001  # constants.h:15
+EARLY_STOP_LIMIT = 10**9  # constants.h:17
+
+
+@dataclass
+class LouvainResult:
+    labels: DataFrame  # (orig_id: long, community: long), dense 0-based
+    modularity: float
+    n_communities: int
+    levels: int
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _apply_moves(df: DataFrame, moves: DataFrame, key: str, comm_col: str, bcast: bool) -> DataFrame:
+    """comm_col := coalesce(move target, comm_col) for rows whose `key` moved (C5)."""
+    mv = moves.select(F.col("node").alias(key), F.col("newc").alias("_newc"))
+    if bcast:
+        mv = F.broadcast(mv)
+    return (
+        df.join(mv, key, "left")
+        .withColumn(comm_col, F.coalesce(F.col("_newc"), F.col(comm_col)))
+        .drop("_newc")
+    )
+
+
+def louvain(
+    graph: GraphTables,
+    threshold: float = MODULARITY_CONVERGED_THRESHOLD,
+    early_stop_limit: int = EARLY_STOP_LIMIT,
+    checkpointer=None,
+    broadcast_moves_max: int = 5_000_000,
+    shuffle_partitions: int | None = None,
+) -> LouvainResult:
+    """Run Louvain to convergence. ``graph`` from sources.edges.build_graph.
+
+    ``checkpointer``: optional plans.checkpoint.SuperstepCheckpointer for
+    durable per-superstep state + resume.
+    """
+    spark = graph.edges.sparkSession
+    m = graph.m
+    if m <= 0:
+        raise ValueError("empty graph")
+    npart = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    level = 0
+    q = None
+    metrics: list[dict] = []
+    resume_round = None
+    resume_frontier = None
+    resume_q_level_start = None
+
+    # --- resume path (mid-iteration, north rule) --------------------------
+    state = checkpointer.load_latest(spark) if checkpointer is not None else None
+    if state is not None:
+        est, verts, labels = state.edges_state, state.vertices, state.labels
+        level, q = state.level, state.q
+        est = est.repartition(npart, "src").localCheckpoint(eager=True)
+        verts = verts.localCheckpoint(eager=True)
+        labels = labels.localCheckpoint(eager=True)
+        if state.round >= 0:
+            resume_round = state.round + 1
+            resume_frontier = (
+                state.frontier.localCheckpoint(eager=True) if state.frontier is not None else None
+            )
+            resume_q_level_start = state.q_level_start
+    else:
+        # --- level-0 init (community.h:31-46: identity labels, k as Σ_tot)
+        verts = graph.vertices.select("id", "k", F.col("id").alias("comm"))
+        est = (
+            graph.edges.join(
+                graph.vertices.select(F.col("id").alias("src"), F.col("k").alias("k_src")), "src"
+            )
+            .select(
+                "src", "dst", F.col("weight").alias("w"), "k_src",
+                F.col("src").alias("cs"), F.col("dst").alias("cd"),
+            )
+            .repartition(npart, "src")
+            .localCheckpoint(eager=True)
+        )
+        verts = verts.localCheckpoint(eager=True)
+        labels = verts.select(F.col("id").alias("orig_id"), F.col("id").alias("community"))
+        labels = labels.localCheckpoint(eager=True)
+
+    comm_w = verts.groupBy("comm").agg(F.sum("k").alias("ctot"))
+    if q is None:
+        q = modularity(est, comm_w, m)
+
+    n_best = None
+    while True:
+        q_level_start = q if resume_q_level_start is None else resume_q_level_start
+        # ================= optimization phase (one level) =================
+        frontier = resume_frontier  # None => all vertices active (round 0)
+        rnd = resume_round if resume_round is not None else 0
+        resume_round = resume_frontier = resume_q_level_start = None
+        while True:
+            t0 = time.time()
+            q_old = q
+            cand = est.filter(F.col("src") != F.col("dst"))
+            if frontier is not None:
+                cand = cand.join(frontier, "src", "left_semi")
+
+            if rnd == 0:
+                # exact fast path: singleton communities => each edge is the
+                # (node, community) candidate, self-weight 0
+                pairs = cand.select(
+                    "src", "cd", F.col("w").alias("wnc"), "k_src", "cs",
+                    F.lit(0.0).alias("selfw"),
+                )
+            else:
+                pairs = cand.groupBy("src", "cd").agg(
+                    F.sum("w").alias("wnc"),
+                    F.first("k_src").alias("k_src"),
+                    F.first("cs").alias("cs"),
+                )
+                w_self = Window.partitionBy("src")
+                pairs = pairs.withColumn(
+                    "selfw",
+                    F.coalesce(
+                        F.sum(F.when(F.col("cd") == F.col("cs"), F.col("wnc"))).over(w_self),
+                        F.lit(0.0),
+                    ),
+                )
+
+            scored = (
+                pairs.join(
+                    comm_w.select(F.col("comm").alias("cs"), F.col("ctot").alias("ctot_a")), "cs"
+                )
+                .join(
+                    comm_w.select(F.col("comm").alias("cd"), F.col("ctot").alias("ctot_c")), "cd"
+                )
+                .withColumn(
+                    "delta",
+                    delta_q(
+                        F.col("wnc"), F.col("selfw"), F.col("k_src"),
+                        F.col("ctot_a"), F.col("ctot_c"), m,
+                    ),
+                )
+            )
+            best = scored.groupBy("src").agg(
+                F.max(F.struct(F.col("delta"), (-F.col("cd")).alias("negc"))).alias("b"),
+                F.first("cs").alias("cs"),
+            )
+            moves = best.select(
+                F.col("src").alias("node"),
+                (-F.col("b.negc")).alias("newc"),
+                F.col("b.delta").alias("delta"),
+                "cs",
+            ).filter((F.col("delta") > 0) & (F.col("newc") != F.col("cs")))
+            if rnd == 0:
+                # asymmetric round-0 guard (phaseOptimizationUpdate.cu:99)
+                moves = moves.filter(F.col("node") < F.col("newc"))
+            moves = moves.select("node", "newc").localCheckpoint(eager=True)
+            n_moves = moves.count()
+
+            if n_moves > 0:
+                bcast = n_moves <= broadcast_moves_max
+                verts = _apply_moves(verts, moves, "id", "comm", bcast).localCheckpoint(eager=True)
+                est = _apply_moves(est, moves, "src", "cs", bcast)
+                est = _apply_moves(est, moves, "dst", "cd", bcast).localCheckpoint(eager=True)
+                comm_w = verts.groupBy("comm").agg(F.sum("k").alias("ctot"))
+                q = modularity(est, comm_w, m)
+                # frontier C6: srcs of edges whose dst moved into a different
+                # community than src's (phaseOptimizationUpdate.cu:117-132)
+                moved_dst = moves.select(F.col("node").alias("dst"))
+                if bcast:
+                    moved_dst = F.broadcast(moved_dst)
+                frontier = (
+                    est.join(moved_dst, "dst", "left_semi")
+                    .filter(F.col("cs") != F.col("cd"))
+                    .select("src")
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
+            dq = q - q_old
+            metrics.append(
+                {
+                    "level": level, "round": rnd, "n_moves": n_moves, "q": q,
+                    "dq": dq, "sec": time.time() - t0,
+                }
+            )
+            if checkpointer is not None:
+                checkpointer.save(
+                    level, rnd, est, verts, labels, frontier, q, q_level_start, metrics[-1]
+                )
+            rnd += 1
+            if n_moves == 0 or dq <= threshold or rnd > early_stop_limit:
+                break
+
+        # ================= aggregation phase ==============================
+        continue_opt = (q - q_level_start) > threshold  # modularityAlgorithms.h:52
+        comm_w = verts.groupBy("comm").agg(F.sum("k").alias("ctot"))
+        surviving = comm_w.filter(F.col("ctot") > 0).select("comm")
+        relabel = assign_contiguous_ids(surviving, ["comm"], id_col="newid")
+        # flatten labels (P9 / community.h:48-55): orig label -> comm of its
+        # current-graph vertex -> dense coarse id
+        labels = (
+            labels.join(
+                verts.select(F.col("id").alias("community"), "comm"), "community"
+            )
+            .join(relabel, "comm")
+            .select("orig_id", F.col("newid").alias("community"))
+            .localCheckpoint(eager=True)
+        )
+        n_best = relabel.count()
+
+        if not continue_opt:
+            break
+
+        # coarsen (A8): relabel both endpoints, merge parallel edges
+        rl_s = relabel.select(F.col("comm").alias("cs"), F.col("newid").alias("nsrc"))
+        rl_d = relabel.select(F.col("comm").alias("cd"), F.col("newid").alias("ndst"))
+        if n_best <= broadcast_moves_max:
+            rl_s, rl_d = F.broadcast(rl_s), F.broadcast(rl_d)
+        coarse = (
+            est.join(rl_s, "cs")
+            .join(rl_d, "cd")
+            .groupBy(F.col("nsrc").alias("src"), F.col("ndst").alias("dst"))
+            .agg(F.sum("w").alias("w"))
+        )
+        k_new = coarse.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("k"))
+        verts = k_new.select("id", "k", F.col("id").alias("comm")).localCheckpoint(eager=True)
+        est = (
+            coarse.join(k_new.select(F.col("id").alias("src"), F.col("k").alias("k_src")), "src")
+            .select("src", "dst", "w", "k_src", F.col("src").alias("cs"), F.col("dst").alias("cd"))
+            .repartition(npart, "src")
+            .localCheckpoint(eager=True)
+        )
+        comm_w = verts.groupBy("comm").agg(F.sum("k").alias("ctot"))
+        q = modularity(est, comm_w, m)  # community.h:64 update()
+        level += 1
+        if checkpointer is not None:
+            checkpointer.save(
+                level, -1, est, verts, labels, None, q, q, {"level": level, "round": -1, "q": q}
+            )
+
+    return LouvainResult(
+        labels=labels,
+        modularity=q,
+        n_communities=int(n_best),
+        levels=level + 1,
+        metrics=metrics,
+    )

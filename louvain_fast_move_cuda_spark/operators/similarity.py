@@ -1,0 +1,127 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k (exact) — a broadcast join of the
+query set against the corpus with the dot product computed by built-in
+higher-order array functions (zip_with/aggregate, JVM-side).
+
+Scale path: IVF-style partitioning — assign every vector to its nearest
+of C centroids (chosen deterministically from the data), then search only
+vectors sharing the query's `nprobe` nearest centroids. Both paths return
+the same schema so callers can switch by corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank) — exact top-k by cosine.
+
+    Queries are broadcast (the small side); the corpus streams through a
+    single stage. Ranking uses one window partitioned by query — the
+    post-join row count is |Q|·|corpus| before the rank filter, so keep
+    |Q| bounded (that is the point of the IVF variant below).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), _norm(F.col(vec_col)).alias("qn")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), _norm(F.col(vec_col)).alias("cn")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic IVF index: centroids = the vectors whose id hashes to
+    the C smallest buckets (a cheap, reproducible sample), assignment =
+    argmax cosine to a centroid (broadcast join, no shuffle of the corpus).
+
+    Returns (centroids(cid, cv), assigned(id, vec, cid)).
+    """
+    w = Window.orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000_007)), F.col(id_col))
+    cents = (
+        corpus.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_centroids)
+        .select((F.col("_r") - 1).alias("cid"), F.col(vec_col).alias("cv"))
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "id", "vec", "cid",
+            (_dot(F.col("vec"), F.col("cv")) / (_norm(F.col("vec")) * _norm(F.col("cv")))).alias("sim"),
+        )
+    )
+    ww = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cid"))
+    assigned = scored.withColumn("rn", F.row_number().over(ww)).filter(F.col("rn") == 1).select(
+        "id", "vec", "cid"
+    )
+    return cents, assigned
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: search only the query's `nprobe` nearest centroid
+    partitions. Same output schema as brute_force_topk."""
+    cents, assigned = ivf_assign(corpus, n_centroids, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q_probe = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "qv", "cid",
+            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
+    probes = q_probe.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= nprobe).select(
+        "query_id", "qv", "cid"
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            (_dot(F.col("qv"), F.col("vec")) / (_norm(F.col("qv")) * _norm(F.col("vec")))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,112 @@
+"""Text-analysis operators for training-data pipelines over `documents`.
+
+Language ID (character n-gram heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and rolling-hash document fingerprints —
+all built-in pyspark.sql.functions column expressions (whole-stage
+codegen; no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"]
+
+# tiny per-language marker vocabularies for the n-gram heuristic
+_LANG_MARKERS = {
+    "en": ["the ", " and ", " of ", " to ", "ing "],
+    "de": [" der ", " und ", " die ", " ist ", "sch"],
+    "fr": [" le ", " et ", " les ", " des ", " une "],
+    "es": [" el ", " de ", " que ", " los ", " una "],
+}
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_chars, n_ws_tokens, n_bpe_tokens) — two tokenizers:
+    whitespace and a BPE-ish regex (word pieces / numbers / punctuation)."""
+    t = F.col(text_col)
+    ws = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
+    bpe = F.size(
+        F.filter(
+            F.split(F.lower(t), r"(?=[^a-z0-9])|(?<=[^a-z0-9])"),
+            lambda x: (x != "") & (x != " "),
+        )
+    )
+    return docs.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, len_score, punct_ratio, stopword_ratio, alpha_ratio, quality).
+
+    Composite heuristic quality in [0,1]: length band, punctuation share,
+    stopword density, alphabetic share — the standard cheap pre-filters of
+    large-scale corpus pipelines.
+    """
+    t = F.col(text_col)
+    n = F.greatest(F.length(t), F.lit(1)).cast("double")
+    punct = (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).cast("double") / n
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double") / n
+    words = F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != "")
+    n_words = F.greatest(F.size(words), F.lit(1)).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stops = F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x))).cast("double") / n_words
+    len_score = F.least(F.length(t).cast("double") / F.lit(500.0), F.lit(1.0))
+    quality = (
+        len_score * 0.25
+        + (F.lit(1.0) - F.least(punct * 4.0, F.lit(1.0))) * 0.25
+        + F.least(stops * 5.0, F.lit(1.0)) * 0.25
+        + alpha * 0.25
+    )
+    return docs.select(
+        F.col(id_col),
+        len_score.alias("len_score"),
+        punct.alias("punct_ratio"),
+        stops.alias("stopword_ratio"),
+        alpha.alias("alpha_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, lang_pred, lang_score) — argmax of marker n-gram hit counts."""
+    t = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        s = None
+        for mk in markers:
+            # occurrence count of marker mk
+            cnt = (F.length(t) - F.length(F.replace(t, F.lit(mk), F.lit("")))) / len(mk)
+            s = cnt if s is None else s + cnt
+        scores.append(F.struct(s.cast("double").alias("score"), F.lit(lang).alias("lang")))
+    best = F.greatest(*scores)
+    return docs.select(
+        F.col(id_col),
+        best["lang"].alias("lang_pred"),
+        best["score"].alias("lang_score"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, fp: long) — order-sensitive rolling document fingerprint.
+
+    Combines per-word hashes with a position weight, then xxhash64-folds;
+    equal normalized texts produce equal fingerprints, and unlike a set
+    hash, word order matters.
+    """
+    words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != "")
+    rolled = F.aggregate(
+        F.zip_with(
+            words,
+            F.sequence(F.lit(1), F.greatest(F.size(words), F.lit(1))),
+            lambda w, i: F.xxhash64(w) * i.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * F.lit(31) + x,
+    )
+    return docs.select(F.col(id_col), F.xxhash64(rolled).alias("fp"))

@@ -1,0 +1,123 @@
+"""Durable per-superstep checkpointing with per-partition lineage metrics.
+
+North-rule requirement: every superstep checkpoints vertex-state and
+coarsened-graph tables so runs resume mid-iteration. The reference keeps
+all state resident on one GPU (community.h); at 10^12-turn scale state
+must instead round-trip through a table format. We write parquet
+(Iceberg-shaped layout: one directory per superstep + a JSON manifest
+committed last, so a torn write is never visible to resume).
+
+Layout:
+    <root>/level=<L>/round=<R>/{edges_state,vertices,labels,frontier}/
+    <root>/level=<L>/round=<R>/_META.json     (commit marker, written last)
+
+_META.json records q, q_level_start, timestamps and per-partition row
+counts of the edge state (lineage/metrics per north_rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class SuperstepState:
+    edges_state: DataFrame
+    vertices: DataFrame
+    labels: DataFrame
+    frontier: DataFrame | None
+    level: int
+    round: int
+    q: float
+    q_level_start: float
+
+
+class SuperstepCheckpointer:
+    def __init__(self, root: str, record_partition_metrics: bool = True):
+        self.root = root
+        self.record_partition_metrics = record_partition_metrics
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, level: int, rnd: int) -> str:
+        return os.path.join(self.root, f"level={level}", f"round={rnd}")
+
+    def save(
+        self,
+        level: int,
+        rnd: int,
+        edges_state: DataFrame,
+        vertices: DataFrame,
+        labels: DataFrame,
+        frontier: DataFrame | None,
+        q: float,
+        q_level_start: float,
+        metric: dict | None = None,
+    ) -> None:
+        d = self._dir(level, rnd)
+        edges_state.write.mode("overwrite").parquet(os.path.join(d, "edges_state"))
+        vertices.write.mode("overwrite").parquet(os.path.join(d, "vertices"))
+        labels.write.mode("overwrite").parquet(os.path.join(d, "labels"))
+        has_frontier = frontier is not None
+        if has_frontier:
+            frontier.write.mode("overwrite").parquet(os.path.join(d, "frontier"))
+        meta = {
+            "level": level,
+            "round": rnd,
+            "q": q,
+            "q_level_start": q_level_start,
+            "has_frontier": has_frontier,
+            "ts": time.time(),
+            "metric": metric or {},
+        }
+        if self.record_partition_metrics:
+            parts = (
+                edges_state.groupBy(F.spark_partition_id().alias("pid"))
+                .count()
+                .collect()
+            )
+            meta["edges_state_partitions"] = {int(r["pid"]): int(r["count"]) for r in parts}
+        tmp = os.path.join(d, "_META.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(d, "_META.json"))  # atomic commit marker
+
+    def load_latest(self, spark: SparkSession) -> SuperstepState | None:
+        best = None
+        if not os.path.isdir(self.root):
+            return None
+        for lv in os.listdir(self.root):
+            if not lv.startswith("level="):
+                continue
+            level = int(lv.split("=")[1])
+            for rd in os.listdir(os.path.join(self.root, lv)):
+                if not rd.startswith("round="):
+                    continue
+                rnd = int(rd.split("=")[1])
+                meta_path = os.path.join(self.root, lv, rd, "_META.json")
+                if os.path.exists(meta_path) and (best is None or (level, rnd) > best):
+                    best = (level, rnd)
+        if best is None:
+            return None
+        level, rnd = best
+        d = self._dir(level, rnd)
+        with open(os.path.join(d, "_META.json")) as f:
+            meta = json.load(f)
+        frontier = (
+            spark.read.parquet(os.path.join(d, "frontier")) if meta.get("has_frontier") else None
+        )
+        return SuperstepState(
+            edges_state=spark.read.parquet(os.path.join(d, "edges_state")),
+            vertices=spark.read.parquet(os.path.join(d, "vertices")),
+            labels=spark.read.parquet(os.path.join(d, "labels")),
+            frontier=frontier,
+            level=level,
+            round=rnd,
+            q=float(meta["q"]),
+            q_level_start=float(meta["q_level_start"]),
+        )

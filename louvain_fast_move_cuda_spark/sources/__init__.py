@@ -1,0 +1,9 @@
+from .transcripts import synthesize_transcripts, transcripts_from_events  # noqa: F401
+from .edges import (  # noqa: F401
+    assign_contiguous_ids,
+    build_graph,
+    canonicalize_edges,
+    derive_edges_from_transcripts,
+    symmetrize,
+    vertex_weights,
+)

@@ -1,0 +1,111 @@
+"""Ingest-layer tests: edge derivation, canonicalization, symmetrize, relabel.
+
+Mirrors reference semantics graph.cu:17-87 / graph.cuh:58-99 (SURVEY.md §2.1).
+"""
+
+from pyspark.sql import functions as F
+
+from louvain_fast_move_cuda_spark.sources.edges import (
+    assign_contiguous_ids,
+    build_graph,
+    canonicalize_edges,
+    derive_edges_from_transcripts,
+    symmetrize,
+)
+from louvain_fast_move_cuda_spark.sources.transcripts import synthesize_transcripts
+
+
+def test_canonicalize_dedup_selfloop(spark):
+    raw = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (3, 3), (2, 5)], "a long, b long"
+    )
+    got = sorted(
+        (r.src, r.dst, r.weight) for r in canonicalize_edges(raw).collect()
+    )
+    assert got == [(1, 2, 1.0), (2, 5, 1.0)]
+
+
+def test_symmetrize_doubles_rows(spark):
+    canon = canonicalize_edges(spark.createDataFrame([(1, 2), (2, 5)], "a long, b long"))
+    sym = symmetrize(canon)
+    assert sym.count() == 4
+    assert sym.filter(F.col("src") == 2).count() == 2
+
+
+def test_contiguous_ids_order_preserving(spark):
+    df = spark.createDataFrame([(v,) for v in [100, 7, 42, 100, 7, 9001]], "v long")
+    ids = {r.v: r.nid for r in assign_contiguous_ids(df, ["v"], id_col="nid").collect()}
+    assert ids == {7: 0, 42: 1, 100: 2, 9001: 3}
+
+
+def test_build_graph_counts(spark):
+    # triangle 10-20-30 plus pendant 40
+    raw = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 10), (30, 40)], "a long, b long"
+    )
+    g = build_graph(raw)
+    assert g.m == 4.0
+    assert g.n_nodes == 4
+    assert g.edges.count() == 8  # directed symmetric
+    k = {r.id: r.k for r in g.vertices.collect()}
+    assert k == {0: 2.0, 1: 2.0, 2: 3.0, 3: 1.0}
+
+
+def test_transcript_edge_derivation_tiny(spark):
+    rows = [
+        ("c0", 0, "user", "t-0-0", None),
+        ("c0", 1, "assistant", "t-0-1", "search"),
+        ("c0", 2, "user", "t-0-2", None),
+        ("c1", 0, "user", "t-1-0", None),
+        ("c1", 1, "assistant", "t-1-1", "search"),
+    ]
+    t = spark.createDataFrame(
+        [(c, i, r, x, tool, None) for (c, i, r, x, tool) in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    pairs = derive_edges_from_transcripts(t)
+    # vertex ids rank by (conv_id, turn_idx): c0/0->0 c0/1->1 c0/2->2 c1/0->3 c1/1->4
+    got = sorted((r.a, r.b) for r in pairs.collect())
+    # reply: 0-1, 1-2, 3-4 ; tool chain over 'search' ordered by (ts, conv, idx): (c0,1)->(c1,1) = 1->4
+    assert got == [(0, 1), (1, 2), (1, 4), (3, 4)]
+
+
+def test_synthesized_transcripts_deterministic_and_text_equality(spark):
+    a = synthesize_transcripts(spark, n_convs=50, seed=42)
+    b = synthesize_transcripts(spark, n_convs=50, seed=42)
+    # per-turn text equality under stable (conv_id, turn_idx) ordering (north rule)
+    diff = (
+        a.alias("x")
+        .join(b.alias("y"), ["conv_id", "turn_idx"], "full")
+        .filter(F.col("x.text") != F.col("y.text"))
+        .count()
+    )
+    assert diff == 0
+    assert a.count() == b.count() > 50
+    # turn_idx dense per conv
+    bad = (
+        a.groupBy("conv_id")
+        .agg(F.max("turn_idx").alias("mx"), F.count("*").alias("n"))
+        .filter(F.col("mx") != F.col("n") - 1)
+        .count()
+    )
+    assert bad == 0
+
+
+def test_end_to_end_graph_from_synth_transcripts(spark):
+    t = synthesize_transcripts(spark, n_convs=100, seed=42)
+    g = build_graph(derive_edges_from_transcripts(t))
+    assert g.n_nodes > 100
+    assert g.m > 0
+    # symmetric: every (s,d) has (d,s)
+    e = g.edges
+    missing = (
+        e.alias("x")
+        .join(
+            e.alias("y"),
+            (F.col("x.src") == F.col("y.dst")) & (F.col("x.dst") == F.col("y.src")),
+            "left_anti",
+        )
+        .count()
+    )
+    assert missing == 0

@@ -1,0 +1,113 @@
+"""Louvain correctness vs the float64 oracle (FIXTURES.md §2-3).
+
+The oracle (tests/oracle.py) implements the identical parallel
+fast-local-move rule, so we require labels exactly equal (both sides use
+the same canonical dense relabel) and modularity allclose 1e-6.
+"""
+
+import math
+
+import pytest
+
+from louvain_fast_move_cuda_spark.operators.louvain import louvain
+from louvain_fast_move_cuda_spark.sources.edges import build_graph
+
+from oracle import _modularity, louvain_oracle, powerlaw_graph
+
+TWO_CLIQUES = [
+    (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),   # K4 a
+    (4, 5), (4, 6), (4, 7), (5, 6), (5, 7), (6, 7),   # K4 b
+    (3, 4),                                           # bridge
+]
+PATH6 = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)]
+
+
+def _spark_labels(spark, und_edges, **kw):
+    raw = spark.createDataFrame(und_edges, "a long, b long")
+    g = build_graph(raw, relabel=False)
+    res = louvain(g, **kw)
+    return {r.orig_id: r.community for r in res.labels.collect()}, res
+
+
+def test_delta_q_equals_brute_force_q_difference():
+    """ΔQ formula == Q(after) − Q(before) for every single move on PATH6
+    (validates operatorsDelta.h:7-45 semantics in float64, tol 1e-12)."""
+    edges = [(a, b, 1.0) for a, b in PATH6]
+    directed = [(a, b, w) for a, b, w in edges] + [(b, a, w) for a, b, w in edges]
+    m = 5.0
+    k = {v: sum(w for s, _, w in directed if s == v) for v in range(6)}
+    for init in [{v: v for v in range(6)}, {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 2}]:
+        comm = dict(init)
+        ctot = {c: 0.0 for c in set(comm.values())}
+        for v in range(6):
+            ctot[comm[v]] += k[v]
+        q_before = _modularity(directed, comm, ctot, m)
+        for n in range(6):
+            for c in set(comm.values()):
+                if c == comm[n]:
+                    continue
+                wnc = sum(w for s, d, w in directed if s == n and d != n and comm[d] == c)
+                selfw = sum(w for s, d, w in directed if s == n and d != n and comm[d] == comm[n])
+                delta = (wnc - selfw) / m + k[n] * (ctot[comm[n]] - k[n] - ctot[c]) / (2 * m * m)
+                after = dict(comm)
+                after[n] = c
+                ctot2 = {cc: 0.0 for cc in set(after.values())}
+                for v in range(6):
+                    ctot2[after[v]] += k[v]
+                q_after = _modularity(directed, after, ctot2, m)
+                assert math.isclose(delta, q_after - q_before, abs_tol=1e-12)
+
+
+def test_two_cliques_bridge_matches_oracle(spark):
+    got, res = _spark_labels(spark, TWO_CLIQUES)
+    want, q_want = louvain_oracle(TWO_CLIQUES)
+    assert got == want
+    assert res.modularity == pytest.approx(q_want, abs=1e-6)
+    # the two K4s are separated
+    assert len({got[v] for v in range(4)}) == 1
+    assert len({got[v] for v in range(4, 8)}) == 1
+    assert got[0] != got[7]
+
+
+def test_powerlaw_matches_oracle(spark):
+    und = powerlaw_graph(n=150, m_attach=2, seed=42)
+    got, res = _spark_labels(spark, und)
+    want, q_want = louvain_oracle(und)
+    assert res.modularity == pytest.approx(q_want, abs=1e-6)
+    assert got == want
+    assert res.n_communities == len(set(want.values()))
+
+
+def test_q_final_not_below_initial_and_deterministic(spark):
+    und = powerlaw_graph(n=100, m_attach=2, seed=7)
+    got1, res1 = _spark_labels(spark, und)
+    got2, res2 = _spark_labels(spark, und)
+    assert got1 == got2
+    assert res1.modularity == pytest.approx(res2.modularity, abs=1e-12)
+    assert res1.modularity > 0
+
+
+def test_resume_mid_iteration(spark, tmp_path):
+    """Kill-and-resume: wipe checkpoints after (level 0, round 0) and resume;
+    final labels and Q must match an uninterrupted run (north rule)."""
+    import shutil
+    import os
+
+    from louvain_fast_move_cuda_spark.plans.checkpoint import SuperstepCheckpointer
+
+    und = powerlaw_graph(n=80, m_attach=2, seed=3)
+    want, _ = _spark_labels(spark, und)
+
+    ckdir = str(tmp_path / "ck")
+    raw = spark.createDataFrame(und, "a long, b long")
+    g = build_graph(raw, relabel=False)
+    louvain(g, checkpointer=SuperstepCheckpointer(ckdir))
+    # simulate a crash right after level=0 round=0 was committed
+    for lv in os.listdir(ckdir):
+        lpath = os.path.join(ckdir, lv)
+        for rd in os.listdir(lpath):
+            if not (lv == "level=0" and rd == "round=0"):
+                shutil.rmtree(os.path.join(lpath, rd))
+    res = louvain(g, checkpointer=SuperstepCheckpointer(ckdir))
+    got = {r.orig_id: r.community for r in res.labels.collect()}
+    assert got == want
