@@ -3,36 +3,541 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Query surface = SURVEY.md §2 operator inventory re-expressed over the
+transcript tables (derived from ``events`` per sources/transcripts.py,
+so the DuckDB oracle can mirror the derivation in ANSI SQL) plus the
+training-data-pipeline operators over ``documents``/``embeddings``.
+
+Oracle-design notes (why value-hashes match bit-for-bit):
+* no timestamps in outputs (session-timezone-proof): ``ts`` is exposed
+  as ``unix micros`` (BIGINT both sides);
+* every compared double is either integer-valued (counts, weight sums)
+  or computed by the *same IEEE expression tree* in both engines
+  (divisions of integer-valued doubles, fixed association order);
+* float-heavy rankings (ANN cosine) compare integer ranks only;
+* xxhash64-based operators (minhash/simhash/fingerprint) have no DuckDB
+  equivalent -> rows-only checks, as are the iterative fixpoint
+  algorithms (Louvain/PageRank/CC-full), whose per-algorithm oracles
+  live in tests/oracle.py instead.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from louvain_fast_move_cuda_spark.operators.components import connected_components
+from louvain_fast_move_cuda_spark.operators.dedup import (
+    embedding_near_dupes,
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+from louvain_fast_move_cuda_spark.operators.labelprop import label_propagation
+from louvain_fast_move_cuda_spark.operators.louvain import (
+    aggregate_graph,
+    louvain,
+    round0_moves,
+)
+from louvain_fast_move_cuda_spark.operators.pagerank import pagerank
+from louvain_fast_move_cuda_spark.operators.similarity import brute_force_topk, ivf_topk
+from louvain_fast_move_cuda_spark.operators.textstats import (
+    fingerprint,
+    language_id,
+    quality_scores,
+    token_stats,
+    _LANG_MARKERS,
+    _STOPWORDS,
+)
+from louvain_fast_move_cuda_spark.operators.triangles import triangle_count
+from louvain_fast_move_cuda_spark.sources.transcripts import (
+    transcript_graph,
+    transcripts_from_events,
+)
+
+# --------------------------------------------------------------------------
+# shared inputs
+# --------------------------------------------------------------------------
+
+_GRAPH_CACHE: dict = {}
+
+
+def _graph(spark: SparkSession, sf_dir: str, reply_only: bool = False):
+    key = (sf_dir, reply_only)
+    if key not in _GRAPH_CACHE:
+        t, ids, g = transcript_graph(spark, sf_dir, reply_only=reply_only)
+        g.edges = g.edges.localCheckpoint(eager=True)
+        g.vertices = g.vertices.localCheckpoint(eager=True)
+        _GRAPH_CACHE[key] = (t, ids.localCheckpoint(eager=True), g)
+    return _GRAPH_CACHE[key]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _conv_labels(ids: DataFrame) -> DataFrame:
+    """Partition 'turns by conversation': community = min vid of the conv."""
+    w = Window.partitionBy("conv_id")
+    return ids.select(
+        F.col("vid").alias("id"), F.min("vid").over(w).alias("community")
+    )
+
+
+# --------------------------------------------------------------------------
+# entry: flagship query (smoke check at sf0.001)
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Louvain community detection over the transcript-derived edge graph."""
+    _, _, g = _graph(spark, "/root/testdata/sf0.001")
+    res = louvain(g)
+    return res.labels
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_transcripts(spark, sf_dir):
+    t = transcripts_from_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    # parquet timestamps load as TIMESTAMP_NTZ; interpret the naive value as
+    # UTC on both sides (DuckDB epoch_us does the same) — session-tz-proof
+    return t.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.unix_micros(F.to_utc_timestamp("ts", "UTC")).alias("ts_us"),
+    )
+
+
+def q_edge_list(spark, sf_dir):
+    _, _, g = _graph(spark, sf_dir)
+    # canonical (src<dst) half of the directed-symmetric list == S2 output
+    return g.edges.filter(F.col("src") < F.col("dst")).select("src", "dst", "weight")
+
+
+def q_degrees(spark, sf_dir):
+    _, _, g = _graph(spark, sf_dir)
+    return g.vertices.select("id", "k")
+
+
+def q_triangle_count(spark, sf_dir):
+    _, _, g = _graph(spark, sf_dir)
+    n = triangle_count(g)
+    return spark.createDataFrame([(n,)], "n_triangles long")
+
+
+def q_cc_reply(spark, sf_dir):
+    _, _, g = _graph(spark, sf_dir, reply_only=True)
+    return connected_components(g)
+
+
+def q_coarsen_by_conv(spark, sf_dir):
+    _, ids, g = _graph(spark, sf_dir)
+    return aggregate_graph(g.edges, _conv_labels(ids))
+
+
+def q_modularity_conv(spark, sf_dir):
+    _, ids, g = _graph(spark, sf_dir)
+    labels = _conv_labels(ids)
+    est = g.edges.join(
+        labels.select(F.col("id").alias("src"), F.col("community").alias("cs")), "src"
+    ).join(
+        labels.select(F.col("id").alias("dst"), F.col("community").alias("cd")), "dst"
+    )
+    w_in = est.filter(F.col("cs") == F.col("cd")).agg(F.sum("weight").alias("w")).collect()[0]["w"]
+    w_in = float(w_in) if w_in is not None else 0.0
+    ctot = (
+        g.vertices.join(labels, "id")
+        .groupBy("community")
+        .agg(F.sum("k").alias("ctot"))
+    )
+    sq = float(ctot.agg(F.sum(F.col("ctot") * F.col("ctot")).alias("s")).collect()[0]["s"])
+    m = g.m
+    q = w_in / (2.0 * m) - sq / (4.0 * m * m)
+    return spark.createDataFrame([(q,)], "q double")
+
+
+def q_louvain_round0(spark, sf_dir):
+    _, _, g = _graph(spark, sf_dir)
+    return round0_moves(g)
+
+
+def q_lpa_one_round(spark, sf_dir):
+    _, _, g = _graph(spark, sf_dir)
+    return label_propagation(g, max_iter=1)
+
+
+def q_louvain(spark, sf_dir):
+    _, _, g = _graph(spark, sf_dir)
+    return louvain(g).labels
+
+
+def q_pagerank(spark, sf_dir):
+    _, _, g = _graph(spark, sf_dir)
+    return pagerank(g, max_iter=20, tol=1e-8)
+
+
+def q_cc_full(spark, sf_dir):
+    _, _, g = _graph(spark, sf_dir)
+    return connected_components(g)
+
+
+def q_lpa(spark, sf_dir):
+    _, _, g = _graph(spark, sf_dir)
+    return label_propagation(g, max_iter=5)
+
+
+def q_exact_dedup(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=5, threshold=0.1)
+
+
+def q_token_stats(spark, sf_dir):
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_quality_scores(spark, sf_dir):
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def q_language_id(spark, sf_dir):
+    return language_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_simhash(spark, sf_dir):
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_minhash_lsh(spark, sf_dir):
+    sh = shingles(_docs(spark, sf_dir), k=5)
+    sigs = minhash_signatures(sh, num_hashes=32)
+    return minhash_lsh_candidates(sigs, bands=8, rows_per_band=4)
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    res = brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return res.select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
+
+
+def q_ann_ivf(spark, sf_dir):
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    res = ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=4)
+    return res.select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
+
+
+def q_embedding_near_dupes(spark, sf_dir):
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    # random test embeddings have no true near-dupes; 0.3 keeps the
+    # bucket-join + exact-verify path producing checkable rows
+    return embedding_near_dupes(emb, threshold=0.3)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # sources / scans (SURVEY.md §2.1) + per-turn text invariant
+        "transcripts": q_transcripts,
+        "edge_list": q_edge_list,
+        "degrees": q_degrees,
+        # graph operators with exact SQL oracles
+        "triangle_count": q_triangle_count,
+        "cc_reply": q_cc_reply,
+        "coarsen_by_conv": q_coarsen_by_conv,
+        "modularity_conv": q_modularity_conv,
+        "louvain_round0": q_louvain_round0,
+        "lpa_one_round": q_lpa_one_round,
+        # iterative fixpoints (rows-only here; float64 oracles in tests/)
+        "louvain_communities": q_louvain,
+        "pagerank": q_pagerank,
+        "cc_full": q_cc_full,
+        "label_propagation": q_lpa,
+        # training-data pipeline: dedup
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh_candidates": q_minhash_lsh,
+        "simhash": q_simhash,
+        "fingerprint": q_fingerprint,
+        # training-data pipeline: text analysis
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "language_id": q_language_id,
+        # similarity search
+        "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
+        "embedding_near_dupes": q_embedding_near_dupes,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect-compatible ANSI SQL)
+# --------------------------------------------------------------------------
+
+# transcripts derivation (mirrors sources/transcripts.py::transcripts_from_events)
+_T = """
+transcripts AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INT) AS turn_idx,
+         event_type AS role,
+         props AS text,
+         CASE WHEN value > 50.0 THEN event_type END AS tool,
+         ts
+  FROM events
+)"""
+
+# dense vid rank (mirrors sources/edges.py::assign_contiguous_ids)
+_IDS = """
+ids AS (
+  SELECT conv_id, turn_idx, tool, ts,
+         row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS vid
+  FROM transcripts
+)"""
+
+# reply + tool links -> canonical dedup -> symmetric directed list
+# (mirrors sources/transcripts.py::transcript_graph + sources/edges.py)
+_EDGES = """
+reply AS (
+  SELECT vid AS a, lead(vid) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS b FROM ids
+),
+tool_links AS (
+  SELECT vid AS a, lead(vid) OVER (PARTITION BY tool ORDER BY ts, conv_id, turn_idx) AS b
+  FROM ids WHERE tool IS NOT NULL
+),
+rawpairs AS (
+  SELECT a, b FROM reply WHERE b IS NOT NULL
+  UNION ALL
+  SELECT a, b FROM tool_links WHERE b IS NOT NULL
+),
+canon AS (
+  SELECT DISTINCT least(a, b) AS src, greatest(a, b) AS dst, CAST(1.0 AS DOUBLE) AS weight
+  FROM rawpairs WHERE a <> b
+),
+sym AS (
+  SELECT src, dst, weight FROM canon
+  UNION ALL
+  SELECT dst AS src, src AS dst, weight FROM canon
+),
+deg AS (
+  SELECT i.vid AS id, coalesce(d.k, 0.0) AS k
+  FROM ids i LEFT JOIN (SELECT src, sum(weight) AS k FROM sym GROUP BY src) d
+  ON i.vid = d.src
+)"""
+
+_GRAPH_CTE = "WITH " + _T.strip() + ", " + _IDS.strip() + ", " + _EDGES.strip()
+
+_NORM_TEXT = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+
+
+def _lang_sql() -> str:
+    """Build the language-ID oracle from the same marker tables the Spark
+    operator uses, with identical per-marker expression order."""
+    rows = []
+    for lang, markers in _LANG_MARKERS.items():
+        parts = " + ".join(
+            f"(length(t) - length(replace(t, '{mk}', ''))) / {len(mk)}" for mk in markers
+        )
+        rows.append(f"('{lang}', CAST({parts} AS DOUBLE))")
+    values = ",\n      ".join(rows)
+    return f"""
+WITH base AS (SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents),
+scores AS (
+  SELECT doc_id, v.lang, v.score
+  FROM base, LATERAL (VALUES
+      {values}) AS v(lang, score)
+)
+SELECT doc_id, lang AS lang_pred, score AS lang_score
+FROM (SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rn
+      FROM scores)
+WHERE rn = 1
+"""
+
+
+def _quality_sql() -> str:
+    stop_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    return rf"""
+WITH w AS (
+  SELECT doc_id, text,
+         CAST(greatest(length(text), 1) AS DOUBLE) AS n,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+         CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS DOUBLE) / n AS punct_ratio,
+         CAST(len(list_filter(words, x -> list_contains([{stop_list}], x))) AS DOUBLE)
+           / CAST(greatest(len(words), 1) AS DOUBLE) AS stopword_ratio,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / n AS alpha_ratio
+  FROM w
+)
+SELECT doc_id, len_score, punct_ratio, stopword_ratio, alpha_ratio,
+       len_score * 0.25 + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.25
+         + least(stopword_ratio * 5.0, 1.0) * 0.25 + alpha_ratio * 0.25 AS quality
+FROM r
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "transcripts": f"""
+WITH {_T.strip()}
+SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us FROM transcripts
+""",
+        "edge_list": f"""
+{_GRAPH_CTE}
+SELECT src, dst, weight FROM canon
+""",
+        "degrees": f"""
+{_GRAPH_CTE}
+SELECT id, k FROM deg
+""",
+        "triangle_count": f"""
+{_GRAPH_CTE}
+SELECT count(*) AS n_triangles
+FROM canon e1
+JOIN canon e2 ON e1.dst = e2.src
+JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst
+""",
+        "cc_reply": f"""
+WITH {_T.strip()}, {_IDS.strip()}
+SELECT vid AS id, min(vid) OVER (PARTITION BY conv_id) AS component FROM ids
+""",
+        "coarsen_by_conv": f"""
+{_GRAPH_CTE},
+labels AS (SELECT vid AS id, min(vid) OVER (PARTITION BY conv_id) AS community FROM ids)
+SELECT ls.community AS src, ld.community AS dst, sum(e.weight) AS weight
+FROM sym e JOIN labels ls ON e.src = ls.id JOIN labels ld ON e.dst = ld.id
+GROUP BY 1, 2
+""",
+        "modularity_conv": f"""
+{_GRAPH_CTE},
+labels AS (SELECT vid AS id, min(vid) OVER (PARTITION BY conv_id) AS community FROM ids),
+mm AS (SELECT sum(weight) / 2.0 AS m FROM sym),
+win AS (
+  SELECT coalesce(sum(e.weight), 0.0) AS w_in
+  FROM sym e JOIN labels ls ON e.src = ls.id JOIN labels ld ON e.dst = ld.id
+  WHERE ls.community = ld.community
+),
+sq AS (
+  SELECT sum(ctot * ctot) AS s
+  FROM (SELECT sum(d.k) AS ctot FROM deg d JOIN labels l ON d.id = l.id GROUP BY l.community)
+)
+SELECT w_in / (2.0 * m) - s / (4.0 * m * m) AS q FROM mm, win, sq
+""",
+        "louvain_round0": f"""
+{_GRAPH_CTE},
+mm AS (SELECT sum(weight) / 2.0 AS m FROM sym),
+cand AS (
+  SELECT e.src AS node, e.dst AS c,
+         (e.weight - 0.0) / mm.m + (ks.k * (ks.k - ks.k - kd.k)) / (2.0 * mm.m * mm.m) AS delta
+  FROM sym e
+  JOIN deg ks ON e.src = ks.id
+  JOIN deg kd ON e.dst = kd.id
+  CROSS JOIN mm
+  WHERE e.src <> e.dst
+),
+best AS (
+  SELECT node, c, delta,
+         row_number() OVER (PARTITION BY node ORDER BY delta DESC, c ASC) AS rn
+  FROM cand
+)
+SELECT node, c AS newc FROM best WHERE rn = 1 AND delta > 0 AND node < c
+""",
+        "lpa_one_round": f"""
+{_GRAPH_CTE},
+votes AS (
+  SELECT e.src, e.dst AS label, sum(e.weight) AS wsum
+  FROM sym e WHERE e.src <> e.dst GROUP BY 1, 2
+),
+best AS (
+  SELECT src, label,
+         row_number() OVER (PARTITION BY src ORDER BY wsum DESC, label ASC) AS rn
+  FROM votes
+)
+SELECT i.vid AS id, coalesce(b.label, i.vid) AS label
+FROM ids i LEFT JOIN (SELECT src, label FROM best WHERE rn = 1) b ON i.vid = b.src
+""",
+        "exact_dedup": f"""
+SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
+FROM (SELECT doc_id, {_NORM_TEXT} AS t FROM documents)
+GROUP BY t
+""",
+        "ngram_jaccard": rf"""
+WITH words AS (
+  SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id AS id, u.sh
+  FROM words,
+       UNNEST(list_transform(range(0, greatest(len(ws) - 5, 0) + 1),
+                             i -> array_to_string(ws[i + 1 : i + 5], ' '))) AS u(sh)
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter
+  FROM sh x JOIN sh y ON x.sh = y.sh AND x.id < y.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT i.id_a, i.id_b,
+         CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON i.id_a = sa.id
+  JOIN sizes sb ON i.id_b = sb.id
+)
+WHERE jaccard >= 0.1
+""",
+        "token_stats": r"""
+SELECT doc_id,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS INTEGER) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_bpe_tokens
+FROM documents
+""",
+        "quality_scores": _quality_sql(),
+        "language_id": _lang_sql(),
+        "ann_topk": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id, e FROM v WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]))
+           / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+              * sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS cosine
+  FROM v c, q
+  WHERE c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, rnk FROM (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rnk
+  FROM scored
+)
+WHERE rnk <= 5
+""",
+    }

@@ -1,0 +1,199 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline metric = total wall seconds of the query suite; the JSON also
+carries the BASELINE.json target metric (Louvain fast-move edges/sec per
+iteration) computed from the per-round metrics of the Louvain run.
+
+Modes:
+    python bench.py                         # full suite (driver entry point)
+    python bench.py --queries louvain       # subset
+    python bench.py --scaling               # N-vs-4N-cores scaling proxy:
+        reruns the Louvain job in two subprocesses (SPARK_GRAFT_CPUS=8 and
+        =32, shuffle partitions scaled alike) on the SAME synthesized
+        input and reports throughput at both + scaling efficiency
+        (BASELINE.json: >=0.8 from N to 4N executors; sandbox proxy per
+        BASELINE.md since no real cluster exists here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _sf(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_suite(names: list[str] | None, scaling_convs: int | None = None) -> dict:
+    from pyspark.sql import functions as F
+
+    from louvain_fast_move_cuda_spark.operators.components import connected_components
+    from louvain_fast_move_cuda_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        shingles,
+    )
+    from louvain_fast_move_cuda_spark.operators.labelprop import label_propagation
+    from louvain_fast_move_cuda_spark.operators.louvain import louvain
+    from louvain_fast_move_cuda_spark.operators.pagerank import pagerank
+    from louvain_fast_move_cuda_spark.operators.similarity import ivf_topk
+    from louvain_fast_move_cuda_spark.operators.triangles import triangle_count
+    from louvain_fast_move_cuda_spark.session import get_spark
+    from louvain_fast_move_cuda_spark.sources.edges import (
+        GraphTables,
+        canonicalize_edges,
+        symmetrize,
+        vertex_weights,
+    )
+    from louvain_fast_move_cuda_spark.sources.transcripts import (
+        synthesize_transcripts,
+        transcript_graph,
+    )
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=max(8, CPUS))
+    timings: dict[str, float] = {}
+    extra: dict = {}
+
+    t0 = time.time()
+    if scaling_convs:
+        # deterministic synthetic transcripts at a size where per-round work
+        # dominates scheduling overhead (same input at every parallelism)
+        from louvain_fast_move_cuda_spark.sources.edges import derive_edges_from_transcripts
+
+        t = synthesize_transcripts(spark, n_convs=scaling_convs, seed=42)
+        raw = derive_edges_from_transcripts(t)
+        canon = canonicalize_edges(raw)
+        edges = symmetrize(canon).repartition(max(8, CPUS), "src").localCheckpoint(eager=True)
+        verts = vertex_weights(edges).localCheckpoint(eager=True)
+        m = float(edges.agg(F.sum("weight")).collect()[0][0]) / 2.0
+        g = GraphTables(edges=edges, vertices=verts, m=m, n_nodes=verts.count())
+    else:
+        _, _, g = transcript_graph(spark, SF_DIR)
+        g.edges = g.edges.repartition(max(8, CPUS), "src").localCheckpoint(eager=True)
+        g.vertices = g.vertices.localCheckpoint(eager=True)
+    n_directed = g.edges.count()
+    timings["graph_build"] = time.time() - t0
+    extra["n_edges_directed"] = n_directed
+    extra["n_vertices"] = g.n_nodes
+
+    def want(n):
+        return names is None or n in names
+
+    if want("louvain"):
+        t0 = time.time()
+        res = louvain(g)
+        timings["louvain"] = time.time() - t0
+        opt_rounds = [mt for mt in res.metrics if mt.get("round", -1) >= 0]
+        opt_sec = sum(mt["sec"] for mt in opt_rounds)
+        # every inner round scores the full directed edge list of its level
+        # (upper bound: frontier pruning shrinks late rounds) — the
+        # reference's metric is edges/sec per optimization iteration
+        extra["louvain_modularity"] = res.modularity
+        extra["louvain_levels"] = res.levels
+        extra["louvain_rounds"] = len(opt_rounds)
+        extra["louvain_edges_per_sec_per_iter"] = (
+            n_directed * len(opt_rounds) / opt_sec if opt_sec > 0 else 0.0
+        )
+    if want("pagerank"):
+        t0 = time.time()
+        pagerank(g, max_iter=20, tol=1e-12).agg(F.sum("rank")).collect()
+        timings["pagerank"] = time.time() - t0
+    if want("cc"):
+        t0 = time.time()
+        connected_components(g).agg(F.countDistinct("component")).collect()
+        timings["cc"] = time.time() - t0
+    if want("lpa"):
+        t0 = time.time()
+        label_propagation(g, max_iter=5).agg(F.countDistinct("label")).collect()
+        timings["lpa"] = time.time() - t0
+    if want("triangles"):
+        t0 = time.time()
+        extra["n_triangles"] = triangle_count(g)
+        timings["triangles"] = time.time() - t0
+    if want("minhash"):
+        t0 = time.time()
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        sigs = minhash_signatures(shingles(docs, k=5), num_hashes=32)
+        minhash_lsh_candidates(sigs, bands=8, rows_per_band=4).count()
+        timings["minhash"] = time.time() - t0
+    if want("ann"):
+        t0 = time.time()
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+        )
+        ivf_topk(emb, emb.filter(F.col("vec_id") < 50), k=10, n_centroids=16, nprobe=4).count()
+        timings["ann"] = time.time() - t0
+
+    return {"timings": timings, "extra": extra}
+
+
+def main():
+    args = sys.argv[1:]
+    if "--scaling" in args:
+        # same job, same input, two parallelism levels (N=8, 4N=32 cores)
+        convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "300000"))
+        results = {}
+        for cpus in (8, 32):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--queries", "louvain",
+                 "--scaling-convs", str(convs)],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+            results[cpus] = json.loads(line)
+        th8 = results[8]["louvain_edges_per_sec_per_iter"]
+        th32 = results[32]["louvain_edges_per_sec_per_iter"]
+        eff = (th32 / th8) / 4.0 if th8 > 0 else 0.0
+        print(json.dumps({
+            "metric": "louvain_scaling_efficiency_8_to_32_cores",
+            "value": round(eff, 4),
+            "unit": "ratio",
+            "throughput_edges_per_sec_per_iter": {"local[8]": th8, "local[32]": th32},
+            "n_convs": convs,
+            "louvain_sec": {"local[8]": results[8]["queries"]["louvain"],
+                            "local[32]": results[32]["queries"]["louvain"]},
+        }))
+        return
+
+    names = None
+    scaling_convs = None
+    if "--queries" in args:
+        names = set(args[args.index("--queries") + 1].split(","))
+    if "--scaling-convs" in args:
+        scaling_convs = int(args[args.index("--scaling-convs") + 1])
+
+    t0 = time.time()
+    r = run_suite(names, scaling_convs)
+    total = round(time.time() - t0, 3)
+    out = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in r["timings"].items()},
+        "sf": _sf(SF_DIR),
+        "cpus": CPUS,
+    }
+    for k, v in r["extra"].items():
+        out[k] = v
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

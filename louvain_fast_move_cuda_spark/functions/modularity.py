@@ -43,6 +43,23 @@ def modularity(edges_cc: DataFrame, comm_weights: DataFrame, m: float) -> float:
     return w_in / (2.0 * m) - sq / (4.0 * m * m)
 
 
+def modularity_fused(edges_cc: DataFrame, comm_weights: DataFrame, m: float) -> float:
+    """Same Q as :func:`modularity` in ONE Spark action.
+
+    The two global reductions (W_in and ΣΣ_tot²) are 1-row aggregates
+    cross-joined and collected together — the Spark analogue of the
+    reference overlapping its two independent reductions on two CUDA
+    streams (community.h:72,88). In an iterative driver loop, halving the
+    per-round action count matters more than anything inside the plan.
+    """
+    a = edges_cc.filter(F.col("cs") == F.col("cd")).agg(F.sum("w").alias("win"))
+    b = comm_weights.agg(F.sum(F.col("ctot") * F.col("ctot")).alias("s"))
+    row = a.crossJoin(b).collect()[0]
+    w_in = float(row["win"]) if row["win"] is not None else 0.0
+    sq = float(row["s"]) if row["s"] is not None else 0.0
+    return w_in / (2.0 * m) - sq / (4.0 * m * m)
+
+
 def delta_q(
     wnc: Column, selfw: Column, k: Column, ctot_a: Column, ctot_c: Column, m: float
 ) -> Column:

@@ -63,7 +63,8 @@ def connected_components(graph: GraphTables, max_iter: int = 50) -> DataFrame:
         sym = e2.unionByName(
             e2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
-        sym = sym.repartition(npart, "src").localCheckpoint(eager=True)
+        # lazy: materializes inside the convergence-check count below
+        sym = sym.repartition(npart, "src").localCheckpoint(eager=False)
         # converged when every edge points directly at a root:
         # (u -> p) with no edge (p -> q), q < p
         changed = (

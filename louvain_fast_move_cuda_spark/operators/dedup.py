@@ -150,17 +150,21 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     tok = docs.select(F.col(id_col).alias("id"), F.explode(words).alias("t")).withColumn(
         "h", F.xxhash64("t")
     )
+    def mask(j: int) -> F.Column:
+        # 1<<63 overflows a signed-long literal; shiftleft wraps like Java
+        return F.shiftleft(F.lit(1).cast("long"), j)
+
     votes = tok.groupBy("id").agg(
         *[
             F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+                F.when(F.col("h").bitwiseAND(mask(j)) != 0, 1).otherwise(-1)
             ).alias(f"v{j}")
             for j in range(bits)
         ]
     )
     sim = None
     for j in range(bits):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bit = F.when(F.col(f"v{j}") > 0, mask(j)).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else sim.bitwiseOR(bit)
     return votes.select("id", sim.alias("simhash"))
 

@@ -45,7 +45,7 @@ def label_propagation(graph: GraphTables, max_iter: int = 10) -> DataFrame:
             graph.vertices.select("id")
             .join(new_labels, "id", "left")
             .select("id", F.coalesce("label", F.col("id")).alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materializes inside the change count
         )
         n_changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "id")

@@ -45,7 +45,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.modularity import delta_q, modularity
+from ..functions.modularity import delta_q, modularity, modularity_fused
 from ..sources.edges import GraphTables, assign_contiguous_ids
 
 MODULARITY_CONVERGED_THRESHOLD = 0.001  # constants.h:15
@@ -70,6 +70,65 @@ def _apply_moves(df: DataFrame, moves: DataFrame, key: str, comm_col: str, bcast
         df.join(mv, key, "left")
         .withColumn(comm_col, F.coalesce(F.col("_newc"), F.col(comm_col)))
         .drop("_newc")
+    )
+
+
+def round0_moves(graph: GraphTables) -> DataFrame:
+    """The round-0 exact fast path as a standalone, oracle-checkable plan.
+
+    With singleton communities (start of every level) each directed edge is
+    itself the (node, candidate-community) pair with self-weight 0
+    (phaseOptimizationSort.cu:28-158), Σ_tot(c) = k_c, and the asymmetric
+    guard keeps only moves toward a higher id
+    (phaseOptimizationUpdate.cu:99). Pure column arithmetic + one argmax
+    groupBy — the exact plan the first inner round of :func:`louvain` runs.
+
+    Returns (node: long, newc: long).
+    """
+    m = graph.m
+    k = graph.vertices.select("id", "k")
+    cand = (
+        graph.edges.filter(F.col("src") != F.col("dst"))
+        .join(k.select(F.col("id").alias("src"), F.col("k").alias("k_src")), "src")
+        .join(k.select(F.col("id").alias("dst"), F.col("k").alias("k_dst")), "dst")
+        .withColumn(
+            "delta",
+            delta_q(F.col("weight"), F.lit(0.0), F.col("k_src"), F.col("k_src"), F.col("k_dst"), m),
+        )
+    )
+    best = cand.groupBy("src").agg(
+        F.max(F.struct(F.col("delta"), (-F.col("dst")).alias("negc"))).alias("b")
+    )
+    return (
+        best.select(
+            F.col("src").alias("node"),
+            (-F.col("b.negc")).alias("newc"),
+            F.col("b.delta").alias("delta"),
+        )
+        .filter((F.col("delta") > 0) & (F.col("node") < F.col("newc")))
+        .select("node", "newc")
+    )
+
+
+def aggregate_graph(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Coarsen: relabel endpoints through a partition and merge parallel edges.
+
+    The aggregation phase's edge merge A8 (phaseAggregation.cuh:53-104) for
+    an arbitrary given partition: every endpoint maps to its community, then
+    groupBy(c_src, c_dst).sum(weight). Self-loops are kept — they carry the
+    intra-community weight and conserve total weight
+    (phaseAggregation.cuh:172).
+
+    ``edges``: (src, dst, weight) directed; ``labels``: (id, community).
+    Returns (src, dst, weight) over community ids.
+    """
+    ls = labels.select(F.col("id").alias("src"), F.col("community").alias("cs"))
+    ld = labels.select(F.col("id").alias("dst"), F.col("community").alias("cd"))
+    return (
+        edges.join(ls, "src")
+        .join(ld, "dst")
+        .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+        .agg(F.sum("weight").alias("weight"))
     )
 
 
@@ -142,6 +201,7 @@ def louvain(
         frontier = resume_frontier  # None => all vertices active (round 0)
         rnd = resume_round if resume_round is not None else 0
         resume_round = resume_frontier = resume_q_level_start = None
+        prev_moves = None
         while True:
             t0 = time.time()
             q_old = q
@@ -199,18 +259,30 @@ def louvain(
             if rnd == 0:
                 # asymmetric round-0 guard (phaseOptimizationUpdate.cu:99)
                 moves = moves.filter(F.col("node") < F.col("newc"))
-            moves = moves.select("node", "newc").localCheckpoint(eager=True)
+            # one action: persist + count (downstream joins reuse the cache)
+            moves = moves.select("node", "newc").persist()
             n_moves = moves.count()
+            # previous round's moves fed this round's lazy frontier; that
+            # semi-join has now been evaluated (inside this count) — safe to
+            # release the old cache
+            if prev_moves is not None:
+                prev_moves.unpersist()
+            prev_moves = moves
 
             if n_moves > 0:
                 bcast = n_moves <= broadcast_moves_max
-                verts = _apply_moves(verts, moves, "id", "comm", bcast).localCheckpoint(eager=True)
+                # lazy lineage truncation: the checkpoints materialize inside
+                # the single fused-Q action below — 2 driver sync points per
+                # round total (moves.count + Q), vs 7 with eager everything
+                verts = _apply_moves(verts, moves, "id", "comm", bcast).localCheckpoint(eager=False)
                 est = _apply_moves(est, moves, "src", "cs", bcast)
-                est = _apply_moves(est, moves, "dst", "cd", bcast).localCheckpoint(eager=True)
+                est = _apply_moves(est, moves, "dst", "cd", bcast).localCheckpoint(eager=False)
                 comm_w = verts.groupBy("comm").agg(F.sum("k").alias("ctot"))
-                q = modularity(est, comm_w, m)
+                q = modularity_fused(est, comm_w, m)
                 # frontier C6: srcs of edges whose dst moved into a different
-                # community than src's (phaseOptimizationUpdate.cu:117-132)
+                # community than src's (phaseOptimizationUpdate.cu:117-132).
+                # Kept lazy — it is consumed exactly once, by the next
+                # round's semi-join, over the already-checkpointed est.
                 moved_dst = moves.select(F.col("node").alias("dst"))
                 if bcast:
                     moved_dst = F.broadcast(moved_dst)
@@ -219,7 +291,6 @@ def louvain(
                     .filter(F.col("cs") != F.col("cd"))
                     .select("src")
                     .distinct()
-                    .localCheckpoint(eager=True)
                 )
             dq = q - q_old
             metrics.append(
@@ -235,6 +306,8 @@ def louvain(
             rnd += 1
             if n_moves == 0 or dq <= threshold or rnd > early_stop_limit:
                 break
+        if prev_moves is not None:
+            prev_moves.unpersist()
 
         # ================= aggregation phase ==============================
         continue_opt = (q - q_level_start) > threshold  # modularityAlgorithms.h:52

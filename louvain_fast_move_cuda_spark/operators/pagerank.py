@@ -53,7 +53,7 @@ def pagerank(
                 "id",
                 (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("in_sum"), F.lit(0.0))).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # materializes inside the L1 action
         )
         l1 = (
             new_ranks.join(ranks.withColumnRenamed("rank", "old"), "id")

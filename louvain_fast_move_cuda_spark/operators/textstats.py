@@ -27,12 +27,9 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     whitespace and a BPE-ish regex (word pieces / numbers / punctuation)."""
     t = F.col(text_col)
     ws = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
-    bpe = F.size(
-        F.filter(
-            F.split(F.lower(t), r"(?=[^a-z0-9])|(?<=[^a-z0-9])"),
-            lambda x: (x != "") & (x != " "),
-        )
-    )
+    # BPE-ish pre-tokenizer: alnum runs and single non-alnum-nonspace marks.
+    # RE2-compatible (no lookarounds) so the DuckDB oracle can mirror it.
+    bpe = F.size(F.regexp_extract_all(F.lower(t), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), F.lit(0)))
     return docs.select(
         F.col(id_col),
         F.length(t).alias("n_chars"),
@@ -95,18 +92,17 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, fp: long) — order-sensitive rolling document fingerprint.
 
-    Combines per-word hashes with a position weight, then xxhash64-folds;
-    equal normalized texts produce equal fingerprints, and unlike a set
-    hash, word order matters.
+    Polynomial rolling hash over per-word hashes, kept inside a Mersenne
+    modulus (2^31−1) so acc*31+term never overflows a signed long under
+    ANSI arithmetic; the final xxhash64 re-spreads it to 64 bits. Equal
+    normalized texts produce equal fingerprints; unlike a set hash, word
+    order matters.
     """
+    mod = F.lit((1 << 31) - 1).cast("long")
     words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != "")
     rolled = F.aggregate(
-        F.zip_with(
-            words,
-            F.sequence(F.lit(1), F.greatest(F.size(words), F.lit(1))),
-            lambda w, i: F.xxhash64(w) * i.cast("long"),
-        ),
+        F.transform(words, lambda w: F.pmod(F.xxhash64(w), mod)),
         F.lit(0).cast("long"),
-        lambda acc, x: acc * F.lit(31) + x,
+        lambda acc, x: F.pmod(acc * F.lit(31).cast("long") + x, mod),
     )
     return docs.select(F.col(id_col), F.xxhash64(rolled).alias("fp"))

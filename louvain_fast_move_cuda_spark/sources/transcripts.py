@@ -78,6 +78,62 @@ def synthesize_transcripts(
     )
 
 
+def transcript_graph(
+    spark: SparkSession, sf_dir: str, reply_only: bool = False
+):
+    """Build the canonical transcript-derived graph over ALL turn vertices.
+
+    Vertices are turns with contiguous vids ranked by (conv_id, turn_idx) —
+    already dense, so no second relabel pass (the reference's min_id rebase,
+    graph.cuh:66-76, is a no-op here); turns that appear in no edge are
+    kept as isolated vertices with k=0.
+
+    Returns (transcripts, ids, GraphTables) where ids = (conv_id, turn_idx,
+    vid). With ``reply_only`` the graph uses only within-conversation reply
+    links (components == conversations — an exact SQL-checkable oracle).
+    """
+    from .edges import (
+        GraphTables,
+        assign_contiguous_ids,
+        canonicalize_edges,
+        symmetrize,
+        vertex_weights,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = transcripts_from_events(events)
+    ids = assign_contiguous_ids(t, ["conv_id", "turn_idx"], id_col="vid")
+    tv = t.join(ids, ["conv_id", "turn_idx"])
+
+    w_conv = Window.partitionBy("conv_id").orderBy("turn_idx")
+    reply = (
+        tv.withColumn("b", F.lead("vid").over(w_conv))
+        .filter(F.col("b").isNotNull())
+        .select(F.col("vid").alias("a"), "b")
+    )
+    raw = reply
+    if not reply_only:
+        w_tool = Window.partitionBy("tool").orderBy("ts", "conv_id", "turn_idx")
+        tool = (
+            tv.filter(F.col("tool").isNotNull())
+            .withColumn("b", F.lead("vid").over(w_tool))
+            .filter(F.col("b").isNotNull())
+            .select(F.col("vid").alias("a"), "b")
+        )
+        raw = reply.unionByName(tool)
+
+    edges = symmetrize(canonicalize_edges(raw))
+    verts = (
+        ids.select(F.col("vid").alias("id"))
+        .join(vertex_weights(edges), "id", "left")
+        .select("id", F.coalesce("k", F.lit(0.0)).alias("k"))
+    )
+    agg = edges.agg(F.sum("weight").alias("w2")).collect()[0]
+    m = float(agg["w2"]) / 2.0 if agg["w2"] is not None else 0.0
+    n_nodes = verts.count()
+    return t, ids, GraphTables(edges=edges, vertices=verts, m=m, n_nodes=n_nodes)
+
+
 def transcripts_from_events(events: DataFrame) -> DataFrame:
     """View the driver ``events`` table as transcripts.
 
