@@ -56,6 +56,7 @@ def connected_components(graph: GraphTables, max_iter: int = 50) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     all_vertices = graph.vertices.select("id").localCheckpoint(eager=True)
+    prev_fp = None
     for _ in range(max_iter):
         e1 = _large_star(edges)
         e1 = e1.unionByName(e1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -63,22 +64,20 @@ def connected_components(graph: GraphTables, max_iter: int = 50) -> DataFrame:
         sym = e2.unionByName(
             e2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
-        # lazy: materializes inside the convergence-check count below
+        # lazy: materializes inside the convergence-check agg below
         sym = sym.repartition(npart, "src").localCheckpoint(eager=False)
-        # converged when every edge points directly at a root:
-        # (u -> p) with no edge (p -> q), q < p
-        changed = (
-            sym.alias("a")
-            .join(
-                sym.alias("b"),
-                (F.col("a.dst") == F.col("b.src")) & (F.col("b.dst") < F.col("a.dst")),
-                "left_semi",
-            )
-            .count()
-        )
+        # fixpoint test: the alternating stars converge exactly when the edge
+        # set stops changing (Kiveris et al. §3); compare an order-invariant
+        # (count, hash-xor) set fingerprint — one agg, vs a full self-join.
+        # XOR (not sum): exact, commutative, cannot overflow under ANSI.
+        row = sym.agg(
+            F.count("*").alias("n"), F.bit_xor(F.xxhash64("src", "dst")).alias("h")
+        ).collect()[0]
+        fp = (row["n"], row["h"])
         edges = sym
-        if changed == 0:
+        if fp == prev_fp:
             break
+        prev_fp = fp
     parents = (
         edges.filter(F.col("dst") < F.col("src"))
         .groupBy(F.col("src").alias("id"))

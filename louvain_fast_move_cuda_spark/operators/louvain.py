@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.modularity import delta_q, modularity, modularity_fused
+from .louvain_arrow import arrow_round_moves
 from ..sources.edges import GraphTables, assign_contiguous_ids
 
 MODULARITY_CONVERGED_THRESHOLD = 0.001  # constants.h:15
@@ -139,12 +140,22 @@ def louvain(
     checkpointer=None,
     broadcast_moves_max: int = 5_000_000,
     shuffle_partitions: int | None = None,
+    mode: str = "df",
 ) -> LouvainResult:
     """Run Louvain to convergence. ``graph`` from sources.edges.build_graph.
 
     ``checkpointer``: optional plans.checkpoint.SuperstepCheckpointer for
     durable per-superstep state + resume.
+
+    ``mode``: ``"df"`` scores rounds with the pure-DataFrame plan
+    (groupBy pre-agg + max(struct) argmax); ``"arrow"`` with the
+    CSR-blocked mapInPandas kernel (operators/louvain_arrow.py) — two
+    fewer shuffles per round. Both produce bit-identical moves on
+    integer-weight graphs (cross-mode test mirrors the reference's
+    HASH-vs-SORT agreement check, main.cu:20-39).
     """
+    if mode not in ("df", "arrow"):
+        raise ValueError(f"mode must be 'df' or 'arrow', got {mode!r}")
     spark = graph.edges.sparkSession
     m = graph.m
     if m <= 0:
@@ -157,20 +168,36 @@ def louvain(
     resume_round = None
     resume_frontier = None
     resume_q_level_start = None
+    resume_opt_done = False
 
     # --- resume path (mid-iteration, north rule) --------------------------
     state = checkpointer.load_latest(spark) if checkpointer is not None else None
     if state is not None:
         est, verts, labels = state.edges_state, state.vertices, state.labels
         level, q = state.level, state.q
+        cur_n = verts.count()
         est = est.repartition(npart, "src").localCheckpoint(eager=True)
         verts = verts.localCheckpoint(eager=True)
         labels = labels.localCheckpoint(eager=True)
         if state.round >= 0:
-            resume_round = state.round + 1
-            resume_frontier = (
-                state.frontier.localCheckpoint(eager=True) if state.frontier is not None else None
+            # was the checkpointed round the LAST round of its level? If so,
+            # resuming must NOT score another round (it would apply moves the
+            # original run never applied) — jump straight to aggregation.
+            mt = state.metric or {}
+            inner_done = (
+                mt.get("n_moves") == 0
+                or (mt.get("dq") is not None and mt["dq"] <= threshold)
+                or state.round + 1 > early_stop_limit
             )
+            if inner_done:
+                resume_opt_done = True
+            else:
+                resume_round = state.round + 1
+                resume_frontier = (
+                    state.frontier.localCheckpoint(eager=True)
+                    if state.frontier is not None
+                    else None
+                )
             resume_q_level_start = state.q_level_start
     else:
         # --- level-0 init (community.h:31-46: identity labels, k as Σ_tot)
@@ -189,6 +216,7 @@ def louvain(
         verts = verts.localCheckpoint(eager=True)
         labels = verts.select(F.col("id").alias("orig_id"), F.col("id").alias("community"))
         labels = labels.localCheckpoint(eager=True)
+        cur_n = graph.n_nodes
 
     comm_w = verts.groupBy("comm").agg(F.sum("k").alias("ctot"))
     if q is None:
@@ -200,65 +228,73 @@ def louvain(
         # ================= optimization phase (one level) =================
         frontier = resume_frontier  # None => all vertices active (round 0)
         rnd = resume_round if resume_round is not None else 0
+        skip_opt = resume_opt_done  # resumed after the level's last round
         resume_round = resume_frontier = resume_q_level_start = None
+        resume_opt_done = False
         prev_moves = None
-        while True:
+        while not skip_opt:
             t0 = time.time()
             q_old = q
             cand = est.filter(F.col("src") != F.col("dst"))
             if frontier is not None:
                 cand = cand.join(frontier, "src", "left_semi")
 
-            if rnd == 0:
-                # exact fast path: singleton communities => each edge is the
-                # (node, community) candidate, self-weight 0
-                pairs = cand.select(
-                    "src", "cd", F.col("w").alias("wnc"), "k_src", "cs",
-                    F.lit(0.0).alias("selfw"),
+            if mode == "arrow":
+                moves = arrow_round_moves(
+                    cand, comm_w, m, rnd, npart,
+                    broadcast_comm_w=cur_n <= broadcast_moves_max,
                 )
             else:
-                pairs = cand.groupBy("src", "cd").agg(
-                    F.sum("w").alias("wnc"),
-                    F.first("k_src").alias("k_src"),
+                if rnd == 0:
+                    # exact fast path: singleton communities => each edge is
+                    # the (node, community) candidate, self-weight 0
+                    pairs = cand.select(
+                        "src", "cd", F.col("w").alias("wnc"), "k_src", "cs",
+                        F.lit(0.0).alias("selfw"),
+                    )
+                else:
+                    pairs = cand.groupBy("src", "cd").agg(
+                        F.sum("w").alias("wnc"),
+                        F.first("k_src").alias("k_src"),
+                        F.first("cs").alias("cs"),
+                    )
+                    w_self = Window.partitionBy("src")
+                    pairs = pairs.withColumn(
+                        "selfw",
+                        F.coalesce(
+                            F.sum(F.when(F.col("cd") == F.col("cs"), F.col("wnc"))).over(w_self),
+                            F.lit(0.0),
+                        ),
+                    )
+
+                scored = (
+                    pairs.join(
+                        comm_w.select(F.col("comm").alias("cs"), F.col("ctot").alias("ctot_a")), "cs"
+                    )
+                    .join(
+                        comm_w.select(F.col("comm").alias("cd"), F.col("ctot").alias("ctot_c")), "cd"
+                    )
+                    .withColumn(
+                        "delta",
+                        delta_q(
+                            F.col("wnc"), F.col("selfw"), F.col("k_src"),
+                            F.col("ctot_a"), F.col("ctot_c"), m,
+                        ),
+                    )
+                )
+                best = scored.groupBy("src").agg(
+                    F.max(F.struct(F.col("delta"), (-F.col("cd")).alias("negc"))).alias("b"),
                     F.first("cs").alias("cs"),
                 )
-                w_self = Window.partitionBy("src")
-                pairs = pairs.withColumn(
-                    "selfw",
-                    F.coalesce(
-                        F.sum(F.when(F.col("cd") == F.col("cs"), F.col("wnc"))).over(w_self),
-                        F.lit(0.0),
-                    ),
-                )
-
-            scored = (
-                pairs.join(
-                    comm_w.select(F.col("comm").alias("cs"), F.col("ctot").alias("ctot_a")), "cs"
-                )
-                .join(
-                    comm_w.select(F.col("comm").alias("cd"), F.col("ctot").alias("ctot_c")), "cd"
-                )
-                .withColumn(
-                    "delta",
-                    delta_q(
-                        F.col("wnc"), F.col("selfw"), F.col("k_src"),
-                        F.col("ctot_a"), F.col("ctot_c"), m,
-                    ),
-                )
-            )
-            best = scored.groupBy("src").agg(
-                F.max(F.struct(F.col("delta"), (-F.col("cd")).alias("negc"))).alias("b"),
-                F.first("cs").alias("cs"),
-            )
-            moves = best.select(
-                F.col("src").alias("node"),
-                (-F.col("b.negc")).alias("newc"),
-                F.col("b.delta").alias("delta"),
-                "cs",
-            ).filter((F.col("delta") > 0) & (F.col("newc") != F.col("cs")))
-            if rnd == 0:
-                # asymmetric round-0 guard (phaseOptimizationUpdate.cu:99)
-                moves = moves.filter(F.col("node") < F.col("newc"))
+                moves = best.select(
+                    F.col("src").alias("node"),
+                    (-F.col("b.negc")).alias("newc"),
+                    F.col("b.delta").alias("delta"),
+                    "cs",
+                ).filter((F.col("delta") > 0) & (F.col("newc") != F.col("cs")))
+                if rnd == 0:
+                    # asymmetric round-0 guard (phaseOptimizationUpdate.cu:99)
+                    moves = moves.filter(F.col("node") < F.col("newc"))
             # one action: persist + count (downstream joins reuse the cache)
             moves = moves.select("node", "newc").persist()
             n_moves = moves.count()
@@ -276,7 +312,12 @@ def louvain(
                 # round total (moves.count + Q), vs 7 with eager everything
                 verts = _apply_moves(verts, moves, "id", "comm", bcast).localCheckpoint(eager=False)
                 est = _apply_moves(est, moves, "src", "cs", bcast)
-                est = _apply_moves(est, moves, "dst", "cd", bcast).localCheckpoint(eager=False)
+                est = _apply_moves(est, moves, "dst", "cd", bcast)
+                if mode == "arrow" and not bcast:
+                    # the shuffle join on dst broke src-colocation; the Arrow
+                    # kernel needs the CSR-block invariant back
+                    est = est.repartition(npart, "src")
+                est = est.localCheckpoint(eager=False)
                 comm_w = verts.groupBy("comm").agg(F.sum("k").alias("ctot"))
                 q = modularity_fused(est, comm_w, m)
                 # frontier C6: srcs of edges whose dst moved into a different
@@ -325,6 +366,7 @@ def louvain(
             .localCheckpoint(eager=True)
         )
         n_best = relabel.count()
+        cur_n = n_best  # community-table size for next level's broadcast choice
 
         if not continue_opt:
             break

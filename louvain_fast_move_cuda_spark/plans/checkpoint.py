@@ -36,6 +36,8 @@ class SuperstepState:
     round: int
     q: float
     q_level_start: float
+    metric: dict | None = None  # the saved round's {n_moves, dq, ...} — resume
+    # uses it to decide whether the inner loop had already terminated
 
 
 class SuperstepCheckpointer:
@@ -120,4 +122,5 @@ class SuperstepCheckpointer:
             round=rnd,
             q=float(meta["q"]),
             q_level_start=float(meta["q_level_start"]),
+            metric=meta.get("metric") or {},
         )

@@ -1,0 +1,89 @@
+"""PageRank / connected components / LPA / triangle-count correctness
+(SURVEY.md §2.11 — north-rule algorithms, absent from the CUDA reference;
+oracles are single-process float64 implementations in tests/oracle.py or
+brute force computed inline)."""
+
+import math
+from collections import defaultdict
+
+from louvain_fast_move_cuda_spark.operators.components import connected_components
+from louvain_fast_move_cuda_spark.operators.labelprop import label_propagation
+from louvain_fast_move_cuda_spark.operators.pagerank import pagerank
+from louvain_fast_move_cuda_spark.operators.triangles import (
+    triangle_count,
+    triangles_per_vertex,
+)
+from louvain_fast_move_cuda_spark.sources.edges import build_graph
+
+from oracle import pagerank_oracle, powerlaw_graph
+
+TWO_CLIQUES = [
+    (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+    (4, 5), (4, 6), (4, 7), (5, 6), (5, 7), (6, 7),
+    (3, 4),
+]
+TWO_COMPONENTS = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+
+
+def _graph(spark, edges):
+    return build_graph(spark.createDataFrame(edges, "a long, b long"), relabel=False)
+
+
+def _brute_triangles(edges):
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    n = 0
+    for a, b in edges:
+        n += len(adj[a] & adj[b])
+    return n // 3
+
+
+def test_pagerank_allclose_1e6_vs_oracle(spark):
+    for edges in [TWO_CLIQUES, powerlaw_graph(n=150, m_attach=2, seed=7)]:
+        g = _graph(spark, edges)
+        got = {r.id: r.rank for r in pagerank(g, max_iter=100, tol=1e-12).collect()}
+        want = pagerank_oracle(edges, max_iter=100, tol=1e-12)
+        assert set(got) == set(want)
+        for v in want:
+            assert math.isclose(got[v], want[v], abs_tol=1e-6), (v, got[v], want[v])
+        assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
+
+
+def test_connected_components_exact(spark):
+    g = _graph(spark, TWO_COMPONENTS)
+    got = {r.id: r.component for r in connected_components(g).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 12: 10}
+
+
+def test_connected_components_long_path(spark):
+    """Path graph: worst case for min-flooding; large/small-star must still
+    converge in O(log² n) rounds (Kiveris et al.)."""
+    n = 64
+    g = _graph(spark, [(i, i + 1) for i in range(n - 1)])
+    got = {r.id: r.component for r in connected_components(g, max_iter=20).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_lpa_two_cliques(spark):
+    g = _graph(spark, TWO_CLIQUES)
+    labels = {r.id: r.label for r in label_propagation(g, max_iter=10).collect()}
+    # deterministic: each clique converges to one label
+    assert len({labels[v] for v in range(4)}) == 1
+    assert len({labels[v] for v in range(4, 8)}) == 1
+
+
+def test_triangle_count_known_graphs(spark):
+    assert triangle_count(_graph(spark, TWO_COMPONENTS)) == 2
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert triangle_count(_graph(spark, k4)) == 4
+    pl = powerlaw_graph(n=120, m_attach=2, seed=3)
+    assert triangle_count(_graph(spark, pl)) == _brute_triangles(pl)
+
+
+def test_triangles_per_vertex_sums_to_3x_total(spark):
+    pl = powerlaw_graph(n=100, m_attach=2, seed=5)
+    g = _graph(spark, pl)
+    per = {r.id: r.triangles for r in triangles_per_vertex(g).collect()}
+    assert sum(per.values()) == 3 * _brute_triangles(pl)

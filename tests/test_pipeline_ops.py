@@ -1,0 +1,144 @@
+"""Training-data-pipeline operators: dedup, similarity search, text stats.
+
+These have no CUDA-reference counterpart (the engine adds them per the
+build brief); oracles are hand-computed or numpy brute force."""
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from louvain_fast_move_cuda_spark.operators.dedup import (
+    exact_dedup,
+    minhash_jaccard,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+from louvain_fast_move_cuda_spark.operators.similarity import brute_force_topk, ivf_topk
+from louvain_fast_move_cuda_spark.operators.textstats import (
+    fingerprint,
+    language_id,
+    quality_scores,
+    token_stats,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1, "The quick  brown fox jumps over the lazy dog again and again today"),  # ws/case dup of 0
+    (2, "a completely different document about spark dataframes and shuffles"),
+    (3, "the quick brown fox jumps over the lazy dog again and again tonight"),  # near-dup of 0
+    (4, "der hund und die katze sind in der stadt und der ist schnell"),
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_normalized_duplicates(spark):
+    got = {r.doc_id: r.n_dupes for r in exact_dedup(_docs_df(spark)).collect()}
+    assert got[0] == 2          # 0 and 1 collapse
+    assert 1 not in got         # representative is min id
+    assert got[2] == 1 and got[3] == 1 and got[4] == 1
+
+
+def test_minhash_lsh_finds_near_dup_pair(spark):
+    sh = shingles(_docs_df(spark), k=3)
+    sigs = minhash_signatures(sh, num_hashes=64)
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(sigs, bands=16, rows_per_band=4).collect()}
+    assert (0, 1) in pairs      # identical after normalization
+    est = {(r.id_a, r.id_b): r.jaccard_est
+           for r in minhash_jaccard(sigs, minhash_lsh_candidates(sigs, 16, 4)).collect()}
+    assert est[(0, 1)] == 1.0
+
+
+def test_ngram_jaccard_exact_values(spark):
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(_docs_df(spark), k=3, threshold=0.05).collect()}
+    assert got[(0, 1)] == 1.0
+    # doc3 differs from doc0 in the last word: 13 words -> 11 distinct
+    # trigrams, the last ("and again today/tonight") differs -> 10 shared,
+    # union 12 -> 10/12
+    assert math.isclose(got[(0, 3)], 10.0 / 12.0, abs_tol=1e-12)
+    assert (0, 2) not in got
+
+
+def test_simhash_equal_texts_equal_hashes(spark):
+    got = {r.id: r.simhash for r in simhash(_docs_df(spark)).collect()}
+    assert got[0] == got[1]
+    assert got[0] != got[2]
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "alpha  beta gamma")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.fp for r in fingerprint(df).collect()}
+    assert got[0] == got[2]     # whitespace-insensitive
+    assert got[0] != got[1]     # order-sensitive (unlike a set hash)
+
+
+def test_token_stats_counts(spark):
+    df = spark.createDataFrame([(0, "Hello, world! x2 ok")], "doc_id long, text string")
+    r = token_stats(df).collect()[0]
+    assert r.n_chars == 19
+    assert r.n_ws_tokens == 4
+    # hello , world ! x2 ok -> 6 BPE-ish pieces (alnum runs + punct marks)
+    assert r.n_bpe_tokens == 6
+
+
+def test_quality_scores_bounds_and_ratios(spark):
+    rows = quality_scores(_docs_df(spark)).collect()
+    for r in rows:
+        assert 0.0 <= r.quality <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[0].punct_ratio == 0.0
+    assert by_id[0].stopword_ratio > by_id[4].stopword_ratio  # English stopwords
+
+
+def test_language_id_markers(spark):
+    got = {r.doc_id: r.lang_pred for r in language_id(_docs_df(spark)).collect()}
+    assert got[0] == "en"
+    assert got[4] == "de"
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rng = np.random.RandomState(42)
+    vecs = rng.randn(40, 8)
+    df = _emb_df(spark, vecs)
+    got = brute_force_topk(df, df.filter(F.col("vec_id") < 3), k=4)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in got.collect()}
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in range(3):
+        order = [i for i in np.argsort(-sims[q], kind="stable") if i != q]
+        # numpy argsort breaks cosine ties arbitrarily; ours is (desc cosine,
+        # asc id) — random doubles are tie-free so direct compare is safe
+        for rank, nb in enumerate(order[:4], start=1):
+            assert got[(q, rank)] == nb
+
+
+def test_ivf_topk_high_recall_on_clustered_data(spark):
+    rng = np.random.RandomState(0)
+    centers = rng.randn(4, 8) * 5
+    vecs = np.vstack([c + rng.randn(25, 8) * 0.1 for c in centers])
+    df = _emb_df(spark, vecs)
+    queries = df.filter(F.col("vec_id").isin([0, 25, 50, 75]))
+    exact = brute_force_topk(df, queries, k=5)
+    approx = ivf_topk(df, queries, k=5, n_centroids=8, nprobe=3)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.8, recall
