@@ -29,6 +29,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+LOUVAIN_MODE = os.environ.get("SPARK_GRAFT_LOUVAIN_MODE", "arrow")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
@@ -97,7 +98,7 @@ def run_suite(names: list[str] | None, scaling_convs: int | None = None) -> dict
 
     if want("louvain"):
         t0 = time.time()
-        res = louvain(g)
+        res = louvain(g, mode=LOUVAIN_MODE)
         timings["louvain"] = time.time() - t0
         opt_rounds = [mt for mt in res.metrics if mt.get("round", -1) >= 0]
         opt_sec = sum(mt["sec"] for mt in opt_rounds)
@@ -189,6 +190,7 @@ def main():
         "queries": {k: round(v, 3) for k, v in r["timings"].items()},
         "sf": _sf(SF_DIR),
         "cpus": CPUS,
+        "louvain_mode": LOUVAIN_MODE,
     }
     for k, v in r["extra"].items():
         out[k] = v
