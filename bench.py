@@ -31,6 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 LOUVAIN_MODE = os.environ.get("SPARK_GRAFT_LOUVAIN_MODE", "arrow")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# driver-local tail threshold (0 = always distributed — used by --scaling
+# so the efficiency number measures the distributed kernel, not NumPy)
+LOCAL_FINISH = int(os.environ.get("SPARK_GRAFT_LOCAL_FINISH_MAX_EDGES", "5000000"))
 
 
 def _sf(sf_dir: str) -> float:
@@ -98,9 +101,15 @@ def run_suite(names: list[str] | None, scaling_convs: int | None = None) -> dict
 
     if want("louvain"):
         t0 = time.time()
-        res = louvain(g, mode=LOUVAIN_MODE)
+        res = louvain(g, mode=LOUVAIN_MODE, local_finish_max_edges=LOCAL_FINISH)
         timings["louvain"] = time.time() - t0
         opt_rounds = [mt for mt in res.metrics if mt.get("round", -1) >= 0]
+        extra["louvain_spark_rounds"] = sum(
+            1 for mt in opt_rounds if mt.get("engine") != "local"
+        )
+        extra["louvain_local_rounds"] = sum(
+            1 for mt in opt_rounds if mt.get("engine") == "local"
+        )
         opt_sec = sum(mt["sec"] for mt in opt_rounds)
         # every inner round scores the full directed edge list of its level
         # (upper bound: frontier pruning shrinks late rounds) — the
@@ -151,7 +160,11 @@ def main():
         convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "300000"))
         results = {}
         for cpus in (8, 32):
-            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(cpus),
+                SPARK_GRAFT_LOCAL_FINISH_MAX_EDGES="0",
+            )
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--queries", "louvain",
                  "--scaling-convs", str(convs)],

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 from ..functions.modularity import delta_q, modularity, modularity_fused
 from .louvain_arrow import arrow_round_moves
+from .louvain_local import local_louvain
 from ..sources.edges import GraphTables, assign_contiguous_ids
 
 MODULARITY_CONVERGED_THRESHOLD = 0.001  # constants.h:15
@@ -141,6 +142,7 @@ def louvain(
     broadcast_moves_max: int = 5_000_000,
     shuffle_partitions: int | None = None,
     mode: str = "df",
+    local_finish_max_edges: int = 5_000_000,
 ) -> LouvainResult:
     """Run Louvain to convergence. ``graph`` from sources.edges.build_graph.
 
@@ -153,6 +155,15 @@ def louvain(
     fewer shuffles per round. Both produce bit-identical moves on
     integer-weight graphs (cross-mode test mirrors the reference's
     HASH-vs-SORT agreement check, main.cu:20-39).
+
+    ``local_finish_max_edges``: once a level's directed edge count fits
+    under this bound, the remaining levels run in the driver with the
+    exact-parity NumPy kernel (operators/louvain_local.py) — the
+    reference's own whole-graph-in-one-device model, applied to the
+    coarsened tail where distributed supersteps would pay fixed
+    per-round scheduling latency for tiny data. 0 disables (always
+    distributed). Disabled automatically while durable checkpointing is
+    on, so every superstep keeps hitting the checkpointer.
     """
     if mode not in ("df", "arrow"):
         raise ValueError(f"mode must be 'df' or 'arrow', got {mode!r}")
@@ -222,8 +233,49 @@ def louvain(
     if q is None:
         q = modularity(est, comm_w, m)
 
+    # local tail is only entered at a clean level start (identity comms)
+    # and never while durable checkpointing is on
+    use_local = local_finish_max_edges > 0 and checkpointer is None
+
     n_best = None
     while True:
+        if (
+            use_local
+            and resume_round is None
+            and resume_frontier is None
+            and not resume_opt_done
+            and est.count() <= local_finish_max_edges
+        ):
+            import pandas as pd
+
+            epdf = est.select("src", "dst", "w").toPandas()
+            vpdf = verts.select("id", "k").toPandas()
+            loc = local_louvain(
+                epdf["src"].to_numpy(), epdf["dst"].to_numpy(),
+                epdf["w"].to_numpy(), vpdf["id"].to_numpy(),
+                vpdf["k"].to_numpy(), m, q, level, threshold,
+                early_stop_limit,
+            )
+            metrics.extend(loc.metrics)
+            keep = loc.labels >= 0  # dropped (isolated) vertices, see kernel
+            map_df = spark.createDataFrame(
+                pd.DataFrame(
+                    {"community": loc.ids[keep], "_final": loc.labels[keep]}
+                )
+            )
+            labels = (
+                labels.join(F.broadcast(map_df), "community")
+                .select("orig_id", F.col("_final").alias("community"))
+                .localCheckpoint(eager=True)
+            )
+            return LouvainResult(
+                labels=labels,
+                modularity=loc.modularity,
+                n_communities=loc.n_communities,
+                levels=level + loc.levels_added + 1,
+                metrics=metrics,
+            )
+
         q_level_start = q if resume_q_level_start is None else resume_q_level_start
         # ================= optimization phase (one level) =================
         frontier = resume_frontier  # None => all vertices active (round 0)

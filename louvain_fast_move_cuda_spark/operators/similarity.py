@@ -67,13 +67,27 @@ def ivf_assign(
     the C smallest buckets (a cheap, reproducible sample), assignment =
     argmax cosine to a centroid (broadcast join, no shuffle of the corpus).
 
+    The centroid pick is a distributed top-C (``orderBy().limit()``
+    compiles to TakeOrderedAndProject — per-partition top-C then a
+    C-row merge on the driver), NOT a global single-partition window;
+    the C rows are collected and re-created with dense cids.
+
     Returns (centroids(cid, cv), assigned(id, vec, cid)).
     """
-    w = Window.orderBy(F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000_007)), F.col(id_col))
-    cents = (
-        corpus.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= n_centroids)
-        .select((F.col("_r") - 1).alias("cid"), F.col(vec_col).alias("cv"))
+    spark = corpus.sparkSession
+    top = (
+        corpus.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000_007)).alias("_h"),
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("cv"),
+        )
+        .orderBy("_h", "_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    vec_type = corpus.schema[vec_col].dataType.simpleString()
+    cents = spark.createDataFrame(
+        [(i, r["cv"]) for i, r in enumerate(top)], schema=f"cid int, cv {vec_type}"
     )
     scored = (
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))

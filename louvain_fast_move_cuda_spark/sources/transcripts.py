@@ -102,7 +102,14 @@ def transcript_graph(
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     t = transcripts_from_events(events)
-    ids = assign_contiguous_ids(t, ["conv_id", "turn_idx"], id_col="vid")
+    # materialize the vid map and the joined turns once: every downstream
+    # branch (reply window, tool window, degree agg, m agg) reuses them
+    # instead of re-running the derivation per action. At cluster scale
+    # these would be durable intermediate tables; localCheckpoint is the
+    # single-app equivalent (executor-resident, lineage-free).
+    ids = assign_contiguous_ids(t, ["conv_id", "turn_idx"], id_col="vid").localCheckpoint(
+        eager=True
+    )
     tv = t.join(ids, ["conv_id", "turn_idx"])
 
     w_conv = Window.partitionBy("conv_id").orderBy("turn_idx")
@@ -122,7 +129,7 @@ def transcript_graph(
         )
         raw = reply.unionByName(tool)
 
-    edges = symmetrize(canonicalize_edges(raw))
+    edges = symmetrize(canonicalize_edges(raw).localCheckpoint(eager=True))
     verts = (
         ids.select(F.col("vid").alias("id"))
         .join(vertex_weights(edges), "id", "left")

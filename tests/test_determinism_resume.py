@@ -28,7 +28,7 @@ def test_louvain_deterministic_across_shuffle_partitions(spark):
     results = []
     for npart in (2, 8):
         g = build_graph(raw, relabel=False)
-        res = louvain(g, shuffle_partitions=npart)
+        res = louvain(g, shuffle_partitions=npart, local_finish_max_edges=0)
         results.append((_labels(res), res.modularity))
     assert results[0][0] == results[1][0]
     assert math.isclose(results[0][1], results[1][1], abs_tol=1e-12)
@@ -42,10 +42,28 @@ def test_louvain_arrow_mode_matches_df_mode(spark):
     make every partial sum exact in both engines)."""
     edges = powerlaw_graph(n=250, m_attach=2, seed=11)
     raw = spark.createDataFrame(edges, "a long, b long")
-    res_df = louvain(build_graph(raw, relabel=False), mode="df")
-    res_ar = louvain(build_graph(raw, relabel=False), mode="arrow")
+    res_df = louvain(build_graph(raw, relabel=False), mode="df", local_finish_max_edges=0)
+    res_ar = louvain(build_graph(raw, relabel=False), mode="arrow", local_finish_max_edges=0)
     assert _labels(res_df) == _labels(res_ar)
     assert res_df.modularity == res_ar.modularity
+
+
+def test_local_finish_matches_distributed(spark):
+    """The driver-local NumPy tail (operators/louvain_local.py) is a third
+    engine for the same semantics: on integer-weight graphs every partial
+    sum is exact and the ΔQ/Q expression trees are identical, so labels
+    and modularity must match the distributed plan BIT-FOR-BIT — at full
+    local finish (level 0 already fits) and distributed-only."""
+    edges = powerlaw_graph(n=250, m_attach=2, seed=11)
+    raw = spark.createDataFrame(edges, "a long, b long")
+    res_dist = louvain(build_graph(raw, relabel=False), local_finish_max_edges=0)
+    res_loc = louvain(build_graph(raw, relabel=False))  # default: local tail
+    assert any(mt.get("engine") == "local" for mt in res_loc.metrics)
+    assert not any(mt.get("engine") == "local" for mt in res_dist.metrics)
+    assert _labels(res_dist) == _labels(res_loc)
+    assert res_dist.modularity == res_loc.modularity
+    assert res_dist.levels == res_loc.levels
+    assert res_dist.n_communities == res_loc.n_communities
 
 
 def test_resume_from_checkpoint_identical_labels(spark, tmp_path):

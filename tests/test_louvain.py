@@ -69,9 +69,10 @@ def test_two_cliques_bridge_matches_oracle(spark):
     assert got[0] != got[7]
 
 
-def test_powerlaw_matches_oracle(spark):
+@pytest.mark.parametrize("local_max", [0, 5_000_000], ids=["distributed", "local-tail"])
+def test_powerlaw_matches_oracle(spark, local_max):
     und = powerlaw_graph(n=150, m_attach=2, seed=42)
-    got, res = _spark_labels(spark, und)
+    got, res = _spark_labels(spark, und, local_finish_max_edges=local_max)
     want, q_want = louvain_oracle(und)
     assert res.modularity == pytest.approx(q_want, abs=1e-6)
     assert got == want
