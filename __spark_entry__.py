@@ -46,6 +46,12 @@ from louvain_fast_move_cuda_spark.operators.louvain import (
     louvain,
     round0_moves,
 )
+from louvain_fast_move_cuda_spark.operators.multimodal import (
+    decode_features,
+    media_metadata,
+    sample_frames,
+    synthesize_media,
+)
 from louvain_fast_move_cuda_spark.operators.pagerank import pagerank
 from louvain_fast_move_cuda_spark.operators.similarity import brute_force_topk, ivf_topk
 from louvain_fast_move_cuda_spark.operators.textstats import (
@@ -232,6 +238,24 @@ def q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_candidates(sigs, bands=8, rows_per_band=4)
 
 
+def q_media_metadata(spark, sf_dir):
+    return media_metadata(synthesize_media(_docs(spark, sf_dir)))
+
+
+def q_media_features(spark, sf_dir):
+    feats = decode_features(synthesize_media(_docs(spark, sf_dir)), n_features=8)
+    return feats.select(
+        "media_id", "kind",
+        F.size("features").alias("n_features"),
+        F.aggregate("features", F.lit(0.0), lambda a, x: a + x).alias("byte_sum"),
+    )
+
+
+def q_media_frame_counts(spark, sf_dir):
+    fr = sample_frames(synthesize_media(_docs(spark, sf_dir)), every_nth=4)
+    return fr.groupBy("media_id").agg(F.count("*").alias("n_sampled"))
+
+
 def q_ann_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir).select(
         "vec_id",
@@ -288,6 +312,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
+        # training-data pipeline: multimodal binary columns
+        "media_metadata": q_media_metadata,
+        "media_features": q_media_features,
+        "media_frame_counts": q_media_frame_counts,
         # similarity search
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -522,6 +550,25 @@ FROM documents
 """,
         "quality_scores": _quality_sql(),
         "language_id": _lang_sql(),
+        # mirrors operators/multimodal.py::synthesize_media (kind/meta are
+        # arithmetic functions of doc_id; payload = UTF-8 text bytes)
+        "media_metadata": """
+SELECT doc_id AS media_id,
+       (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CASE WHEN doc_id % 3 <> 1 THEN CAST(16 + (doc_id * 7) % 240 AS INT) END AS width,
+       CASE WHEN doc_id % 3 <> 1 THEN CAST(16 + (doc_id * 13) % 240 AS INT) END AS height,
+       CASE WHEN doc_id % 3 = 1 THEN CAST(16000 AS INT) END AS sample_rate,
+       CASE WHEN doc_id % 3 = 2 THEN CAST(1 + doc_id % 32 AS INT) ELSE CAST(1 AS INT) END AS n_frames,
+       (['png','pcm16','h264'])[CAST(doc_id % 3 AS INT) + 1] AS codec
+FROM documents
+""",
+        "media_frame_counts": """
+SELECT doc_id AS media_id,
+       CAST(ceil((1 + doc_id % 32) / 4.0) AS BIGINT) AS n_sampled
+FROM documents
+WHERE doc_id % 3 = 2
+""",
         "ann_topk": """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 q AS (SELECT vec_id, e FROM v WHERE vec_id < 10),
