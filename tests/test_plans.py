@@ -1,0 +1,130 @@
+"""Physical-plan shape checks — the 100 TB efficiency contract.
+
+Correctness tests prove the operators compute the right thing at small
+scale; these prove Catalyst compiles them to the plans that survive a
+1000-executor / 100 TB scale-up:
+
+* parquet scans prune columns (ReadSchema) and push predicates
+  (PushedFilters) — a scan reading all columns for a 2-column
+  projection is wrong regardless of local timing;
+* the per-round Louvain joins broadcast the small side (community
+  weights / moves), never cartesian;
+* the per-(node, community) pre-aggregation is hash-based with a
+  map-side partial step;
+* the hot column expressions stay inside WholeStageCodegen.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_parquet_scan_prunes_columns_and_pushes_filters(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = docs.filter(F.col("doc_id") < 100).select("doc_id", F.length("text").alias("n"))
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan
+    # ReadSchema must carry only the two referenced columns
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" in read and "text" in read
+    for col in docs.columns:
+        if col not in ("doc_id", "text"):
+            assert col not in read
+
+
+def test_events_scan_prunes_to_edge_derivation_columns(spark):
+    """The transcript->edge derivation must not drag `props` (the wide text
+    column) through the shuffle when the caller never touches text."""
+    from louvain_fast_move_cuda_spark.sources.transcripts import transcripts_from_events
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    t = transcripts_from_events(events).select("conv_id", "turn_idx", "tool", "ts")
+    read = [ln for ln in _plan(t).splitlines() if "ReadSchema" in ln][0]
+    assert "props" not in read and "value" in read  # value feeds `tool`
+
+
+def test_louvain_round_joins_broadcast_small_side(spark):
+    from louvain_fast_move_cuda_spark.operators.louvain import round0_moves
+    from louvain_fast_move_cuda_spark.sources.edges import build_graph
+
+    raw = spark.createDataFrame([(a, a + 1) for a in range(50)], "a long, b long")
+    g = build_graph(raw, relabel=False)
+    moves = round0_moves(g)
+    moves.collect()  # let AQE finalize join strategies
+    plan = _plan(moves)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "isFinalPlan=true" in plan
+    # the per-node argmax max(struct(delta, -cd)) compiles to a partial+final
+    # SortAggregate — structurally the reference's SORT mode (sort_by_key +
+    # reduce_by_key, phaseOptimizationSort.cu:344-352); the HASH-mode
+    # analogue is the arrow kernel, which does the argmax partition-locally
+    assert "partial_max" in _plan(moves, mode="simple")
+
+
+def test_candidate_preagg_is_partial_hash_agg(spark):
+    """groupBy(src, cd).sum(w) — A3/A4 — must compile to partial+final
+    HashAggregate (map-side combine), the built-in equivalent of the
+    reference's per-chunk hash table (hashmap.cuh:14-73)."""
+    est = spark.createDataFrame(
+        [(0, 1, 1.0, 2.0, 0, 1), (1, 0, 1.0, 2.0, 1, 0)],
+        "src long, dst long, w double, k_src double, cs long, cd long",
+    )
+    agg = est.groupBy("src", "cd").agg(F.sum("w").alias("wnc"))
+    plan = _plan(agg, mode="simple")
+    assert plan.count("HashAggregate") == 2  # partial + final
+    assert "partial_sum" in plan
+
+
+def test_textstats_stay_in_wholestage_codegen(spark):
+    from louvain_fast_move_cuda_spark.operators.textstats import token_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(token_stats(docs))
+    assert "* ColumnarToRow" in plan  # scan feeds a codegen stage
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+    assert "ArrowEvalPython" not in plan  # and no UDF at all on this path
+    assert "Exchange" not in plan  # per-document stats are shuffle-free
+
+
+def test_media_metadata_never_deserializes_payload_rows(spark):
+    """media_metadata touches payload only via length(); the plan must be
+    pure projection — no Python eval, no exchange."""
+    from louvain_fast_move_cuda_spark.operators.multimodal import (
+        media_metadata,
+        synthesize_media,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(media_metadata(synthesize_media(docs)))
+    assert "Exchange" not in plan  # narrow: projection only, no shuffle
+    assert "EvalPython" not in plan
+
+
+def test_coarsen_aggregation_is_shuffle_hash(spark):
+    from louvain_fast_move_cuda_spark.operators.louvain import aggregate_graph
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 0, 1.0)], "src long, dst long, weight double"
+    )
+    labels = spark.createDataFrame([(0, 0), (1, 0)], "id long, community long")
+    plan = _plan(aggregate_graph(edges, labels))
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_frontier_semi_join_is_semi(spark):
+    """The frontier filter must compile to a real semi-join (no row
+    multiplication), mirroring TestTupleValue (operatorsCommunity.h:7-19)."""
+    est = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    frontier = spark.createDataFrame([(0,)], "src long")
+    plan = _plan(est.join(frontier, "src", "left_semi"), mode="simple")
+    assert "LeftSemi" in plan
