@@ -24,11 +24,19 @@ Scale design (this is where we diverge from a port):
   community of both endpoints is *carried on the edge row* and updated by
   joining only against the (small) per-round ``moves`` set, broadcast when
   it fits, instead of re-joining the full vertex table every round;
-* per-round ``localCheckpoint`` truncates the iterative lineage;
+* per-round ``localCheckpoint`` truncates the iterative lineage; ONE
+  driver action per round (move count + both modularity reductions in a
+  single fused collect — the Spark analogue of the reference overlapping
+  its two reductions on two CUDA streams, community.h:72,88);
 * optional durable parquet checkpoints per superstep with per-partition
   metrics enable mid-iteration resume (plans/checkpoint.py);
-* the candidate aggregation is a single shuffle on (src, cd); the argmax is
-  ``max(struct(delta, -cd))`` — no sort, no window over big data.
+* the candidate aggregation is a single shuffle on (src, cd); the argmax
+  ``max(struct(delta, -cd))`` compiles to partial+final SortAggregate —
+  structurally the reference's SORT mode (sort_by_key + reduce_by_key,
+  phaseOptimizationSort.cu:344-352); the arrow kernel is the HASH mode;
+* once the coarsened level fits in one node, the exact-parity local tail
+  (operators/louvain_local.py) takes over — the reference's own
+  whole-graph-in-one-device model.
 
 Canonical tie-break: highest ΔQ, then **lowest** community id — this is
 the reference's SORT/fast-path rule (reduce_by_key + GetMaxValue over
@@ -45,7 +53,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.modularity import delta_q, modularity, modularity_fused
+from ..functions.modularity import delta_q, modularity
 from .louvain_arrow import arrow_round_moves
 from .louvain_local import local_louvain
 from ..sources.edges import GraphTables, assign_contiguous_ids
@@ -347,31 +355,48 @@ def louvain(
                 if rnd == 0:
                     # asymmetric round-0 guard (phaseOptimizationUpdate.cu:99)
                     moves = moves.filter(F.col("node") < F.col("newc"))
-            # one action: persist + count (downstream joins reuse the cache)
+            # ONE action per round: the move set is persisted, moves are
+            # applied lazily (identity when the set turns out empty), and a
+            # single collect returns (n_moves, W_in, ΣΣ_tot²) together —
+            # every localCheckpoint materializes inside it. The broadcast
+            # decision uses the level's vertex count as the (tight) upper
+            # bound on |moves| since the count isn't known yet.
             moves = moves.select("node", "newc").persist()
-            n_moves = moves.count()
+            bcast = cur_n <= broadcast_moves_max
+            new_verts = _apply_moves(verts, moves, "id", "comm", bcast).localCheckpoint(
+                eager=False
+            )
+            new_est = _apply_moves(est, moves, "src", "cs", bcast)
+            new_est = _apply_moves(new_est, moves, "dst", "cd", bcast)
+            if mode == "arrow" and not bcast:
+                # the shuffle join on dst broke src-colocation; the Arrow
+                # kernel needs the CSR-block invariant back
+                new_est = new_est.repartition(npart, "src")
+            new_est = new_est.localCheckpoint(eager=False)
+            new_comm_w = new_verts.groupBy("comm").agg(F.sum("k").alias("ctot"))
+            fused = (
+                moves.agg(F.count("*").alias("nm"))
+                .crossJoin(
+                    new_est.filter(F.col("cs") == F.col("cd")).agg(F.sum("w").alias("win"))
+                )
+                .crossJoin(
+                    new_comm_w.agg(F.sum(F.col("ctot") * F.col("ctot")).alias("s"))
+                )
+                .collect()[0]
+            )
+            n_moves = int(fused["nm"])
             # previous round's moves fed this round's lazy frontier; that
-            # semi-join has now been evaluated (inside this count) — safe to
-            # release the old cache
+            # semi-join has now been evaluated (inside this action) — safe
+            # to release the old cache
             if prev_moves is not None:
                 prev_moves.unpersist()
             prev_moves = moves
 
             if n_moves > 0:
-                bcast = n_moves <= broadcast_moves_max
-                # lazy lineage truncation: the checkpoints materialize inside
-                # the single fused-Q action below — 2 driver sync points per
-                # round total (moves.count + Q), vs 7 with eager everything
-                verts = _apply_moves(verts, moves, "id", "comm", bcast).localCheckpoint(eager=False)
-                est = _apply_moves(est, moves, "src", "cs", bcast)
-                est = _apply_moves(est, moves, "dst", "cd", bcast)
-                if mode == "arrow" and not bcast:
-                    # the shuffle join on dst broke src-colocation; the Arrow
-                    # kernel needs the CSR-block invariant back
-                    est = est.repartition(npart, "src")
-                est = est.localCheckpoint(eager=False)
-                comm_w = verts.groupBy("comm").agg(F.sum("k").alias("ctot"))
-                q = modularity_fused(est, comm_w, m)
+                verts, est, comm_w = new_verts, new_est, new_comm_w
+                w_in = float(fused["win"]) if fused["win"] is not None else 0.0
+                sq = float(fused["s"]) if fused["s"] is not None else 0.0
+                q = w_in / (2.0 * m) - sq / (4.0 * m * m)
                 # frontier C6: srcs of edges whose dst moved into a different
                 # community than src's (phaseOptimizationUpdate.cu:117-132).
                 # Kept lazy — it is consumed exactly once, by the next
