@@ -285,6 +285,10 @@ def louvain(
             )
 
         q_level_start = q if resume_q_level_start is None else resume_q_level_start
+        # community-table row count, tracked round-to-round (free: counted
+        # inside the fused action) — drives the Σ_tot broadcast decision;
+        # at level start communities are singletons so it equals cur_n
+        n_cw = cur_n
         # ================= optimization phase (one level) =================
         frontier = resume_frontier  # None => all vertices active (round 0)
         rnd = resume_round if resume_round is not None else 0
@@ -299,10 +303,11 @@ def louvain(
             if frontier is not None:
                 cand = cand.join(frontier, "src", "left_semi")
 
+            bcast_cw = n_cw <= broadcast_moves_max
             if mode == "arrow":
                 moves = arrow_round_moves(
                     cand, comm_w, m, rnd, npart,
-                    broadcast_comm_w=cur_n <= broadcast_moves_max,
+                    broadcast_comm_w=bcast_cw,
                 )
             else:
                 if rnd == 0:
@@ -327,13 +332,13 @@ def louvain(
                         ),
                     )
 
+                cw_s = comm_w.select(F.col("comm").alias("cs"), F.col("ctot").alias("ctot_a"))
+                cw_d = comm_w.select(F.col("comm").alias("cd"), F.col("ctot").alias("ctot_c"))
+                if bcast_cw:
+                    cw_s, cw_d = F.broadcast(cw_s), F.broadcast(cw_d)
                 scored = (
-                    pairs.join(
-                        comm_w.select(F.col("comm").alias("cs"), F.col("ctot").alias("ctot_a")), "cs"
-                    )
-                    .join(
-                        comm_w.select(F.col("comm").alias("cd"), F.col("ctot").alias("ctot_c")), "cd"
-                    )
+                    pairs.join(cw_s, "cs")
+                    .join(cw_d, "cd")
                     .withColumn(
                         "delta",
                         delta_q(
@@ -380,7 +385,10 @@ def louvain(
                     new_est.filter(F.col("cs") == F.col("cd")).agg(F.sum("w").alias("win"))
                 )
                 .crossJoin(
-                    new_comm_w.agg(F.sum(F.col("ctot") * F.col("ctot")).alias("s"))
+                    new_comm_w.agg(
+                        F.sum(F.col("ctot") * F.col("ctot")).alias("s"),
+                        F.count("*").alias("nc"),  # community-table size, free here
+                    )
                 )
                 .collect()[0]
             )
@@ -394,6 +402,7 @@ def louvain(
 
             if n_moves > 0:
                 verts, est, comm_w = new_verts, new_est, new_comm_w
+                n_cw = int(fused["nc"])
                 w_in = float(fused["win"]) if fused["win"] is not None else 0.0
                 sq = float(fused["s"]) if fused["s"] is not None else 0.0
                 q = w_in / (2.0 * m) - sq / (4.0 * m * m)
@@ -404,11 +413,12 @@ def louvain(
                 moved_dst = moves.select(F.col("node").alias("dst"))
                 if bcast:
                     moved_dst = F.broadcast(moved_dst)
+                # no .distinct(): the next round's left-semi join dedupes in
+                # its hash build — an explicit distinct is a wasted shuffle
                 frontier = (
                     est.join(moved_dst, "dst", "left_semi")
                     .filter(F.col("cs") != F.col("cd"))
                     .select("src")
-                    .distinct()
                 )
             dq = q - q_old
             metrics.append(

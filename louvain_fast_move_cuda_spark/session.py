@@ -40,6 +40,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # default 10k-record Arrow batches drown vectorized kernels in
+        # per-batch overhead; 1M rows (~50 MB of edge state) amortizes the
+        # JVM<->Python IPC while staying far under worker memory
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
