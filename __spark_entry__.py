@@ -62,7 +62,10 @@ from louvain_fast_move_cuda_spark.operators.textstats import (
     _LANG_MARKERS,
     _STOPWORDS,
 )
-from louvain_fast_move_cuda_spark.operators.triangles import triangle_count
+from louvain_fast_move_cuda_spark.operators.triangles import (
+    triangle_count,
+    triangles_per_vertex,
+)
 from louvain_fast_move_cuda_spark.sources.transcripts import (
     transcript_graph,
     transcripts_from_events,
@@ -199,6 +202,11 @@ def q_cc_full(spark, sf_dir):
     return connected_components(g)
 
 
+def q_triangles_per_vertex(spark, sf_dir):
+    _, _, g = _graph(spark, sf_dir)
+    return triangles_per_vertex(g)
+
+
 def q_lpa(spark, sf_dir):
     _, _, g = _graph(spark, sf_dir)
     return label_propagation(g, max_iter=5)
@@ -292,6 +300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees": q_degrees,
         # graph operators with exact SQL oracles
         "triangle_count": q_triangle_count,
+        "triangles_per_vertex": q_triangles_per_vertex,
         "cc_reply": q_cc_reply,
         "coarsen_by_conv": q_coarsen_by_conv,
         "modularity_conv": q_modularity_conv,
@@ -431,6 +440,63 @@ FROM r
 """
 
 
+def _cc_star_sql(rounds: int = 8) -> str:
+    """Unroll the alternating large-star/small-star rounds of
+    operators/components.py into chained CTEs.
+
+    Both stars are idempotent at the fixpoint (a star graph maps to
+    itself), so unrolling MORE rounds than the Spark run needed yields
+    the identical final edge set — and therefore identical labels. All
+    state is integer pairs: bit-exact across engines.
+    """
+    # MATERIALIZED: every round's CTEs are referenced 2+ times; without it
+    # DuckDB inlines them and the expression tree grows exponentially in
+    # the round count (it re-opens the parquet per expansion)
+    parts = [f"symcc0 AS MATERIALIZED (SELECT src, dst FROM sym WHERE src <> dst)"]
+    for r in range(rounds):
+        parts.append(
+            f"""minsL{r} AS MATERIALIZED (SELECT src, least(min(dst), src) AS mn FROM symcc{r} GROUP BY src),
+outL{r} AS MATERIALIZED (SELECT DISTINCT e.dst AS src, m.mn AS dst
+            FROM symcc{r} e JOIN minsL{r} m ON e.src = m.src WHERE e.dst > e.src),
+e1s{r} AS (SELECT src, dst FROM outL{r} UNION ALL SELECT dst AS src, src AS dst FROM outL{r}),
+nbrsS{r} AS MATERIALIZED (SELECT src, dst FROM e1s{r} WHERE dst < src),
+minsS{r} AS MATERIALIZED (SELECT src, min(dst) AS mn FROM nbrsS{r} GROUP BY src),
+e2x{r} AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+      SELECT n.dst AS src, m.mn AS dst FROM nbrsS{r} n JOIN minsS{r} m ON n.src = m.src
+      UNION ALL SELECT src, mn AS dst FROM minsS{r}) WHERE src <> dst),
+symcc{r + 1} AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+      SELECT src, dst FROM e2x{r} UNION ALL SELECT dst AS src, src AS dst FROM e2x{r}))"""
+        )
+    final = f"""parents AS (SELECT src AS id, min(dst) AS component
+           FROM symcc{rounds} WHERE dst < src GROUP BY src)
+SELECT d.id, coalesce(p.component, d.id) AS component
+FROM deg d LEFT JOIN parents p ON d.id = p.id"""
+    return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + ",\n" + final
+
+
+def _lpa_sql(rounds: int = 5) -> str:
+    """Unroll operators/labelprop.py's synchronous rounds. Vote weights
+    are integer-valued sums and the argmax tie-break (max weight, then
+    lowest label) is total — labels are bit-exact integers. LPA is
+    idempotent once converged, matching Spark's early fixpoint stop."""
+    parts = [
+        "symlp AS (SELECT src, dst, weight AS w FROM sym WHERE src <> dst)",
+        "l0 AS (SELECT id, id AS label FROM deg)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""votes{r} AS (SELECT e.src, l.label, sum(e.w) AS wsum
+          FROM symlp e JOIN l{r} l ON e.dst = l.id GROUP BY 1, 2),
+best{r} AS (SELECT src, label FROM (
+      SELECT src, label,
+             row_number() OVER (PARTITION BY src ORDER BY wsum DESC, label ASC) AS rn
+      FROM votes{r}) WHERE rn = 1),
+l{r + 1} AS (SELECT d.id, coalesce(b.label, d.id) AS label
+          FROM deg d LEFT JOIN best{r} b ON d.id = b.src)"""
+        )
+    return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + f"\nSELECT id, label FROM l{rounds}"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcripts": f"""
@@ -452,6 +518,24 @@ FROM canon e1
 JOIN canon e2 ON e1.dst = e2.src
 JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst
 """,
+        "triangles_per_vertex": f"""
+{_GRAPH_CTE},
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM canon e1
+  JOIN canon e2 ON e1.dst = e2.src
+  JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+pv AS (
+  SELECT v, count(*) AS t FROM (
+    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) GROUP BY v
+)
+SELECT d.id, coalesce(pv.t, 0) AS triangles
+FROM deg d LEFT JOIN pv ON d.id = pv.v
+""",
+        "cc_full": _cc_star_sql(rounds=8),
+        "label_propagation": _lpa_sql(rounds=5),
         "cc_reply": f"""
 WITH {_T.strip()}, {_IDS.strip()}
 SELECT vid AS id, min(vid) OVER (PARTITION BY conv_id) AS component FROM ids

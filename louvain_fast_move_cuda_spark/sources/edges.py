@@ -98,21 +98,28 @@ def derive_edges_from_transcripts(transcripts: DataFrame) -> DataFrame:
     return reply.unionByName(tool)
 
 
-def canonicalize_edges(raw: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
-    """(min,max) canonical form, self-loops dropped, exact dedup.
+def canonicalize_edges(
+    raw: DataFrame, a: str = "a", b: str = "b", weight: str | None = None
+) -> DataFrame:
+    """(min,max) canonical form, self-loops dropped, duplicates merged.
 
-    Mirrors graph.cu:36-46 (std::set of (min,max) pairs).
+    Mirrors graph.cu:36-46 (std::set of (min,max) pairs) for the
+    unweighted case (``weight=None``: exact dedup, weight 1.0). With a
+    ``weight`` column, duplicate pairs SUM their weights — the weighted
+    ingest the reference left as a TODO (graph.cu:32-34,64-66); the rest
+    of the engine (Louvain ΔQ/Q, coarsening, degrees) already handles
+    arbitrary positive weights.
+
     Output: ``src:long, dst:long, weight:double`` with src < dst.
     """
-    return (
-        raw.select(
-            F.least(F.col(a), F.col(b)).cast("long").alias("src"),
-            F.greatest(F.col(a), F.col(b)).cast("long").alias("dst"),
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .withColumn("weight", F.lit(1.0))
-    )
+    canon = raw.select(
+        F.least(F.col(a), F.col(b)).cast("long").alias("src"),
+        F.greatest(F.col(a), F.col(b)).cast("long").alias("dst"),
+        *([F.col(weight).cast("double").alias("w")] if weight else []),
+    ).filter(F.col("src") != F.col("dst"))
+    if weight is None:
+        return canon.distinct().withColumn("weight", F.lit(1.0))
+    return canon.groupBy("src", "dst").agg(F.sum("w").alias("weight"))
 
 
 def symmetrize(canonical: DataFrame) -> DataFrame:
@@ -144,13 +151,17 @@ class GraphTables:
     n_nodes: int
 
 
-def build_graph(raw_pairs: DataFrame, relabel: bool = True) -> GraphTables:
-    """Raw (a,b) pairs -> canonical symmetric graph tables.
+def build_graph(
+    raw_pairs: DataFrame, relabel: bool = True, weight: str | None = None
+) -> GraphTables:
+    """Raw (a,b[,weight]) pairs -> canonical symmetric graph tables.
 
     ``relabel=True`` maps arbitrary vertex ids to contiguous 0-based longs
     (robust version of the reference's min_id rebase, graph.cuh:66-76).
+    ``weight`` names an input weight column (duplicate pairs merge by
+    sum); None = unweighted reference semantics (dedup, weight 1).
     """
-    canon = canonicalize_edges(raw_pairs)
+    canon = canonicalize_edges(raw_pairs, weight=weight)
     if relabel:
         ids = assign_contiguous_ids(
             canon.select(F.col("src").alias("v"))

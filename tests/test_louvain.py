@@ -79,6 +79,30 @@ def test_powerlaw_matches_oracle(spark, local_max):
     assert res.n_communities == len(set(want.values()))
 
 
+def test_weighted_graph_matches_oracle(spark):
+    """Weighted ingest (the reference's TODO, graph.cu:32-34): duplicate
+    raw pairs merge by weight-sum and the heavy bridge must pull its
+    endpoints into one community, matching the float64 oracle exactly."""
+    # (2,3) arrives as two duplicate rows 4.0 + 6.0 -> merged weight 10
+    raw_rows = [
+        (0, 1, 1.0), (0, 2, 1.0), (1, 2, 1.0),
+        (3, 4, 1.0), (3, 5, 1.0), (4, 5, 1.0),
+        (2, 3, 4.0), (3, 2, 6.0),
+    ]
+    raw = spark.createDataFrame(raw_rows, "a long, b long, w double")
+    g = build_graph(raw, relabel=False, weight="w")
+    assert g.m == pytest.approx(16.0)  # 6 unit edges + merged 10
+    res = louvain(g)
+    got = {r.orig_id: r.community for r in res.labels.collect()}
+    want, q_want = louvain_oracle(
+        [(0, 1, 1.0), (0, 2, 1.0), (1, 2, 1.0), (3, 4, 1.0), (3, 5, 1.0),
+         (4, 5, 1.0), (2, 3, 10.0)]
+    )
+    assert got == want
+    assert res.modularity == pytest.approx(q_want, abs=1e-12)
+    assert got[2] == got[3]  # the heavy bridge binds its endpoints
+
+
 def test_q_final_not_below_initial_and_deterministic(spark):
     und = powerlaw_graph(n=100, m_attach=2, seed=7)
     got1, res1 = _spark_labels(spark, und)
