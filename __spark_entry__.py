@@ -197,6 +197,16 @@ def q_pagerank(spark, sf_dir):
     return pagerank(g, max_iter=20, tol=1e-8)
 
 
+def q_pagerank_fixed20(spark, sf_dir):
+    """Exactly 20 iterations (tol=0 — no early stop), ranks rounded to 9
+    decimals: summation-order noise (~1e-16) vanishes under the rounding
+    while any real defect >= 1e-9 — a thousand times finer than the
+    north rule's 1e-6 allclose — still fails the hash compare."""
+    _, _, g = _graph(spark, sf_dir)
+    pr = pagerank(g, max_iter=20, tol=0.0)
+    return pr.select("id", F.round("rank", 9).alias("rank_r9"))
+
+
 def q_cc_full(spark, sf_dir):
     _, _, g = _graph(spark, sf_dir)
     return connected_components(g)
@@ -306,9 +316,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_conv": q_modularity_conv,
         "louvain_round0": q_louvain_round0,
         "lpa_one_round": q_lpa_one_round,
-        # iterative fixpoints (rows-only here; float64 oracles in tests/)
+        # iterative fixpoints (louvain rows-only here; float64 oracles in
+        # tests/; cc_full/label_propagation/pagerank_fixed20 exact via
+        # unrolled-round SQL)
         "louvain_communities": q_louvain,
         "pagerank": q_pagerank,
+        "pagerank_fixed20": q_pagerank_fixed20,
         "cc_full": q_cc_full,
         "label_propagation": q_lpa,
         # training-data pipeline: dedup
@@ -497,6 +510,35 @@ l{r + 1} AS (SELECT d.id, coalesce(b.label, d.id) AS label
     return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + f"\nSELECT id, label FROM l{rounds}"
 
 
+def _pagerank_sql(iters: int = 20) -> str:
+    """Unroll operators/pagerank.py's fixed-iteration supersteps.
+
+    Ranks are true floats, so bit-exact hashes are impossible across
+    engines (summation order differs); both sides therefore round to 9
+    decimals — far finer than the 1e-6 allclose target, far coarser than
+    the ~1e-16 ordering noise."""
+    parts = [
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg)",
+        """shares AS MATERIALIZED (
+  SELECT s.src, s.dst, s.weight / d.k AS share FROM sym s JOIN deg d ON s.src = d.id)""",
+        "pr0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM deg)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT sh.dst AS id, sum(sh.share * p.rank) AS insum
+  FROM shares sh JOIN pr{i} p ON sh.src = p.id GROUP BY sh.dst),
+pr{i + 1} AS MATERIALIZED (
+  SELECT d.id, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c.insum, 0.0) AS rank
+  FROM deg d LEFT JOIN c{i} c ON d.id = c.id)"""
+        )
+    return (
+        f"{_GRAPH_CTE},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT id, round(rank, 9) AS rank_r9 FROM pr{iters}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcripts": f"""
@@ -536,6 +578,7 @@ FROM deg d LEFT JOIN pv ON d.id = pv.v
 """,
         "cc_full": _cc_star_sql(rounds=8),
         "label_propagation": _lpa_sql(rounds=5),
+        "pagerank_fixed20": _pagerank_sql(iters=20),
         "cc_reply": f"""
 WITH {_T.strip()}, {_IDS.strip()}
 SELECT vid AS id, min(vid) OVER (PARTITION BY conv_id) AS component FROM ids
