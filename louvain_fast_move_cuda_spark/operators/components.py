@@ -45,8 +45,48 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return moved.unionByName(self_edge).filter(F.col("src") != F.col("dst")).distinct()
 
 
-def connected_components(graph: GraphTables, max_iter: int = 50) -> DataFrame:
-    """Returns (id: long, component: long) — component = min vertex id reachable."""
+def _local_components(graph: GraphTables) -> DataFrame:
+    """Driver-local tail: vectorized min-label pointer jumping.
+
+    The output contract — component = min vertex id reachable — is
+    algorithm-independent, so this is exactly the distributed result
+    (same rationale as the Louvain local tail: once the edge list fits
+    one node, distributed star rounds pay scheduler latency for
+    nothing). Edge relaxation (np.minimum.at) + pointer doubling
+    converges in O(log n) passes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = graph.edges.sparkSession
+    epdf = graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).toPandas()
+    vpdf = graph.vertices.select("id").toPandas()
+    ids = np.sort(vpdf["id"].to_numpy())
+    src = np.searchsorted(ids, epdf["src"].to_numpy())
+    dst = np.searchsorted(ids, epdf["dst"].to_numpy())
+    label = np.arange(len(ids), dtype=np.int64)
+    while True:
+        old = label
+        relaxed = label.copy()
+        np.minimum.at(relaxed, src, label[dst])  # pull each neighbor's label
+        label = relaxed
+        label = np.minimum(label, label[label])  # pointer doubling
+        label = np.minimum(label, label[label])
+        if np.array_equal(label, old):
+            break
+    out = pd.DataFrame({"id": ids, "component": ids[label]})
+    return spark.createDataFrame(out)
+
+
+def connected_components(
+    graph: GraphTables, max_iter: int = 50, local_max_edges: int = 5_000_000
+) -> DataFrame:
+    """Returns (id: long, component: long) — component = min vertex id reachable.
+
+    ``local_max_edges``: below this directed-edge count the computation
+    runs in the driver (identical output — the label is a graph
+    invariant); 0 forces the distributed star rounds.
+    """
     spark = graph.edges.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     edges = (
@@ -55,6 +95,8 @@ def connected_components(graph: GraphTables, max_iter: int = 50) -> DataFrame:
         .repartition(npart, "src")
         .localCheckpoint(eager=True)
     )
+    if local_max_edges > 0 and edges.count() <= local_max_edges:
+        return _local_components(graph)
     all_vertices = graph.vertices.select("id").localCheckpoint(eager=True)
     prev_fp = None
     for _ in range(max_iter):

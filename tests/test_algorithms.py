@@ -59,11 +59,30 @@ def test_connected_components_exact(spark):
 
 def test_connected_components_long_path(spark):
     """Path graph: worst case for min-flooding; large/small-star must still
-    converge in O(log² n) rounds (Kiveris et al.)."""
+    converge in O(log² n) rounds (Kiveris et al.). Forced distributed."""
     n = 64
     g = _graph(spark, [(i, i + 1) for i in range(n - 1)])
-    got = {r.id: r.component for r in connected_components(g, max_iter=20).collect()}
+    got = {
+        r.id: r.component
+        for r in connected_components(g, max_iter=20, local_max_edges=0).collect()
+    }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_local_tail_matches_distributed(spark):
+    """component = min reachable id is a graph invariant, so the driver-
+    local pointer-jumping tail must equal the distributed star rounds
+    exactly — on a structure mixing a long path, a clique and isolates."""
+    from oracle import powerlaw_graph
+
+    edges = powerlaw_graph(n=200, m_attach=2, seed=5) + [(500, 501), (501, 502)]
+    g = _graph(spark, edges)
+    dist = {
+        r.id: r.component
+        for r in connected_components(g, local_max_edges=0).collect()
+    }
+    loc = {r.id: r.component for r in connected_components(g).collect()}
+    assert loc == dist
 
 
 def test_lpa_two_cliques(spark):
