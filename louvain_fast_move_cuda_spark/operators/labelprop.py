@@ -19,10 +19,69 @@ from pyspark.sql import functions as F
 from ..sources.edges import GraphTables
 
 
-def label_propagation(graph: GraphTables, max_iter: int = 10) -> DataFrame:
-    """Returns (id: long, label: long). Stops early at a fixpoint."""
+def _local_lpa(graph: GraphTables, max_iter: int) -> DataFrame:
+    """Driver-local tail: identical rounds vectorized in NumPy.
+
+    Vote weights are integer-valued float64 sums (exact in any order)
+    and the argmax tie-break is the same total order, so labels are
+    BIT-IDENTICAL to the distributed rounds — including the rule that a
+    vertex with no (non-self-loop) incident edges resets to its own id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = graph.edges.sparkSession
+    epdf = (
+        graph.edges.select("src", "dst", "weight")
+        .filter(F.col("src") != F.col("dst"))
+        .toPandas()
+    )
+    ids = np.sort(graph.vertices.select("id").toPandas()["id"].to_numpy())
+    src = np.searchsorted(ids, epdf["src"].to_numpy())
+    dst = np.searchsorted(ids, epdf["dst"].to_numpy())
+    w = epdf["weight"].to_numpy()
+    n = len(ids)
+    label = np.arange(n, dtype=np.int64)
+    for _ in range(max_iter):
+        lbl = label[dst]
+        order = np.lexsort((lbl, src))
+        s_src, s_lbl, s_w = src[order], lbl[order], w[order]
+        boundary = np.empty(len(s_src), dtype=bool)
+        if len(s_src) == 0:
+            break
+        boundary[0] = True
+        np.not_equal(s_src[1:], s_src[:-1], out=boundary[1:])
+        boundary[1:] |= s_lbl[1:] != s_lbl[:-1]
+        starts = np.flatnonzero(boundary)
+        g_src, g_lbl = s_src[starts], s_lbl[starts]
+        wsum = np.add.reduceat(s_w, starts)
+        pick_order = np.lexsort((g_lbl, -wsum, g_src))
+        first = np.empty(len(pick_order), dtype=bool)
+        o_src = g_src[pick_order]
+        first[0] = True
+        np.not_equal(o_src[1:], o_src[:-1], out=first[1:])
+        pick = pick_order[first]
+        new_label = np.arange(n, dtype=np.int64)  # voteless -> own id
+        new_label[g_src[pick]] = g_lbl[pick]
+        n_changed = int((new_label != label).sum())
+        label = new_label
+        if n_changed == 0:
+            break
+    return spark.createDataFrame(pd.DataFrame({"id": ids, "label": ids[label]}))
+
+
+def label_propagation(
+    graph: GraphTables, max_iter: int = 10, local_max_edges: int = 5_000_000
+) -> DataFrame:
+    """Returns (id: long, label: long). Stops early at a fixpoint.
+
+    ``local_max_edges``: below this directed-edge count the rounds run
+    in the driver with bit-identical labels; 0 forces distributed.
+    """
     spark = graph.edges.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if local_max_edges > 0 and graph.edges.count() <= local_max_edges:
+        return _local_lpa(graph, max_iter)
     edges = (
         graph.edges.select("src", "dst", F.col("weight").alias("w"))
         .filter(F.col("src") != F.col("dst"))

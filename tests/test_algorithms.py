@@ -69,6 +69,24 @@ def test_connected_components_long_path(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_pagerank_and_lpa_local_tails_match_distributed(spark):
+    """PageRank local tail: allclose 1e-12 (float sums reorder); LPA local
+    tail: bit-identical labels (integer vote sums, total tie-break)."""
+    from oracle import powerlaw_graph
+    from louvain_fast_move_cuda_spark.operators.labelprop import label_propagation
+    from louvain_fast_move_cuda_spark.operators.pagerank import pagerank
+
+    g = _graph(spark, powerlaw_graph(n=200, m_attach=2, seed=5))
+    pr_d = {r.id: r.rank for r in pagerank(g, max_iter=15, local_max_edges=0).collect()}
+    pr_l = {r.id: r.rank for r in pagerank(g, max_iter=15).collect()}
+    assert set(pr_d) == set(pr_l)
+    for v in pr_d:
+        assert math.isclose(pr_d[v], pr_l[v], abs_tol=1e-12)
+    lp_d = {r.id: r.label for r in label_propagation(g, max_iter=5, local_max_edges=0).collect()}
+    lp_l = {r.id: r.label for r in label_propagation(g, max_iter=5).collect()}
+    assert lp_d == lp_l  # bit-identical
+
+
 def test_connected_components_local_tail_matches_distributed(spark):
     """component = min reachable id is a graph invariant, so the driver-
     local pointer-jumping tail must equal the distributed star rounds
