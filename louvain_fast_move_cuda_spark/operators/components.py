@@ -89,14 +89,17 @@ def connected_components(
     """
     spark = graph.edges.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # decide the local-tail branch BEFORE building the repartitioned +
+    # checkpointed distributed edge table: small graphs shouldn't pay a
+    # full shuffle + materialization the local path never reads
+    if local_max_edges > 0 and graph.edges.count() <= local_max_edges:
+        return _local_components(graph)
     edges = (
         graph.edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .repartition(npart, "src")
         .localCheckpoint(eager=True)
     )
-    if local_max_edges > 0 and edges.count() <= local_max_edges:
-        return _local_components(graph)
     all_vertices = graph.vertices.select("id").localCheckpoint(eager=True)
     prev_fp = None
     for _ in range(max_iter):

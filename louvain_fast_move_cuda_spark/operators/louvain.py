@@ -71,6 +71,20 @@ class LouvainResult:
     metrics: list[dict] = field(default_factory=list)
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free the cached blocks behind a localCheckpoint'ed DataFrame.
+
+    After ``df.localCheckpoint()`` the plan is a ``LogicalRDD`` wrapping the
+    checkpointed internal RDD; unpersisting that RDD releases its blocks.
+    Best-effort via the JVM handle — on any internal-API mismatch the context
+    cleaner reclaims the blocks eventually, so failure here is harmless.
+    """
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _apply_moves(df: DataFrame, moves: DataFrame, key: str, comm_col: str, bcast: bool) -> DataFrame:
     """comm_col := coalesce(move target, comm_col) for rows whose `key` moved (C5)."""
     mv = moves.select(F.col("node").alias(key), F.col("newc").alias("_newc"))
@@ -296,6 +310,13 @@ def louvain(
         resume_round = resume_frontier = resume_q_level_start = None
         resume_opt_done = False
         prev_moves = None
+        # broadcast-size estimate for the move set: round 0 can move every
+        # vertex, later rounds shrink fast — track the previous round's
+        # actual n_moves (known for free from the fused action) instead of
+        # pinning the estimate to the level's vertex count, which forced a
+        # shuffle join for every _apply_moves on levels above the threshold
+        # even when late-round move sets were tiny
+        est_moves = cur_n
         while not skip_opt:
             t0 = time.time()
             q_old = q
@@ -364,10 +385,10 @@ def louvain(
             # applied lazily (identity when the set turns out empty), and a
             # single collect returns (n_moves, W_in, ΣΣ_tot²) together —
             # every localCheckpoint materializes inside it. The broadcast
-            # decision uses the level's vertex count as the (tight) upper
-            # bound on |moves| since the count isn't known yet.
+            # decision uses the previous round's move count (vertex count on
+            # round 0) as the estimate since this round's isn't known yet.
             moves = moves.select("node", "newc").persist()
-            bcast = cur_n <= broadcast_moves_max
+            bcast = est_moves <= broadcast_moves_max
             new_verts = _apply_moves(verts, moves, "id", "comm", bcast).localCheckpoint(
                 eager=False
             )
@@ -402,6 +423,7 @@ def louvain(
 
             if n_moves > 0:
                 verts, est, comm_w = new_verts, new_est, new_comm_w
+                est_moves = n_moves
                 n_cw = int(fused["nc"])
                 w_in = float(fused["win"]) if fused["win"] is not None else 0.0
                 sq = float(fused["s"]) if fused["s"] is not None else 0.0
@@ -420,6 +442,13 @@ def louvain(
                     .filter(F.col("cs") != F.col("cd"))
                     .select("src")
                 )
+            else:
+                # the fused action already materialized these localCheckpoints
+                # but they are never adopted — release their cached blocks now
+                # instead of waiting for the context cleaner (terminal round of
+                # every level otherwise leaks one est + one verts snapshot)
+                _release_local_checkpoint(new_verts)
+                _release_local_checkpoint(new_est)
             dq = q - q_old
             metrics.append(
                 {

@@ -62,6 +62,10 @@ def _round_moves(
     ``src``/``cd``/``w``: candidate rows (self-loops and inactive sources
     already removed); ``cd`` is the dst endpoint's current community.
     """
+    if len(src) == 0:
+        # empty frontier / self-loop-only level: no candidates, no moves
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty
     denom = 2.0 * m * m
     if rnd == 0:
         # exact fast path: singleton communities => each edge IS the

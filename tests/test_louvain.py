@@ -136,3 +136,30 @@ def test_resume_mid_iteration(spark, tmp_path):
     res = louvain(g, checkpointer=SuperstepCheckpointer(ckdir))
     got = {r.orig_id: r.community for r in res.labels.collect()}
     assert got == want
+
+
+def test_single_edge_empty_frontier_local_tail(spark):
+    """Regression: the local tail's _round_moves crashed (IndexError) on a
+    round with zero candidates — single edge, empty frontier after round 0,
+    self-loop-only coarse level. Must match the distributed path instead."""
+    got_local, res_local = _spark_labels(spark, [(0, 1)])
+    got_dist, res_dist = _spark_labels(spark, [(0, 1)], local_finish_max_edges=0)
+    assert got_local == got_dist
+    assert res_local.modularity == pytest.approx(res_dist.modularity, abs=1e-12)
+    # a single undirected edge merges into one community
+    assert len(set(got_local.values())) == 1
+
+
+def test_empty_candidate_round_moves_direct():
+    """_round_moves returns empty arrays (not IndexError) for rnd 0 and >=1."""
+    import numpy as np
+
+    from louvain_fast_move_cuda_spark.operators.louvain_local import _round_moves
+
+    e = np.empty(0, dtype=np.int64)
+    ew = np.empty(0, dtype=np.float64)
+    comm = np.arange(3, dtype=np.int64)
+    ctot = np.ones(3)
+    for rnd in (0, 1):
+        nodes, newc = _round_moves(e, e, ew, ctot, comm, ctot, 3.0, rnd)
+        assert len(nodes) == 0 and len(newc) == 0
