@@ -147,8 +147,10 @@ def q_triangle_count(spark, sf_dir):
 
 
 def q_cc_reply(spark, sf_dir):
+    # local_max_edges=0: the oracle row certifies the DISTRIBUTED star
+    # rounds, not the driver-local tail (which pytest proves identical)
     _, _, g = _graph(spark, sf_dir, reply_only=True)
-    return connected_components(g)
+    return connected_components(g, local_max_edges=0)
 
 
 def q_coarsen_by_conv(spark, sf_dir):
@@ -184,10 +186,19 @@ def q_louvain_round0(spark, sf_dir):
 
 def q_lpa_one_round(spark, sf_dir):
     _, _, g = _graph(spark, sf_dir)
-    return label_propagation(g, max_iter=1)
+    return label_propagation(g, max_iter=1, local_max_edges=0)
 
 
 def q_louvain(spark, sf_dir):
+    # distributed supersteps end-to-end (local_finish_max_edges=0); the
+    # adaptive local-tail variant is louvain_communities_local below
+    _, _, g = _graph(spark, sf_dir)
+    return louvain(g, local_finish_max_edges=0).labels
+
+
+def q_louvain_local(spark, sf_dir):
+    # the adaptive path: coarsened tail (here: the whole run at sf<=0.01)
+    # finishes in the driver with the exact-parity NumPy kernel
     _, _, g = _graph(spark, sf_dir)
     return louvain(g).labels
 
@@ -212,6 +223,11 @@ def q_pagerank_fixed20(spark, sf_dir):
 
 def q_cc_full(spark, sf_dir):
     _, _, g = _graph(spark, sf_dir)
+    return connected_components(g, local_max_edges=0)
+
+
+def q_cc_full_local(spark, sf_dir):
+    _, _, g = _graph(spark, sf_dir)
     return connected_components(g)
 
 
@@ -221,6 +237,11 @@ def q_triangles_per_vertex(spark, sf_dir):
 
 
 def q_lpa(spark, sf_dir):
+    _, _, g = _graph(spark, sf_dir)
+    return label_propagation(g, max_iter=5, local_max_edges=0)
+
+
+def q_lpa_local(spark, sf_dir):
     _, _, g = _graph(spark, sf_dir)
     return label_propagation(g, max_iter=5)
 
@@ -321,12 +342,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_one_round": q_lpa_one_round,
         # iterative fixpoints (louvain rows-only here; float64 oracles in
         # tests/; cc_full/label_propagation/pagerank_fixed20 exact via
-        # unrolled-round SQL)
+        # unrolled-round SQL). The unsuffixed names run the DISTRIBUTED
+        # plans; *_local run the adaptive driver-tail path (identical
+        # output — parity is also pytest-proven)
         "louvain_communities": q_louvain,
+        "louvain_communities_local": q_louvain_local,
         "pagerank": q_pagerank,
         "pagerank_fixed20": q_pagerank_fixed20,
         "cc_full": q_cc_full,
+        "cc_full_local": q_cc_full_local,
         "label_propagation": q_lpa,
+        "label_propagation_local": q_lpa_local,
         # training-data pipeline: dedup
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -580,7 +606,9 @@ SELECT d.id, coalesce(pv.t, 0) AS triangles
 FROM deg d LEFT JOIN pv ON d.id = pv.v
 """,
         "cc_full": _cc_star_sql(rounds=8),
+        "cc_full_local": _cc_star_sql(rounds=8),
         "label_propagation": _lpa_sql(rounds=5),
+        "label_propagation_local": _lpa_sql(rounds=5),
         "pagerank_fixed20": _pagerank_sql(iters=20),
         "cc_reply": f"""
 WITH {_T.strip()}, {_IDS.strip()}
