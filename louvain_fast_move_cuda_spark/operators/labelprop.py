@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.skew import salted_sum_by_key, skewed_degree_trigger
 from ..sources.edges import GraphTables
 
 
@@ -71,17 +72,39 @@ def _local_lpa(graph: GraphTables, max_iter: int) -> DataFrame:
 
 
 def label_propagation(
-    graph: GraphTables, max_iter: int = 10, local_max_edges: int = 5_000_000
+    graph: GraphTables,
+    max_iter: int = 10,
+    local_max_edges: int = 5_000_000,
+    skew_salt_buckets: int | None = None,
 ) -> DataFrame:
     """Returns (id: long, label: long). Stops early at a fixpoint.
 
     ``local_max_edges``: below this directed-edge count the rounds run
     in the driver with bit-identical labels; 0 forces distributed.
+
+    ``skew_salt_buckets``: hub-vertex skew handling for the vote sum
+    (SURVEY.md §4 item 1 — power-law graphs put a hub's entire
+    neighborhood on one (src, label) reducer key). ``None`` = auto:
+    salting turns on when the max weighted degree exceeds 4× the average
+    shuffle-partition load (plans/skew.py); ``0`` = never; ``>0`` =
+    always, with that many buckets. Vote weights are integer-valued
+    float64 sums, so the two-stage sum is bit-identical to the
+    single-stage plan regardless of bucketing.
     """
     spark = graph.edges.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if local_max_edges > 0 and graph.edges.count() <= local_max_edges:
         return _local_lpa(graph, max_iter)
+    salt_buckets = skew_salt_buckets
+    if salt_buckets is None:
+        stats = graph.vertices.agg(
+            F.max("k").alias("mx"), F.sum("k").alias("tot")
+        ).collect()[0]
+        salt_buckets = (
+            16
+            if skewed_degree_trigger(float(stats["mx"]), float(stats["tot"]), npart)
+            else 0
+        )
     edges = (
         graph.edges.select("src", "dst", F.col("weight").alias("w"))
         .filter(F.col("src") != F.col("dst"))
@@ -90,11 +113,14 @@ def label_propagation(
     )
     labels = graph.vertices.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
     for _ in range(max_iter):
-        votes = (
-            edges.join(labels.select(F.col("id").alias("dst"), "label"), "dst")
-            .groupBy("src", "label")
-            .agg(F.sum("w").alias("wsum"))
-        )
+        voted = edges.join(labels.select(F.col("id").alias("dst"), "label"), "dst")
+        if salt_buckets:
+            votes = salted_sum_by_key(
+                voted.select("src", "label", "w"), ["src", "label"], "w", "wsum",
+                salt_buckets=salt_buckets,
+            )
+        else:
+            votes = voted.groupBy("src", "label").agg(F.sum("w").alias("wsum"))
         new_labels = (
             votes.groupBy("src")
             .agg(F.max(F.struct(F.col("wsum"), (-F.col("label")).alias("nl"))).alias("b"))

@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.modularity import delta_q, modularity
+from ..plans.skew import salted_sum_by_key, skewed_degree_trigger
 from .louvain_arrow import arrow_round_moves
 from .louvain_local import local_louvain
 from ..sources.edges import GraphTables, assign_contiguous_ids
@@ -165,6 +166,7 @@ def louvain(
     shuffle_partitions: int | None = None,
     mode: str = "df",
     local_finish_max_edges: int = 5_000_000,
+    skew_salt_buckets: int | None = None,
 ) -> LouvainResult:
     """Run Louvain to convergence. ``graph`` from sources.edges.build_graph.
 
@@ -186,6 +188,15 @@ def louvain(
     per-round scheduling latency for tiny data. 0 disables (always
     distributed). Disabled automatically while durable checkpointing is
     on, so every superstep keeps hitting the checkpointer.
+
+    ``skew_salt_buckets``: hub-vertex skew handling for the A3
+    per-(node, community) candidate sum (SURVEY.md §4 item 1 — a
+    power-law hub puts its whole neighborhood on one reducer key).
+    ``None`` = auto: each level salts when its max weighted degree
+    exceeds 4× the average shuffle-partition load (plans/skew.py);
+    ``0`` = never; ``>0`` = always, with that many buckets. Candidate
+    weights are integer-valued float64 sums, so the two-stage plan is
+    bit-identical to the single-stage one.
     """
     if mode not in ("df", "arrow"):
         raise ValueError(f"mode must be 'df' or 'arrow', got {mode!r}")
@@ -299,6 +310,13 @@ def louvain(
             )
 
         q_level_start = q if resume_q_level_start is None else resume_q_level_start
+        # per-level skew decision: coarsening concentrates weight, so hub
+        # skew can appear (or vanish) between levels; total degree is the
+        # invariant 2m, max degree is one cheap agg per level
+        level_salt = skew_salt_buckets if mode == "df" else 0
+        if level_salt is None:
+            mx = float(verts.agg(F.max("k")).collect()[0][0] or 0.0)
+            level_salt = 16 if skewed_degree_trigger(mx, 2.0 * m, npart) else 0
         # community-table row count, tracked round-to-round (free: counted
         # inside the fused action) — drives the Σ_tot broadcast decision;
         # at level start communities are singletons so it equals cur_n
@@ -339,11 +357,22 @@ def louvain(
                         F.lit(0.0).alias("selfw"),
                     )
                 else:
-                    pairs = cand.groupBy("src", "cd").agg(
-                        F.sum("w").alias("wnc"),
-                        F.first("k_src").alias("k_src"),
-                        F.first("cs").alias("cs"),
-                    )
+                    if level_salt:
+                        # A3 with hub-skew salting: two-stage sum splits a
+                        # hot (src, cd) key across level_salt reducers;
+                        # k_src/cs are functions of src so first() is
+                        # deterministic
+                        pairs = salted_sum_by_key(
+                            cand.select("src", "cd", "w", "k_src", "cs"),
+                            ["src", "cd"], "w", "wnc",
+                            salt_buckets=level_salt, carry=["k_src", "cs"],
+                        )
+                    else:
+                        pairs = cand.groupBy("src", "cd").agg(
+                            F.sum("w").alias("wnc"),
+                            F.first("k_src").alias("k_src"),
+                            F.first("cs").alias("cs"),
+                        )
                     w_self = Window.partitionBy("src")
                     pairs = pairs.withColumn(
                         "selfw",

@@ -128,3 +128,65 @@ def test_frontier_semi_join_is_semi(spark):
     frontier = spark.createDataFrame([(0,)], "src long")
     plan = _plan(est.join(frontier, "src", "left_semi"), mode="simple")
     assert "LeftSemi" in plan
+
+
+def test_salted_sum_two_stage_plan_and_identity(spark):
+    """SURVEY.md §8 skew row: salted_sum_by_key must (a) equal the plain
+    groupBy sum exactly on integer-valued weights and (b) compile to TWO
+    hash-agg stages keyed first on (keys + _salt) — the hot key is split
+    across salt_buckets reducers before the final combine."""
+    from louvain_fast_move_cuda_spark.plans.skew import salted_sum_by_key
+
+    # one hub key holding most of the rows + a few cold keys
+    rows = [(0, i % 7, 1.0) for i in range(5000)] + [(j, 0, 1.0) for j in range(1, 50)]
+    df = spark.createDataFrame(rows, "src long, label long, w double")
+    salted = salted_sum_by_key(df, ["src", "label"], "w", "wsum", salt_buckets=8)
+    plain = df.groupBy("src", "label").agg(F.sum("w").alias("wsum"))
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # count within the AQE final plan only (explain repeats the initial plan)
+    plan = _plan(salted, mode="simple").split("== Initial Plan ==")[0]
+    assert "_salt" in plan
+    # partial+final for the salted stage, partial+final for the combine
+    assert plan.count("HashAggregate") == 4
+
+
+def test_skew_trigger_scales_with_partition_load():
+    from louvain_fast_move_cuda_spark.plans.skew import skewed_degree_trigger
+
+    # 10^6-degree hub, 10^9 total degree, 1000 reducers: one key would be
+    # 4x a partition's average load -> salt
+    assert skewed_degree_trigger(1_000_001 * 4, 1_000_000_000, 1000)
+    assert not skewed_degree_trigger(999_999 * 4, 1_000_000_000, 1000)
+    assert not skewed_degree_trigger(10.0, 0.0, 32)  # empty graph: no-op
+
+
+def test_lpa_hub_graph_salted_identical_to_unsalted(spark):
+    """A 2*10^4-degree hub star + ring: the salted vote aggregation must
+    produce bit-identical labels to the single-stage plan (distributed)."""
+    from louvain_fast_move_cuda_spark.operators.labelprop import label_propagation
+    from louvain_fast_move_cuda_spark.sources.edges import build_graph
+
+    n = 20_000
+    und = [(0, i) for i in range(1, n)] + [(i, i + 1) for i in range(1, n - 1)]
+    g = build_graph(spark.createDataFrame(und, "a long, b long"), relabel=False)
+    plain = label_propagation(g, max_iter=2, local_max_edges=0, skew_salt_buckets=0)
+    salted = label_propagation(g, max_iter=2, local_max_edges=0, skew_salt_buckets=8)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_louvain_hub_graph_salted_identical_to_unsalted(spark):
+    from louvain_fast_move_cuda_spark.operators.louvain import louvain
+    from louvain_fast_move_cuda_spark.sources.edges import build_graph
+    from oracle import powerlaw_graph
+
+    und = set(powerlaw_graph(n=150, m_attach=2, seed=11))
+    und |= {(0, v) for v in range(1, 120)}  # fatten the hub
+    raw = spark.createDataFrame(sorted(und), "a long, b long")
+    g = build_graph(raw, relabel=False)
+    kw = dict(local_finish_max_edges=0, mode="df")
+    plain = louvain(g, skew_salt_buckets=0, **kw)
+    salted = louvain(g, skew_salt_buckets=8, **kw)
+    assert plain.modularity == pytest.approx(salted.modularity, abs=1e-12)
+    assert sorted(map(tuple, plain.labels.collect())) == sorted(
+        map(tuple, salted.labels.collect())
+    )
