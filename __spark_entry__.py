@@ -321,9 +321,10 @@ def q_embedding_near_dupes(spark, sf_dir):
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
-    # random test embeddings have no true near-dupes; 0.3 keeps the
-    # bucket-join + exact-verify path producing checkable rows
-    return embedding_near_dupes(emb, threshold=0.3)
+    # random test embeddings have no true near-dupes; 0.3 + narrow 4-bit
+    # bands keep the band-join + exact-verify path producing checkable
+    # rows (band_bits is the scale knob — grow it with log N / threshold)
+    return embedding_near_dupes(emb, threshold=0.3, bands=8, band_bits=4)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -678,12 +679,16 @@ GROUP BY t
 WITH words AS (
   SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS ws FROM documents
 ),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id AS id, u.sh
   FROM words,
        UNNEST(list_transform(range(0, greatest(len(ws) - 5, 0) + 1),
                              i -> array_to_string(ws[i + 1 : i + 5], ' '))) AS u(sh)
 ),
+-- hot-shingle cap (mirrors operators/dedup.py max_shingle_df=10000):
+-- shingles shared by more docs are dropped from the sets on BOTH sides
+rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 10000),
+sh AS (SELECT x.id, x.sh FROM sh0 x JOIN rare USING (sh)),
 sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
 inter AS (
   SELECT x.id AS id_a, y.id AS id_b, count(*) AS inter

@@ -111,12 +111,33 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 5,
     threshold: float = 0.7,
+    max_shingle_df: int = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle.
 
     |A∩B| from a groupBy on the inverted shingle index; |A∪B| = |A|+|B|−|A∩B|.
+
+    ``max_shingle_df``: shingles whose document frequency exceeds this cap
+    are dropped from the shingle sets entirely (standard stop-phrase
+    filtering). Without it one boilerplate shingle shared by 10^6 docs
+    explodes the inverted-index self-join into 10^12 pairs in a single
+    group — the cap bounds any group to max_shingle_df² pairs. Dropped
+    from sizes AND intersections symmetrically, so the returned value is
+    the exact Jaccard of the capped shingle sets (mirrored in the DuckDB
+    oracle). 0 disables the cap.
     """
-    sh = shingles(docs, text_col, id_col, k).localCheckpoint(eager=True)
+    sh = shingles(docs, text_col, id_col, k)
+    if max_shingle_df > 0:
+        # document frequency per shingle (shingles are per-doc distinct
+        # already); keep only shingles rare enough to join safely
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("x")
@@ -174,51 +195,78 @@ def embedding_near_dupes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.98,
-    bucket_bits: int = 8,
+    bands: int = 8,
+    band_bits: int = 16,
     seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
-    Scale path: random-hyperplane LSH (sign of dot with `bucket_bits`
-    deterministic pseudo-random planes) buckets vectors; the exact cosine
-    is verified only within buckets. Planes derive from xxhash64(dim, i) —
-    deterministic, computed columnwise, no UDF.
+    Scale path: BANDED random-hyperplane LSH. Each of ``bands``
+    independent signature tables hashes a vector to a ``band_bits``-bit
+    bucket (sign of dot with deterministic pseudo-random planes); a pair
+    is a candidate iff it collides in at least one band's FULL bucket,
+    then the exact cosine is verified once per distinct candidate.
+
+    Why banded (not one fixed-width signature): with a single table the
+    bucket count is constant, so bucket population — and the within-
+    bucket verify self-join — grows linearly with the corpus: O(N²/2^b)
+    forever. Banding keeps recall high at the target threshold
+    (P[collide] = 1-(1-p^band_bits)^bands with p = 1-θ/π; defaults give
+    ~0.97 at cosine 0.98) while each band's bucket width stays 2^16 —
+    and growing band_bits with log N keeps bucket population O(1).
+    Planes derive from xxhash64(dim, plane) — deterministic, columnwise,
+    no UDF.
     """
     dims = F.size(F.col(vec_col))
-    def plane_sign(i: int) -> F.Column:
-        # pseudo-random +-1 per (dimension, plane) from a hash; dot>0 -> bit
+
+    def plane_dot(i: int) -> F.Column:
+        # pseudo-random +-1 per (dimension, plane) from a hash
         prods = F.zip_with(
             F.col(vec_col),
             F.transform(F.sequence(F.lit(0), dims - 1), lambda d: F.xxhash64(d, F.lit(seed + i))),
             lambda v, h: v * F.when(F.pmod(h, F.lit(2)) == 0, 1.0).otherwise(-1.0),
         )
-        dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-        return F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
-    sig = None
-    for i in range(bucket_bits):
-        s = plane_sign(i)
-        sig = s if sig is None else sig.bitwiseOR(s)
+    band_cols = []
+    for b in range(bands):
+        sig = None
+        for j in range(band_bits):
+            bit = F.when(plane_dot(b * band_bits + j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            sig = bit if sig is None else sig.bitwiseOR(bit)
+        band_cols.append(sig.cast("long").alias(f"s{b}"))
+
     norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x))
     v = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket"), norm.alias("nrm")
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm.alias("nrm"), *band_cols
     ).localCheckpoint(eager=True)
-    pairs = (
-        v.alias("x")
-        .join(v.alias("y"), "bucket")
+
+    banded = v.select(
+        "id", F.posexplode(F.array(*[F.col(f"s{b}") for b in range(bands)])).alias("band", "bucket")
+    )
+    # candidates: collide on (band, bucket); distinct BEFORE the exact
+    # verify so multi-band collisions cost one cosine, not `bands`
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
         .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
+            "id_a",
+            "id_b",
             (
                 F.aggregate(
-                    F.zip_with(F.col("x.v"), F.col("y.v"), lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
+                    F.zip_with("va", "vb", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
                 )
-                / (F.col("x.nrm") * F.col("y.nrm"))
+                / (F.col("na") * F.col("nb"))
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
-    return pairs

@@ -142,3 +142,52 @@ def test_ivf_topk_high_recall_on_clustered_data(spark):
     ap = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(ex & ap) / len(ex)
     assert recall >= 0.8, recall
+
+
+def test_embedding_near_dupes_banded_lsh_recall_and_precision(spark):
+    """Planted near-dupes (cosine >= ~0.99) must be recovered by the banded
+    random-hyperplane LSH + exact verify; non-dupes must not appear (the
+    exact-cosine verify makes precision 1.0 by construction)."""
+    from louvain_fast_move_cuda_spark.operators.dedup import embedding_near_dupes
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(60, 16)
+    dupes = base[:20] + rng.randn(20, 16) * 0.01  # ids 60..79 ~ ids 0..19
+    vecs = np.vstack([base, dupes])
+    df = _emb_df(spark, vecs)
+    got = {(r.id_a, r.id_b) for r in embedding_near_dupes(df, threshold=0.98).collect()}
+    planted = {(i, 60 + i) for i in range(20)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9
+    # exact verify: every returned pair really has cosine >= threshold
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for a, b in got:
+        assert norm[a] @ norm[b] >= 0.98 - 1e-9
+
+
+def test_embedding_near_dupes_bucket_width_grows_with_band_bits(spark):
+    """The banded signature must produce 2^band_bits-wide buckets per band —
+    the scale knob (band_bits ~ log N keeps bucket population O(1)). With
+    random data and 12-bit bands, 50 vectors should almost never collide,
+    while the old fixed-8-bit single table forced ~N^2/256 verify pairs."""
+    from louvain_fast_move_cuda_spark.operators.dedup import embedding_near_dupes
+
+    rng = np.random.RandomState(3)
+    df = _emb_df(spark, rng.randn(50, 16))
+    wide = embedding_near_dupes(df, threshold=-1.0, bands=2, band_bits=12)
+    narrow = embedding_near_dupes(df, threshold=-1.0, bands=2, band_bits=2)
+    # threshold=-1 disables the verify filter: counts = candidate volume
+    assert wide.count() < narrow.count()
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """Pairs linked ONLY by a hot shingle (df > cap) disappear; pairs with
+    rare shingles keep the exact Jaccard of the capped sets."""
+    docs = [(i, f"common boiler plate text here unique{i} word{i} end{i}") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(df, k=3, threshold=0.01, max_shingle_df=0)
+    capped = ngram_jaccard_pairs(df, k=3, threshold=0.01, max_shingle_df=5)
+    # the 3-gram "common boiler plate" (and friends) appear in all 6 docs ->
+    # dropped by cap 5; no rare shingle is shared, so zero pairs remain
+    assert uncapped.count() > 0
+    assert capped.count() == 0
