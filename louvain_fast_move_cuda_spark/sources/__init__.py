@@ -7,3 +7,4 @@ from .edges import (  # noqa: F401
     symmetrize,
     vertex_weights,
 )
+from .edgefile import edge_file_graph, read_edge_file  # noqa: F401

@@ -109,3 +109,60 @@ def test_end_to_end_graph_from_synth_transcripts(spark):
         .count()
     )
     assert missing == 0
+
+
+REF_EDGE_FILE = "/root/reference/graph-power-law-10000-2-99-1.edge"
+
+
+def test_edge_file_ingest_bundled_reference_graph(spark):
+    """End-to-end on the reference's own bundled graph (main.cu:10):
+    node/edge counts must match GraphHost's parse (graph.cu:17-87) and
+    Louvain on it must agree with the float64 oracle."""
+    import os
+
+    import pytest
+
+    from louvain_fast_move_cuda_spark.operators.louvain import louvain
+    from louvain_fast_move_cuda_spark.sources.edgefile import (
+        edge_file_graph,
+        read_edge_file,
+    )
+    from oracle import louvain_oracle
+
+    if not os.path.exists(REF_EDGE_FILE):
+        pytest.skip("reference edge file not present")
+    raw = read_edge_file(spark, REF_EDGE_FILE)
+    pairs = [(r.a, r.b) for r in raw.collect()]
+    # the file is pre-deduped canonical pairs: n_links == line count
+    assert len(pairs) == 19996
+    g = edge_file_graph(spark, REF_EDGE_FILE, relabel=False)
+    assert g.n_nodes == 10000
+    assert g.m == 19996.0  # total_weight = n_links (graph.cu:77)
+    res = louvain(g)
+    want, q_want = louvain_oracle(pairs)
+    got = {r.orig_id: r.community for r in res.labels.collect()}
+    assert res.modularity == pytest.approx(q_want, abs=1e-6)
+    assert got == want
+
+
+def test_edge_file_skip_lines_comments_and_weighted(spark, tmp_path):
+    """skip_lines drops exactly the header (graph.cu:21-23); comments and
+    blanks are ignored; the weighted branch (reference TODO graph.cu:32)
+    parses a third token and merges duplicate pairs by sum."""
+    from louvain_fast_move_cuda_spark.sources.edgefile import (
+        edge_file_graph,
+        read_edge_file,
+    )
+
+    p = tmp_path / "g.edge"
+    p.write_text("10000 3 header\n# comment\n0 1 2.0\n\n% other\n1 2 0.5\n0 1 1.0\n3 4\n")
+    raw = read_edge_file(spark, str(p), weighted=True, skip_lines=1)
+    rows = sorted((r.a, r.b, r.weight) for r in raw.collect())
+    assert rows == [(0, 1, 1.0), (0, 1, 2.0), (1, 2, 0.5), (3, 4, 1.0)]
+    g = edge_file_graph(spark, str(p), weighted=True, skip_lines=1, relabel=False)
+    canon = {(r.src, r.dst): r.weight for r in
+             g.edges.filter("src < dst").collect()}
+    assert canon == {(0, 1): 3.0, (1, 2): 0.5, (3, 4): 1.0}
+    # without skip_lines the header would parse as edge (10000, 3)
+    raw2 = read_edge_file(spark, str(p), weighted=True)
+    assert (10000, 3, 1.0) in {(r.a, r.b, r.weight) for r in raw2.collect()}
