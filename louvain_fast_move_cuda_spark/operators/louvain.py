@@ -61,6 +61,7 @@ from ..sources.edges import GraphTables, assign_contiguous_ids
 
 MODULARITY_CONVERGED_THRESHOLD = 0.001  # constants.h:15
 EARLY_STOP_LIMIT = 10**9  # constants.h:17
+ADAPTIVE_SORT_ROUNDS = 4  # phaseOptimization.cuh:39 (`adaptive = 4`)
 
 
 @dataclass
@@ -164,7 +165,7 @@ def louvain(
     checkpointer=None,
     broadcast_moves_max: int = 5_000_000,
     shuffle_partitions: int | None = None,
-    mode: str = "df",
+    mode: str = "adaptive",
     local_finish_max_edges: int = 5_000_000,
     skew_salt_buckets: int | None = None,
 ) -> LouvainResult:
@@ -174,11 +175,18 @@ def louvain(
     durable per-superstep state + resume.
 
     ``mode``: ``"df"`` scores rounds with the pure-DataFrame plan
-    (groupBy pre-agg + max(struct) argmax); ``"arrow"`` with the
-    CSR-blocked mapInPandas kernel (operators/louvain_arrow.py) — two
-    fewer shuffles per round. Both produce bit-identical moves on
-    integer-weight graphs (cross-mode test mirrors the reference's
-    HASH-vs-SORT agreement check, main.cu:20-39).
+    (groupBy pre-agg + max(struct) argmax — the reference's SORT mode);
+    ``"arrow"`` with the CSR-blocked mapInPandas kernel
+    (operators/louvain_arrow.py — the HASH mode) — two fewer shuffles
+    per round. ``"adaptive"`` re-expresses the reference's
+    ADAPTIVE_SPEED policy (phaseOptimization.cuh:125-146): rounds 1..4
+    of each level run the df plan (early rounds move most vertices, so
+    the shuffle pre-agg's map-side combine wins), later rounds the
+    arrow kernel (small frontiers — partition-local argmax avoids two
+    shuffles of a shrinking candidate set). All modes produce
+    bit-identical moves on integer-weight graphs (cross-mode test
+    mirrors the reference's HASH-vs-SORT agreement check,
+    main.cu:20-39).
 
     ``local_finish_max_edges``: once a level's directed edge count fits
     under this bound, the remaining levels run in the driver with the
@@ -198,8 +206,8 @@ def louvain(
     weights are integer-valued float64 sums, so the two-stage plan is
     bit-identical to the single-stage one.
     """
-    if mode not in ("df", "arrow"):
-        raise ValueError(f"mode must be 'df' or 'arrow', got {mode!r}")
+    if mode not in ("df", "arrow", "adaptive"):
+        raise ValueError(f"mode must be 'df', 'arrow' or 'adaptive', got {mode!r}")
     spark = graph.edges.sparkSession
     m = graph.m
     if m <= 0:
@@ -313,7 +321,7 @@ def louvain(
         # per-level skew decision: coarsening concentrates weight, so hub
         # skew can appear (or vanish) between levels; total degree is the
         # invariant 2m, max degree is one cheap agg per level
-        level_salt = skew_salt_buckets if mode == "df" else 0
+        level_salt = skew_salt_buckets if mode != "arrow" else 0
         if level_salt is None:
             mx = float(verts.agg(F.max("k")).collect()[0][0] or 0.0)
             level_salt = 16 if skewed_degree_trigger(mx, 2.0 * m, npart) else 0
@@ -343,7 +351,13 @@ def louvain(
                 cand = cand.join(frontier, "src", "left_semi")
 
             bcast_cw = n_cw <= broadcast_moves_max
-            if mode == "arrow":
+            # per-round engine choice (C3): ADAPTIVE_SPEED switches from
+            # SORT to HASH after round `adaptive` within each level
+            # (phaseOptimization.cuh:125-146)
+            use_arrow = mode == "arrow" or (
+                mode == "adaptive" and rnd > ADAPTIVE_SORT_ROUNDS
+            )
+            if use_arrow:
                 moves = arrow_round_moves(
                     cand, comm_w, m, rnd, npart,
                     broadcast_comm_w=bcast_cw,
@@ -423,7 +437,7 @@ def louvain(
             )
             new_est = _apply_moves(est, moves, "src", "cs", bcast)
             new_est = _apply_moves(new_est, moves, "dst", "cd", bcast)
-            if mode == "arrow" and not bcast:
+            if mode in ("arrow", "adaptive") and not bcast:
                 # the shuffle join on dst broke src-colocation; the Arrow
                 # kernel needs the CSR-block invariant back
                 new_est = new_est.repartition(npart, "src")

@@ -46,6 +46,13 @@ def test_louvain_arrow_mode_matches_df_mode(spark):
     res_ar = louvain(build_graph(raw, relabel=False), mode="arrow", local_finish_max_edges=0)
     assert _labels(res_df) == _labels(res_ar)
     assert res_df.modularity == res_ar.modularity
+    # ADAPTIVE_SPEED (C3, phaseOptimization.cuh:125-146): df rounds 1..4
+    # then arrow — a per-level mix of both engines, same exact agreement
+    res_ad = louvain(
+        build_graph(raw, relabel=False), mode="adaptive", local_finish_max_edges=0
+    )
+    assert _labels(res_ad) == _labels(res_df)
+    assert res_ad.modularity == res_df.modularity
 
 
 def test_local_finish_matches_distributed(spark):
