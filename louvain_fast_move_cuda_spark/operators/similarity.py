@@ -57,20 +57,46 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _assign_to_centroids(corpus_iv: DataFrame, cents: DataFrame) -> DataFrame:
+    """argmax-cosine assignment of (id, vec) rows to broadcast centroids."""
+    scored = (
+        corpus_iv.crossJoin(F.broadcast(cents))
+        .select(
+            "id", "vec", "cid",
+            (_dot(F.col("vec"), F.col("cv")) / (_norm(F.col("vec")) * _norm(F.col("cv")))).alias("sim"),
+        )
+    )
+    ww = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(ww))
+        .filter(F.col("rn") == 1)
+        .select("id", "vec", "cid")
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 2,
 ) -> tuple[DataFrame, DataFrame]:
-    """Deterministic IVF index: centroids = the vectors whose id hashes to
-    the C smallest buckets (a cheap, reproducible sample), assignment =
-    argmax cosine to a centroid (broadcast join, no shuffle of the corpus).
+    """Deterministic IVF index: hash-seeded centroids refined by
+    ``kmeans_iters`` Lloyd iterations (spherical k-means: assign by
+    cosine, recenter on the per-cluster mean — cosine normalizes, so the
+    mean direction is the spherical centroid). Assignment = argmax cosine
+    to a centroid (broadcast join, no shuffle of the corpus); each Lloyd
+    recenter is ONE map-side-combinable groupBy(cid) producing C rows.
 
-    The centroid pick is a distributed top-C (``orderBy().limit()``
-    compiles to TakeOrderedAndProject — per-partition top-C then a
-    C-row merge on the driver), NOT a global single-partition window;
-    the C rows are collected and re-created with dense cids.
+    Seeds: hash-order oversample of 4C candidate vectors (distributed
+    top-4C — ``orderBy().limit()`` compiles to TakeOrderedAndProject:
+    per-partition top-k then a 4C-row merge on the driver, NOT a global
+    single-partition window), thinned to C by farthest-first traversal
+    on the driver (greedy max-min cosine distance — the k-means++ idea,
+    deterministic). Plain hash seeds can land two seeds in one cluster
+    and none in another, merging cells that Lloyd alone can never split;
+    farthest-first spreads them, and the Lloyd iterations then pull them
+    onto the actual cluster means.
 
     Returns (centroids(cid, cv), assigned(id, vec, cid)).
     """
@@ -82,25 +108,48 @@ def ivf_assign(
             F.col(vec_col).alias("cv"),
         )
         .orderBy("_h", "_id")
-        .limit(n_centroids)
+        .limit(4 * n_centroids)
         .collect()
     )
+    if len(top) > n_centroids:
+        import numpy as np
+
+        cand = np.asarray([r["cv"] for r in top], dtype=np.float64)
+        nrm = np.linalg.norm(cand, axis=1)
+        nrm[nrm == 0] = 1.0
+        unit = cand / nrm[:, None]
+        picked = [0]  # first hash-order candidate anchors the traversal
+        # min cosine-similarity to any picked seed, per candidate
+        best_sim = unit @ unit[0]
+        for _ in range(n_centroids - 1):
+            nxt = int(np.argmin(best_sim))  # farthest from the picked set
+            picked.append(nxt)
+            best_sim = np.maximum(best_sim, unit @ unit[nxt])
+        top = [top[i] for i in picked]
     vec_type = corpus.schema[vec_col].dataType.simpleString()
     cents = spark.createDataFrame(
         [(i, r["cv"]) for i, r in enumerate(top)], schema=f"cid int, cv {vec_type}"
     )
-    scored = (
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        .crossJoin(F.broadcast(cents))
-        .select(
-            "id", "vec", "cid",
-            (_dot(F.col("vec"), F.col("cv")) / (_norm(F.col("vec")) * _norm(F.col("cv")))).alias("sim"),
-        )
-    )
-    ww = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cid"))
-    assigned = scored.withColumn("rn", F.row_number().over(ww)).filter(F.col("rn") == 1).select(
-        "id", "vec", "cid"
-    )
+    corpus_iv = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if kmeans_iters > 0:
+        dims = len(top[0]["cv"]) if top else 0
+        for _ in range(kmeans_iters):
+            assigned = _assign_to_centroids(corpus_iv, cents)
+            # per-cluster elementwise mean: one groupBy(cid) with `dims`
+            # avg columns (partial+final HashAggregate) -> C tiny rows
+            means = (
+                assigned.groupBy("cid")
+                .agg(*[F.avg(F.element_at("vec", d + 1)).alias(f"d{d}") for d in range(dims)])
+                .collect()
+            )
+            by_cid = {r["cid"]: [r[f"d{d}"] for d in range(dims)] for r in means}
+            # empty clusters keep their previous centroid (standard Lloyd)
+            prev = {r["cid"]: r["cv"] for r in cents.collect()}
+            cents = spark.createDataFrame(
+                [(i, by_cid.get(i, prev[i])) for i in sorted(prev)],
+                schema=f"cid int, cv {vec_type}",
+            )
+    assigned = _assign_to_centroids(corpus_iv, cents)
     return cents, assigned
 
 
@@ -112,10 +161,11 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 2,
 ) -> DataFrame:
     """Approximate top-k: search only the query's `nprobe` nearest centroid
     partitions. Same output schema as brute_force_topk."""
-    cents, assigned = ivf_assign(corpus, n_centroids, id_col, vec_col)
+    cents, assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, kmeans_iters)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     q_probe = (
         q.crossJoin(F.broadcast(cents))
