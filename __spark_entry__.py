@@ -34,11 +34,13 @@ from louvain_fast_move_cuda_spark.operators.components import connected_componen
 from louvain_fast_move_cuda_spark.operators.dedup import (
     embedding_near_dupes,
     exact_dedup,
-    minhash_lsh_candidates,
+    lsh_pairs_from_buckets,
+    minhash_band_buckets,
     minhash_signatures,
     ngram_jaccard_pairs,
     shingles,
-    simhash,
+    simhash_from_hashes,
+    token_hashes,
 )
 from louvain_fast_move_cuda_spark.operators.labelprop import label_propagation
 from louvain_fast_move_cuda_spark.operators.louvain import (
@@ -55,10 +57,11 @@ from louvain_fast_move_cuda_spark.operators.multimodal import (
 from louvain_fast_move_cuda_spark.operators.pagerank import pagerank
 from louvain_fast_move_cuda_spark.operators.similarity import brute_force_topk, ivf_topk
 from louvain_fast_move_cuda_spark.operators.textstats import (
-    fingerprint,
+    fingerprint_from_hashes,
     language_id,
     quality_scores,
     token_stats,
+    word_hashes,
     _LANG_MARKERS,
     _STOPWORDS,
 )
@@ -94,6 +97,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+_ORACLE_MAT_DIR = "/tmp/spark_graft_oracle"
+
+
+def _materialize_for_oracle(df: DataFrame, name: str) -> DataFrame:
+    """Write an intermediate table to parquet and read it back.
+
+    Bridges the xxhash64 gap: the hash primitive has no DuckDB twin, so
+    the Spark query materializes the hash table as its FIRST stage and
+    the matching oracle_sql reads the same file via read_parquet() —
+    everything downstream of the hashes (votes, folds, bucket joins) is
+    then an exact side-by-side check. Safe because the harness always
+    runs the Spark query before its oracle; the Spark side reads back
+    the written file, so both engines consume byte-identical input.
+    """
+    path = f"{_ORACLE_MAT_DIR}/{name}.parquet"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 
 def _conv_labels(ids: DataFrame) -> DataFrame:
@@ -267,17 +289,22 @@ def q_language_id(spark, sf_dir):
 
 
 def q_fingerprint(spark, sf_dir):
-    return fingerprint(_docs(spark, sf_dir))
+    wh = _materialize_for_oracle(word_hashes(_docs(spark, sf_dir)), "fingerprint_word_hashes")
+    return fingerprint_from_hashes(wh)
 
 
 def q_simhash(spark, sf_dir):
-    return simhash(_docs(spark, sf_dir))
+    tok = _materialize_for_oracle(token_hashes(_docs(spark, sf_dir)), "simhash_token_hashes")
+    return simhash_from_hashes(tok)
 
 
 def q_minhash_lsh(spark, sf_dir):
     sh = shingles(_docs(spark, sf_dir), k=5)
     sigs = minhash_signatures(sh, num_hashes=32)
-    return minhash_lsh_candidates(sigs, bands=8, rows_per_band=4)
+    banded = _materialize_for_oracle(
+        minhash_band_buckets(sigs, bands=8, rows_per_band=4), "minhash_band_buckets"
+    )
+    return lsh_pairs_from_buckets(banded)
 
 
 def q_media_metadata(spark, sf_dir):
@@ -480,6 +507,50 @@ SELECT doc_id, len_score, punct_ratio, stopword_ratio, alpha_ratio,
        len_score * 0.25 + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.25
          + least(stopword_ratio * 5.0, 1.0) * 0.25 + alpha_ratio * 0.25 AS quality
 FROM r
+"""
+
+
+def _simhash_sql(bits: int = 64) -> str:
+    """Mirror operators/dedup.py::simhash_from_hashes over the Spark-
+    materialized token-hash table (see _materialize_for_oracle). Bit test
+    via arithmetic shift ((h>>j)&1 — sign extension keeps bit 63 right);
+    the OR-fold becomes a sum of disjoint bit values (no carries), with
+    bit 63 written as the min-int64 literal (1<<63 overflows DuckDB's
+    checked shift exactly like Spark's ANSI literal)."""
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    bitvals = "\n       + ".join(
+        "CASE WHEN v{j} > 0 THEN {val} ELSE 0 END".format(
+            j=j, val="(-9223372036854775807-1)" if j == 63 else f"(1::BIGINT << {j})"
+        )
+        for j in range(bits)
+    )
+    return f"""
+WITH tok AS (
+  SELECT id, h FROM read_parquet('{_ORACLE_MAT_DIR}/simhash_token_hashes.parquet/*.parquet')
+),
+votes AS (SELECT id, {votes} FROM tok GROUP BY id)
+SELECT id, CAST({bitvals} AS BIGINT) AS simhash FROM votes
+"""
+
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN len(hs) = 0 THEN 0
+            ELSE list_reduce(hs, (acc, x) -> (acc * 31 + x) % 2147483647)
+       END AS fp
+FROM read_parquet('{_ORACLE_MAT_DIR}/fingerprint_word_hashes.parquet/*.parquet')
+"""
+
+_MINHASH_LSH_SQL = f"""
+WITH b AS (
+  SELECT id, band, bucket
+  FROM read_parquet('{_ORACLE_MAT_DIR}/minhash_band_buckets.parquet/*.parquet')
+)
+SELECT DISTINCT x.id AS id_a, y.id AS id_b
+FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
 """
 
 
@@ -713,6 +784,11 @@ FROM documents
 """,
         "quality_scores": _quality_sql(),
         "language_id": _lang_sql(),
+        # xxhash64-bridged oracles: the Spark query materializes its hash
+        # table first; everything downstream is exact ANSI SQL
+        "simhash": _simhash_sql(),
+        "fingerprint": _FINGERPRINT_SQL,
+        "minhash_lsh_candidates": _MINHASH_LSH_SQL,
         # mirrors operators/multimodal.py::synthesize_media (kind/meta are
         # arithmetic functions of doc_id; payload = UTF-8 text bytes)
         "media_metadata": """

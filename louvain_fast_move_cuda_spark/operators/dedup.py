@@ -58,15 +58,10 @@ def minhash_signatures(
     return g.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
-def minhash_lsh_candidates(
+def minhash_band_buckets(
     sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
-    """Banded LSH: pairs (id_a < id_b) sharing ≥1 band bucket.
-
-    Explode each signature into `bands` band-hashes, groupBy(band, hash)
-    bucket-join. Candidate pairs come out of a self-join *within buckets*
-    only — never a full cross join.
-    """
+    """(id, band, bucket) — each signature hashed to one bucket per band."""
     assert bands * rows_per_band <= 1 << 10
     band_cols = [
         F.xxhash64(
@@ -74,17 +69,28 @@ def minhash_lsh_candidates(
         ).alias(f"b{b}")
         for b in range(bands)
     ]
-    banded = sigs.select(
+    return sigs.select(
         "id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
     )
-    pairs = (
+
+
+def lsh_pairs_from_buckets(banded: DataFrame) -> DataFrame:
+    """Distinct pairs (id_a < id_b) sharing ≥1 (band, bucket) — a self-join
+    *within buckets* only, never a full cross join."""
+    return (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bucket"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    return pairs
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: pairs (id_a < id_b) sharing ≥1 band bucket."""
+    return lsh_pairs_from_buckets(minhash_band_buckets(sigs, bands, rows_per_band))
 
 
 def minhash_jaccard(sigs_a: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -160,17 +166,24 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """(id, simhash: long) — per-bit majority vote over token hashes.
+def token_hashes(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, h: long) — one xxhash64 per normalized token occurrence.
 
-    Token hash h; bit_j vote = +1 if bit set else −1; simhash bit_j = vote>0.
-    Implemented as explode(tokens) + one groupBy(id) with `bits` conditional
-    sums, then bitwise OR-fold — JVM-side only.
+    The simhash input table, exposed separately so the (engine-specific)
+    hash primitive can be materialized and the vote/fold semantics
+    oracle-checked in ANSI SQL downstream.
     """
     words = F.split(_normalized(F.col(text_col)), " ")
-    tok = docs.select(F.col(id_col).alias("id"), F.explode(words).alias("t")).withColumn(
-        "h", F.xxhash64("t")
+    return docs.select(F.col(id_col).alias("id"), F.explode(words).alias("t")).select(
+        "id", F.xxhash64("t").alias("h")
     )
+
+
+def simhash_from_hashes(tok: DataFrame, bits: int = 64) -> DataFrame:
+    """(id, simhash: long) from a (id, h) token-hash table — per-bit
+    majority vote: bit_j vote = +1 if set else −1; simhash bit_j = vote>0.
+    One groupBy(id) with `bits` conditional sums, then bitwise OR-fold —
+    JVM-side only."""
     def mask(j: int) -> F.Column:
         # 1<<63 overflows a signed-long literal; shiftleft wraps like Java
         return F.shiftleft(F.lit(1).cast("long"), j)
@@ -188,6 +201,11 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
         bit = F.when(F.col(f"v{j}") > 0, mask(j)).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else sim.bitwiseOR(bit)
     return votes.select("id", sim.alias("simhash"))
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """(id, simhash: long) — per-bit majority vote over token hashes."""
+    return simhash_from_hashes(token_hashes(docs, text_col, id_col), bits)
 
 
 def embedding_near_dupes(

@@ -89,20 +89,42 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, fp: long) — order-sensitive rolling document fingerprint.
+def word_hashes(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, hs: array<long>) — position-ordered per-word hash codes,
+    each pmod-reduced into the Mersenne modulus 2^31−1.
 
-    Polynomial rolling hash over per-word hashes, kept inside a Mersenne
-    modulus (2^31−1) so acc*31+term never overflows a signed long under
-    ANSI arithmetic; the final xxhash64 re-spreads it to 64 bits. Equal
-    normalized texts produce equal fingerprints; unlike a set hash, word
-    order matters.
+    The fingerprint input table, exposed separately so the
+    (engine-specific) xxhash64 primitive can be materialized and the
+    rolling-fold semantics oracle-checked in ANSI SQL downstream.
     """
     mod = F.lit((1 << 31) - 1).cast("long")
     words = F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != "")
+    return docs.select(
+        F.col(id_col),
+        F.transform(words, lambda w: F.pmod(F.xxhash64(w), mod)).alias("hs"),
+    )
+
+
+def fingerprint_from_hashes(wh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, fp: long) — polynomial rolling fold over (doc_id, hs).
+
+    acc := (acc*31 + h) mod (2^31−1); the Mersenne modulus keeps
+    acc*31+term inside a signed long under ANSI arithmetic. Order
+    matters (unlike a set hash); the fold itself is plain modular
+    arithmetic, expressible identically in any ANSI SQL engine.
+    """
+    mod = F.lit((1 << 31) - 1).cast("long")
     rolled = F.aggregate(
-        F.transform(words, lambda w: F.pmod(F.xxhash64(w), mod)),
+        F.col("hs"),
         F.lit(0).cast("long"),
         lambda acc, x: F.pmod(acc * F.lit(31).cast("long") + x, mod),
     )
-    return docs.select(F.col(id_col), F.xxhash64(rolled).alias("fp"))
+    return wh.select(F.col(id_col), rolled.alias("fp"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, fp: long) — order-sensitive rolling document fingerprint.
+
+    Equal normalized texts produce equal fingerprints; word order matters.
+    """
+    return fingerprint_from_hashes(word_hashes(docs, text_col, id_col), id_col)
