@@ -16,11 +16,19 @@ Oracle-design notes (why value-hashes match bit-for-bit):
 * every compared double is either integer-valued (counts, weight sums)
   or computed by the *same IEEE expression tree* in both engines
   (divisions of integer-valued doubles, fixed association order);
-* float-heavy rankings (ANN cosine) compare integer ranks only;
-* xxhash64-based operators (minhash/simhash/fingerprint) have no DuckDB
-  equivalent -> rows-only checks, as are the iterative fixpoint
-  algorithms (Louvain/PageRank/CC-full), whose per-algorithm oracles
-  live in tests/oracle.py instead.
+* float-heavy rankings (ANN cosine) compare integer ranks only, and
+  verified cosines are rounded to 9 decimals (absorbs ~1e-16 summation
+  order noise, catches any real defect >= 1e-9);
+* xxhash64-based operators (minhash/simhash/fingerprint/LSH signatures)
+  have no DuckDB equivalent -> the Spark query materializes its hash
+  table to parquet as a first stage and the oracle reads the same file
+  (_materialize_for_oracle), making everything downstream of the hash
+  an exact side-by-side check;
+* the iterative fixpoint algorithms with early stopping
+  (louvain_communities, pagerank-with-tol) stay rows-only here — their
+  float64 oracles live in tests/oracle.py; fixed-iteration twins
+  (pagerank_fixed20, cc_full, label_propagation) are exact via
+  unrolled-round SQL.
 """
 
 from __future__ import annotations
@@ -32,7 +40,6 @@ from pyspark.sql import functions as F
 
 from louvain_fast_move_cuda_spark.operators.components import connected_components
 from louvain_fast_move_cuda_spark.operators.dedup import (
-    embedding_near_dupes,
     exact_dedup,
     lsh_pairs_from_buckets,
     minhash_band_buckets,
@@ -335,23 +342,48 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_ivf(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.similarity import (
+        ivf_assign,
+        ivf_probes,
+        topk_within_cells,
+    )
+
     emb = _emb(spark, sf_dir).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
-    res = ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, nprobe=4)
+    # the index (centroid pick + Lloyd + assignment) is engine-specific;
+    # materialize cells and probes, then the within-cell exact top-k is
+    # an exact side-by-side check in DuckDB
+    cents, assigned = ivf_assign(emb, n_centroids=16)
+    assigned = _materialize_for_oracle(assigned, "ann_ivf_assigned")
+    probes = _materialize_for_oracle(
+        ivf_probes(cents, emb.filter(F.col("vec_id") < 10), nprobe=4), "ann_ivf_probes"
+    )
+    res = topk_within_cells(assigned, probes, k=5)
     return res.select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
 
 
 def q_embedding_near_dupes(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.dedup import (
+        embedding_signatures,
+        near_dupe_pairs_from_signatures,
+    )
+
     emb = _emb(spark, sf_dir).select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     # random test embeddings have no true near-dupes; 0.3 + narrow 4-bit
     # bands keep the band-join + exact-verify path producing checkable
-    # rows (band_bits is the scale knob — grow it with log N / threshold)
-    return embedding_near_dupes(emb, threshold=0.3, bands=8, band_bits=4)
+    # rows (band_bits is the scale knob — grow it with log N / threshold).
+    # Signatures (the xxhash64-derived part) are materialized; the band
+    # join + exact-cosine verify is an exact side-by-side DuckDB check.
+    v = _materialize_for_oracle(
+        embedding_signatures(emb, bands=8, band_bits=4), "embedding_signatures"
+    )
+    pairs = near_dupe_pairs_from_signatures(v, bands=8, threshold=0.3)
+    return pairs.select("id_a", "id_b", F.round("cosine", 9).alias("cos_r9"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -789,6 +821,50 @@ FROM documents
         "simhash": _simhash_sql(),
         "fingerprint": _FINGERPRINT_SQL,
         "minhash_lsh_candidates": _MINHASH_LSH_SQL,
+        "embedding_near_dupes": f"""
+WITH v AS (
+  SELECT * FROM read_parquet('{_ORACLE_MAT_DIR}/embedding_signatures.parquet/*.parquet')
+),
+banded AS (
+  SELECT id, u.band, u.bucket
+  FROM v, LATERAL (VALUES (0, s0), (1, s1), (2, s2), (3, s3),
+                          (4, s4), (5, s5), (6, s6), (7, s7)) AS u(band, bucket)
+),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+           / (a.nrm * b.nrm) AS cosine
+  FROM cand c JOIN v a ON c.id_a = a.id JOIN v b ON c.id_b = b.id
+)
+SELECT id_a, id_b, round(cosine, 9) AS cos_r9 FROM scored WHERE cosine >= 0.3
+""",
+        "ann_ivf": f"""
+WITH a AS (
+  SELECT * FROM read_parquet('{_ORACLE_MAT_DIR}/ann_ivf_assigned.parquet/*.parquet')
+),
+p AS (
+  SELECT * FROM read_parquet('{_ORACLE_MAT_DIR}/ann_ivf_probes.parquet/*.parquet')
+),
+scored AS (
+  SELECT p.query_id, a.id AS neighbor_id,
+         list_sum(list_transform(range(1, len(p.qv) + 1), i -> p.qv[i] * a.vec[i]))
+           / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+              * sqrt(list_sum(list_transform(a.vec, x -> x * x)))) AS cosine
+  FROM a JOIN p USING (cid)
+  WHERE a.id <> p.query_id
+)
+SELECT query_id, neighbor_id, rnk FROM (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rnk
+  FROM scored
+)
+WHERE rnk <= 5
+""",
         # mirrors operators/multimodal.py::synthesize_media (kind/meta are
         # arithmetic functions of doc_id; payload = UTF-8 text bytes)
         "media_metadata": """
@@ -801,6 +877,23 @@ SELECT doc_id AS media_id,
        CASE WHEN doc_id % 3 = 2 THEN CAST(1 + doc_id % 32 AS INT) ELSE CAST(1 AS INT) END AS n_frames,
        (['png','pcm16','h264'])[CAST(doc_id % 3 AS INT) + 1] AS codec
 FROM documents
+""",
+        # mirrors q_media_features: byte_sum over the fake-decoder features
+        # (bucket sums partition the payload bytes, so their total is the
+        # payload byte sum — recomputed per byte via hex expansion)
+        "media_features": """
+WITH hx AS (
+  SELECT doc_id AS media_id,
+         (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+         hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+)
+SELECT media_id, kind, CAST(8 AS INT) AS n_features,
+       CAST(coalesce(list_sum(list_transform(range(0, n), i ->
+            (strpos('0123456789ABCDEF', substr(h, 2*i+1, 1)) - 1) * 16
+            + strpos('0123456789ABCDEF', substr(h, 2*i+2, 1)) - 1)), 0) AS DOUBLE) AS byte_sum
+FROM hx
 """,
         "media_frame_counts": """
 SELECT doc_id AS media_id,

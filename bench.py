@@ -29,7 +29,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-LOUVAIN_MODE = os.environ.get("SPARK_GRAFT_LOUVAIN_MODE", "arrow")
+LOUVAIN_MODE = os.environ.get("SPARK_GRAFT_LOUVAIN_MODE", "adaptive")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # driver-local tail threshold (0 = always distributed — used by --scaling
 # so the efficiency number measures the distributed kernel, not NumPy)
@@ -70,7 +70,16 @@ def run_suite(names: list[str] | None, scaling_convs: int | None = None) -> dict
         transcript_graph,
     )
 
-    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=max(8, CPUS))
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{CPUS}]")
+    extra_conf = None
+    if master.startswith("local-cluster"):
+        # local-cluster[W,C,M]: W worker JVMs x C cores — the closest this
+        # sandbox gets to executor-count (not core-count) scaling
+        extra_conf = {"spark.executor.memory": os.environ.get("SPARK_GRAFT_EXEC_MEM", "8g")}
+    spark = get_spark(
+        app_name="bench", master=master, shuffle_partitions=max(8, CPUS),
+        extra_conf=extra_conf,
+    )
     timings: dict[str, float] = {}
     extra: dict = {}
 
@@ -131,18 +140,48 @@ def run_suite(names: list[str] | None, scaling_convs: int | None = None) -> dict
         extra["louvain_spark_edges_per_sec_per_iter"] = (
             n_directed * len(lvl0) / lvl0_sec if lvl0_sec > 0 else 0.0
         )
+    if want("louvain_distributed"):
+        # the 100 TB path end-to-end: every superstep on the Spark engine
+        # (local tail disabled) — this is the timing that tracks the
+        # scale-relevant plan round over round
+        t0 = time.time()
+        res = louvain(g, mode=LOUVAIN_MODE, local_finish_max_edges=0)
+        timings["louvain_distributed"] = time.time() - t0
+        opt_rounds = [mt for mt in res.metrics if mt.get("round", -1) >= 0]
+        opt_sec = sum(mt["sec"] for mt in opt_rounds)
+        extra["louvain_distributed_rounds"] = len(opt_rounds)
+        extra["louvain_distributed_edges_per_sec_per_iter"] = (
+            n_directed * len(opt_rounds) / opt_sec if opt_sec > 0 else 0.0
+        )
+        extra["louvain_distributed_modularity"] = res.modularity
     if want("pagerank"):
         t0 = time.time()
         pagerank(g, max_iter=20, tol=1e-12).agg(F.sum("rank")).collect()
         timings["pagerank"] = time.time() - t0
+    if want("pagerank_distributed"):
+        t0 = time.time()
+        pagerank(g, max_iter=20, tol=1e-12, local_max_edges=0).agg(F.sum("rank")).collect()
+        timings["pagerank_distributed"] = time.time() - t0
     if want("cc"):
         t0 = time.time()
         connected_components(g).agg(F.countDistinct("component")).collect()
         timings["cc"] = time.time() - t0
+    if want("cc_distributed"):
+        t0 = time.time()
+        connected_components(g, local_max_edges=0).agg(
+            F.countDistinct("component")
+        ).collect()
+        timings["cc_distributed"] = time.time() - t0
     if want("lpa"):
         t0 = time.time()
         label_propagation(g, max_iter=5).agg(F.countDistinct("label")).collect()
         timings["lpa"] = time.time() - t0
+    if want("lpa_distributed"):
+        t0 = time.time()
+        label_propagation(g, max_iter=5, local_max_edges=0).agg(
+            F.countDistinct("label")
+        ).collect()
+        timings["lpa_distributed"] = time.time() - t0
     if want("triangles"):
         t0 = time.time()
         extra["n_triangles"] = triangle_count(g)
@@ -158,8 +197,21 @@ def run_suite(names: list[str] | None, scaling_convs: int | None = None) -> dict
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
             "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
         )
-        ivf_topk(emb, emb.filter(F.col("vec_id") < 50), k=10, n_centroids=16, nprobe=4).count()
+        queries = emb.filter(F.col("vec_id") < 50)
+        ivf = ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
+        ivf_pairs = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
         timings["ann"] = time.time() - t0
+        # recall@10 vs brute force (the IVF quality metric; measured, not
+        # assumed — k-means centroid refinement must not sag it)
+        from louvain_fast_move_cuda_spark.operators.similarity import brute_force_topk
+
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(emb, queries, k=10).collect()
+        }
+        extra["ann_ivf_recall_at_10"] = (
+            round(len(ivf_pairs & exact) / len(exact), 4) if exact else 1.0
+        )
 
     return {"timings": timings, "extra": extra}
 
@@ -210,6 +262,58 @@ def main():
             "n_edges_directed": results[32].get("n_edges_directed"),
             "louvain_sec": {"local[8]": results[8]["queries"]["louvain"],
                             "local[32]": results[32]["queries"]["louvain"]},
+        }))
+        return
+
+    if "--scaling-executors" in args:
+        # EXECUTOR-count scaling (the north rule's N -> 4N executors):
+        # W separate worker JVMs x 8 cores each via local-cluster — unlike
+        # core-count scaling inside one JVM, each executor has its own heap,
+        # GC and shuffle client, the multi-executor mechanics a real cluster
+        # exercises. Same job, same synthesized input; legs alternate
+        # 1,4,4,1 workers and each keeps its best throughput (the sandbox
+        # throttles CPU after sustained load — see BENCH.md).
+        convs = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS", "1500000"))
+        order = [int(c) for c in os.environ.get(
+            "SPARK_GRAFT_SCALING_EXEC_ORDER", "1,4,4,1").split(",")]
+        results = {}
+        for i, workers in enumerate(order):
+            if i:
+                time.sleep(90)  # cool-down between legs
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(8 * workers),
+                SPARK_GRAFT_MASTER=f"local-cluster[{workers},8,8192]",
+            )
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--queries", "louvain",
+                 "--scaling-convs", str(convs)],
+                env=env, capture_output=True, text=True, check=True,
+            )
+            line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+            r = json.loads(line)
+            best = results.get(workers)
+            if best is None or (
+                r["louvain_spark_edges_per_sec_per_iter"]
+                > best["louvain_spark_edges_per_sec_per_iter"]
+            ):
+                results[workers] = r
+        th1 = results[1]["louvain_spark_edges_per_sec_per_iter"]
+        th4 = results[4]["louvain_spark_edges_per_sec_per_iter"]
+        eff = (th4 / th1) / 4.0 if th1 > 0 else 0.0
+        print(json.dumps({
+            "metric": "louvain_scaling_efficiency_1_to_4_executors",
+            "value": round(eff, 4),
+            "unit": "ratio",
+            "topology": "local-cluster[W,8,8192]: W separate executor JVMs x 8 cores",
+            "regime": "distributed level-0 rounds" if th1 > 0 else "INVALID: no distributed rounds",
+            "throughput_spark_edges_per_sec_per_iter": {"1x8": th1, "4x8": th4},
+            "spark_rounds": {"1x8": results[1].get("louvain_spark_rounds"),
+                             "4x8": results[4].get("louvain_spark_rounds")},
+            "n_convs": convs,
+            "n_edges_directed": results[4].get("n_edges_directed"),
+            "louvain_sec": {"1x8": results[1]["queries"]["louvain"],
+                            "4x8": results[4]["queries"]["louvain"]},
         }))
         return
 

@@ -79,20 +79,29 @@ def _local_components(graph: GraphTables) -> DataFrame:
 
 
 def connected_components(
-    graph: GraphTables, max_iter: int = 50, local_max_edges: int = 5_000_000
+    graph: GraphTables,
+    max_iter: int = 50,
+    local_max_edges: int = 5_000_000,
+    checkpointer=None,
 ) -> DataFrame:
     """Returns (id: long, component: long) — component = min vertex id reachable.
 
     ``local_max_edges``: below this directed-edge count the computation
     runs in the driver (identical output — the label is a graph
     invariant); 0 forces the distributed star rounds.
+
+    ``checkpointer``: optional plans.checkpoint.VertexIterationCheckpointer
+    — every star round durably saves the contracted edge set + its
+    set-fingerprint; a fresh call resumes from the latest committed
+    round (the stars are deterministic set maps, so resumed output is
+    identical). Forces the distributed path.
     """
     spark = graph.edges.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # decide the local-tail branch BEFORE building the repartitioned +
     # checkpointed distributed edge table: small graphs shouldn't pay a
     # full shuffle + materialization the local path never reads
-    if local_max_edges > 0 and graph.edges.count() <= local_max_edges:
+    if checkpointer is None and local_max_edges > 0 and graph.edges.count() <= local_max_edges:
         return _local_components(graph)
     edges = (
         graph.edges.select("src", "dst")
@@ -102,7 +111,19 @@ def connected_components(
     )
     all_vertices = graph.vertices.select("id").localCheckpoint(eager=True)
     prev_fp = None
-    for _ in range(max_iter):
+    start_iter = 0
+    converged = False
+    if checkpointer is not None:
+        state = checkpointer.load_latest(spark)
+        if state is not None:
+            it, saved, metric = state
+            edges = saved.repartition(npart, "src").localCheckpoint(eager=True)
+            prev_fp = (metric.get("n"), metric.get("h"))
+            start_iter = it + 1
+            converged = bool(metric.get("converged"))
+    for _it in range(start_iter, max_iter):
+        if converged:
+            break
         e1 = _large_star(edges)
         e1 = e1.unionByName(e1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         e2 = _small_star(e1)
@@ -120,7 +141,12 @@ def connected_components(
         ).collect()[0]
         fp = (row["n"], row["h"])
         edges = sym
-        if fp == prev_fp:
+        converged = fp == prev_fp
+        if checkpointer is not None:
+            checkpointer.save(
+                _it, edges, {"n": fp[0], "h": fp[1], "converged": converged}
+            )
+        if converged:
             break
         prev_fp = fp
     parents = (

@@ -235,6 +235,24 @@ def embedding_near_dupes(
     Planes derive from xxhash64(dim, plane) — deterministic, columnwise,
     no UDF.
     """
+    v = embedding_signatures(emb, id_col, vec_col, bands, band_bits, seed)
+    return near_dupe_pairs_from_signatures(v, bands=bands, threshold=threshold)
+
+
+def embedding_signatures(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 8,
+    band_bits: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, v, nrm, s0..s{bands-1}) — per-band random-hyperplane signatures.
+
+    Exposed separately so the (engine-specific xxhash64-derived) plane
+    signs can be materialized and the band join + exact-cosine verify
+    oracle-checked in ANSI SQL downstream.
+    """
     dims = F.size(F.col(vec_col))
 
     def plane_dot(i: int) -> F.Column:
@@ -255,10 +273,15 @@ def embedding_near_dupes(
         band_cols.append(sig.cast("long").alias(f"s{b}"))
 
     norm = F.sqrt(F.aggregate(F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x))
-    v = emb.select(
+    return emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), norm.alias("nrm"), *band_cols
     ).localCheckpoint(eager=True)
 
+
+def near_dupe_pairs_from_signatures(
+    v: DataFrame, bands: int = 8, threshold: float = 0.98
+) -> DataFrame:
+    """Band-bucket join + exact-cosine verify over a signature table."""
     banded = v.select(
         "id", F.posexplode(F.array(*[F.col(f"s{b}") for b in range(bands)])).alias("band", "bucket")
     )

@@ -76,11 +76,18 @@ def label_propagation(
     max_iter: int = 10,
     local_max_edges: int = 5_000_000,
     skew_salt_buckets: int | None = None,
+    checkpointer=None,
 ) -> DataFrame:
     """Returns (id: long, label: long). Stops early at a fixpoint.
 
     ``local_max_edges``: below this directed-edge count the rounds run
     in the driver with bit-identical labels; 0 forces distributed.
+
+    ``checkpointer``: optional plans.checkpoint.VertexIterationCheckpointer
+    — every round durably saves the label table + change count; a fresh
+    call resumes from the latest committed round (bit-identical labels:
+    each round is a pure function of the previous label table). Forces
+    the distributed path.
 
     ``skew_salt_buckets``: hub-vertex skew handling for the vote sum
     (SURVEY.md §4 item 1 — power-law graphs put a hub's entire
@@ -93,7 +100,7 @@ def label_propagation(
     """
     spark = graph.edges.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    if local_max_edges > 0 and graph.edges.count() <= local_max_edges:
+    if checkpointer is None and local_max_edges > 0 and graph.edges.count() <= local_max_edges:
         return _local_lpa(graph, max_iter)
     salt_buckets = skew_salt_buckets
     if salt_buckets is None:
@@ -112,7 +119,16 @@ def label_propagation(
         .localCheckpoint(eager=True)
     )
     labels = graph.vertices.select("id", F.col("id").alias("label")).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    start_iter = 0
+    if checkpointer is not None:
+        state = checkpointer.load_latest(spark)
+        if state is not None:
+            it, saved, metric = state
+            if metric.get("n_changed") == 0:
+                return saved  # the saved round was already a fixpoint
+            labels = saved.localCheckpoint(eager=True)
+            start_iter = it + 1
+    for _it in range(start_iter, max_iter):
         voted = edges.join(labels.select(F.col("id").alias("dst"), "label"), "dst")
         if salt_buckets:
             votes = salted_sum_by_key(
@@ -138,6 +154,8 @@ def label_propagation(
             .count()
         )
         labels = new_labels
+        if checkpointer is not None:
+            checkpointer.save(_it, labels, {"n_changed": int(n_changed)})
         if n_changed == 0:
             break
     return labels

@@ -59,15 +59,21 @@ def pagerank(
     max_iter: int = 100,
     tol: float = 1e-10,
     local_max_edges: int = 5_000_000,
+    checkpointer=None,
 ) -> DataFrame:
     """Returns (id: long, rank: double); Σ rank = 1.
 
     ``local_max_edges``: below this directed-edge count the iteration
     runs in the driver (ranks equal to ~1e-15); 0 forces distributed.
+
+    ``checkpointer``: optional plans.checkpoint.VertexIterationCheckpointer
+    — every superstep durably saves the rank table + L1 metric, and a
+    fresh call resumes from the latest committed iteration (north rule:
+    resumable mid-iteration). Forces the distributed path.
     """
     spark = graph.edges.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    if local_max_edges > 0 and graph.edges.count() <= local_max_edges:
+    if checkpointer is None and local_max_edges > 0 and graph.edges.count() <= local_max_edges:
         return _local_pagerank(graph, alpha, max_iter, tol)
     n = graph.vertices.count()
     # share_(src->dst) = w / k_src  (static per edge: precompute once)
@@ -81,7 +87,16 @@ def pagerank(
     )
     ranks = graph.vertices.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint(eager=True)
     base = (1.0 - alpha) / n
-    for _ in range(max_iter):
+    start_iter = 0
+    if checkpointer is not None:
+        state = checkpointer.load_latest(spark)
+        if state is not None:
+            it, saved, metric = state
+            if metric.get("l1") is not None and float(metric["l1"]) < tol:
+                return saved  # the saved iteration had already converged
+            ranks = saved.localCheckpoint(eager=True)
+            start_iter = it + 1
+    for _it in range(start_iter, max_iter):
         contribs = (
             shares.join(ranks.select(F.col("id").alias("src"), "rank"), "src")
             .groupBy(F.col("dst").alias("id"))
@@ -102,6 +117,10 @@ def pagerank(
             .collect()[0]["d"]
         )
         ranks = new_ranks
+        if checkpointer is not None:
+            checkpointer.save(
+                _it, ranks, {"l1": float(l1) if l1 is not None else None}
+            )
         if l1 is not None and float(l1) < tol:
             break
     return ranks

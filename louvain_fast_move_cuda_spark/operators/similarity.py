@@ -153,6 +153,45 @@ def ivf_assign(
     return cents, assigned
 
 
+def ivf_probes(
+    cents: DataFrame,
+    queries: DataFrame,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, qv, cid) — each query's `nprobe` nearest centroid cells."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    q_probe = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "qv", "cid",
+            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        q_probe.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+
+
+def topk_within_cells(assigned: DataFrame, probes: DataFrame, k: int = 10) -> DataFrame:
+    """Exact cosine top-k restricted to each query's probed cells."""
+    scored = (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            (_dot(F.col("qv"), F.col("vec")) / (_norm(F.col("qv")) * _norm(F.col("vec")))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -166,26 +205,5 @@ def ivf_topk(
     """Approximate top-k: search only the query's `nprobe` nearest centroid
     partitions. Same output schema as brute_force_topk."""
     cents, assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, kmeans_iters)
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    q_probe = (
-        q.crossJoin(F.broadcast(cents))
-        .select(
-            "query_id", "qv", "cid",
-            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim"),
-        )
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
-    probes = q_probe.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= nprobe).select(
-        "query_id", "qv", "cid"
-    )
-    scored = (
-        assigned.join(F.broadcast(probes), "cid")
-        .filter(F.col("id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("id").alias("neighbor_id"),
-            (_dot(F.col("qv"), F.col("vec")) / (_norm(F.col("qv")) * _norm(F.col("vec")))).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    probes = ivf_probes(cents, queries, nprobe, id_col, vec_col)
+    return topk_within_cells(assigned, probes, k)

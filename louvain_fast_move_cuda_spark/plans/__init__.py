@@ -1,2 +1,6 @@
-from .checkpoint import SuperstepCheckpointer, SuperstepState  # noqa: F401
-from .skew import salted_sum_by_key  # noqa: F401
+from .checkpoint import (  # noqa: F401
+    SuperstepCheckpointer,
+    SuperstepState,
+    VertexIterationCheckpointer,
+)
+from .skew import salted_sum_by_key, skewed_degree_trigger  # noqa: F401

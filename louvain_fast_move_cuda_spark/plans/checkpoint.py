@@ -124,3 +124,70 @@ class SuperstepCheckpointer:
             q_level_start=float(meta["q_level_start"]),
             metric=meta.get("metric") or {},
         )
+
+
+class VertexIterationCheckpointer:
+    """Durable per-iteration checkpointing for the single-table algorithms
+    (PageRank ranks, LPA labels, CC's contracted edge set).
+
+    Same commit discipline as SuperstepCheckpointer: one directory per
+    iteration, state parquet first, JSON manifest (with algo tag,
+    convergence metric and per-partition row counts) renamed into place
+    last — a torn write is never visible to resume.
+
+    Layout:
+        <root>/iter=<I>/state/
+        <root>/iter=<I>/_META.json
+    """
+
+    def __init__(self, root: str, algo: str, record_partition_metrics: bool = True):
+        self.root = root
+        self.algo = algo
+        self.record_partition_metrics = record_partition_metrics
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, iteration: int) -> str:
+        return os.path.join(self.root, f"iter={iteration}")
+
+    def save(self, iteration: int, state: DataFrame, metric: dict | None = None) -> None:
+        d = self._dir(iteration)
+        state.write.mode("overwrite").parquet(os.path.join(d, "state"))
+        meta = {
+            "algo": self.algo,
+            "iteration": iteration,
+            "ts": time.time(),
+            "metric": metric or {},
+        }
+        if self.record_partition_metrics:
+            parts = (
+                state.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+            )
+            meta["state_partitions"] = {int(r["pid"]): int(r["count"]) for r in parts}
+        tmp = os.path.join(d, "_META.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(d, "_META.json"))  # atomic commit marker
+
+    def load_latest(self, spark: SparkSession):
+        """-> (iteration, state DataFrame, metric dict) or None."""
+        best = None
+        if not os.path.isdir(self.root):
+            return None
+        for it in os.listdir(self.root):
+            if not it.startswith("iter="):
+                continue
+            iteration = int(it.split("=")[1])
+            meta_path = os.path.join(self.root, it, "_META.json")
+            if os.path.exists(meta_path) and (best is None or iteration > best):
+                best = iteration
+        if best is None:
+            return None
+        d = self._dir(best)
+        with open(os.path.join(d, "_META.json")) as f:
+            meta = json.load(f)
+        if meta.get("algo") != self.algo:
+            raise ValueError(
+                f"checkpoint dir {self.root!r} belongs to algo {meta.get('algo')!r}, "
+                f"not {self.algo!r}"
+            )
+        return best, spark.read.parquet(os.path.join(d, "state")), meta.get("metric") or {}

@@ -1,0 +1,100 @@
+"""spark-submit entry point for the non-Louvain graph algorithms.
+
+Usage (packaged via scripts/submit.sh):
+    scripts/submit.sh scripts/run_graph.py --algo pagerank \
+        --events /path/to/events.parquet \
+        --output /path/to/out [--checkpoint-dir /path/to/ckpt]
+
+--algo: pagerank | cc | lpa | triangles
+Input: --transcripts (transcript parquet) | --events (driver events
+table) | --edge-file (whitespace edge-list text, reference GraphHost
+ingest; with --weighted / --skip-lines).
+
+With --checkpoint-dir every superstep durably saves its vertex state +
+convergence metric (plans/checkpoint.py::VertexIterationCheckpointer);
+re-running the same command resumes from the latest committed
+iteration (north rule: resumable mid-iteration).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from louvain_fast_move_cuda_spark.operators.components import connected_components
+from louvain_fast_move_cuda_spark.operators.labelprop import label_propagation
+from louvain_fast_move_cuda_spark.operators.pagerank import pagerank
+from louvain_fast_move_cuda_spark.operators.triangles import triangle_count
+from louvain_fast_move_cuda_spark.plans.checkpoint import VertexIterationCheckpointer
+from louvain_fast_move_cuda_spark.sources.edges import (
+    GraphTables,
+    canonicalize_edges,
+    derive_edges_from_transcripts,
+    symmetrize,
+    vertex_weights,
+)
+from louvain_fast_move_cuda_spark.sources.transcripts import transcripts_from_events
+
+
+def build_input_graph(spark, args) -> GraphTables:
+    if args.edge_file:
+        from louvain_fast_move_cuda_spark.sources.edgefile import edge_file_graph
+
+        return edge_file_graph(
+            spark, args.edge_file, weighted=args.weighted, skip_lines=args.skip_lines
+        )
+    if args.events:
+        t = transcripts_from_events(spark.read.parquet(args.events))
+    else:
+        t = spark.read.parquet(args.transcripts)
+    raw = derive_edges_from_transcripts(t)
+    edges = symmetrize(canonicalize_edges(raw)).localCheckpoint(eager=True)
+    verts = vertex_weights(edges).localCheckpoint(eager=True)
+    m = float(edges.agg(F.sum("weight")).collect()[0][0]) / 2.0
+    return GraphTables(edges=edges, vertices=verts, m=m, n_nodes=verts.count())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--algo", required=True, choices=["pagerank", "cc", "lpa", "triangles"])
+    ap.add_argument("--transcripts")
+    ap.add_argument("--events")
+    ap.add_argument("--edge-file")
+    ap.add_argument("--weighted", action="store_true")
+    ap.add_argument("--skip-lines", type=int, default=0)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint-dir")
+    ap.add_argument("--max-iter", type=int, default=None)
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.getOrCreate()
+    g = build_input_graph(spark, args)
+    ckpt = (
+        VertexIterationCheckpointer(args.checkpoint_dir, algo=args.algo)
+        if args.checkpoint_dir
+        else None
+    )
+
+    summary = {"algo": args.algo, "n_vertices": g.n_nodes}
+    if args.algo == "pagerank":
+        out = pagerank(g, max_iter=args.max_iter or 100, checkpointer=ckpt)
+        summary["sum_rank"] = float(out.agg(F.sum("rank")).collect()[0][0])
+    elif args.algo == "cc":
+        out = connected_components(g, max_iter=args.max_iter or 50, checkpointer=ckpt)
+        summary["n_components"] = out.agg(F.countDistinct("component")).collect()[0][0]
+    elif args.algo == "lpa":
+        out = label_propagation(g, max_iter=args.max_iter or 10, checkpointer=ckpt)
+        summary["n_labels"] = out.agg(F.countDistinct("label")).collect()[0][0]
+    else:  # triangles
+        n = triangle_count(g)
+        out = spark.createDataFrame([(n,)], "n_triangles long")
+        summary["n_triangles"] = n
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

@@ -117,3 +117,56 @@ def test_per_turn_text_equality_under_stable_ordering(spark):
         .count()
     )
     assert chk == 0
+
+
+def test_pagerank_lpa_cc_resume_mid_iteration(spark, tmp_path):
+    """North rule: every superstep checkpoints so runs resume
+    mid-iteration — interrupted-then-resumed output must equal a fresh
+    uninterrupted run (exact for integer-label algorithms, 1e-12 for
+    PageRank float sums)."""
+    import pytest
+
+    from louvain_fast_move_cuda_spark.operators.components import connected_components
+    from louvain_fast_move_cuda_spark.operators.labelprop import label_propagation
+    from louvain_fast_move_cuda_spark.operators.pagerank import pagerank
+    from louvain_fast_move_cuda_spark.plans.checkpoint import VertexIterationCheckpointer
+
+    edges = powerlaw_graph(n=120, m_attach=2, seed=5)
+    g = build_graph(spark.createDataFrame(edges, "a long, b long"), relabel=False)
+
+    # --- pagerank: 3 iterations, then resume to 12 -----------------------
+    ck = VertexIterationCheckpointer(str(tmp_path / "pr"), algo="pagerank")
+    pagerank(g, max_iter=3, tol=0.0, checkpointer=ck)
+    resumed = {r.id: r.rank for r in
+               pagerank(g, max_iter=12, tol=0.0, checkpointer=ck).collect()}
+    fresh = {r.id: r.rank for r in
+             pagerank(g, max_iter=12, tol=0.0, local_max_edges=0).collect()}
+    assert resumed.keys() == fresh.keys()
+    for k in fresh:
+        assert resumed[k] == pytest.approx(fresh[k], abs=1e-12)
+
+    # --- lpa: 1 round, then resume to 5 (bit-identical labels) -----------
+    ck = VertexIterationCheckpointer(str(tmp_path / "lpa"), algo="lpa")
+    label_propagation(g, max_iter=1, checkpointer=ck).collect()
+    resumed = sorted(map(tuple, label_propagation(g, max_iter=5, checkpointer=ck).collect()))
+    fresh = sorted(map(tuple, label_propagation(g, max_iter=5, local_max_edges=0).collect()))
+    assert resumed == fresh
+
+    # --- cc: 1 star round, then resume (exact labels) --------------------
+    ck = VertexIterationCheckpointer(str(tmp_path / "cc"), algo="cc")
+    connected_components(g, max_iter=1, checkpointer=ck).collect()
+    resumed = sorted(map(tuple, connected_components(g, checkpointer=ck).collect()))
+    fresh = sorted(map(tuple, connected_components(g, local_max_edges=0).collect()))
+    assert resumed == fresh
+
+    # resuming a CONVERGED checkpoint is a no-op returning the fixpoint
+    again = sorted(map(tuple, connected_components(g, checkpointer=ck).collect()))
+    assert again == fresh
+
+    # algo tag guards against pointing one algorithm at another's dir
+    bad = VertexIterationCheckpointer(str(tmp_path / "cc"), algo="pagerank")
+    try:
+        pagerank(g, max_iter=2, checkpointer=bad)
+        raise AssertionError("expected ValueError for mismatched algo tag")
+    except ValueError:
+        pass
