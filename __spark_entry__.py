@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from louvain_fast_move_cuda_spark.operators.components import connected_components
 from louvain_fast_move_cuda_spark.operators.dedup import (
+    dedup_clusters,
     exact_dedup,
     lsh_pairs_from_buckets,
     minhash_band_buckets,
@@ -48,6 +49,13 @@ from louvain_fast_move_cuda_spark.operators.dedup import (
     shingles,
     simhash_from_hashes,
     token_hashes,
+)
+from louvain_fast_move_cuda_spark.operators.graphstats import (
+    adamic_adar,
+    assortativity,
+    clustering_coefficient,
+    degree_histogram,
+    k_core,
 )
 from louvain_fast_move_cuda_spark.operators.labelprop import label_propagation
 from louvain_fast_move_cuda_spark.operators.louvain import (
@@ -62,6 +70,7 @@ from louvain_fast_move_cuda_spark.operators.multimodal import (
     synthesize_media,
 )
 from louvain_fast_move_cuda_spark.operators.pagerank import pagerank
+from louvain_fast_move_cuda_spark.operators.temporal import sessionize, tumbling_rollup
 from louvain_fast_move_cuda_spark.operators.similarity import brute_force_topk, ivf_topk
 from louvain_fast_move_cuda_spark.operators.textstats import (
     fingerprint_from_hashes,
@@ -265,6 +274,54 @@ def q_triangles_per_vertex(spark, sf_dir):
     return triangles_per_vertex(g)
 
 
+def q_hourly_rollup(spark, sf_dir):
+    return tumbling_rollup(spark.read.parquet(f"{sf_dir}/events.parquet"), "1 hour")
+
+
+def q_sessions(spark, sf_dir):
+    return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"), gap_minutes=30)
+
+
+def q_clustering_coefficient(spark, sf_dir):
+    _, _, g = _graph(spark, sf_dir)
+    return clustering_coefficient(g)
+
+
+def q_assortativity(spark, sf_dir):
+    _, _, g = _graph(spark, sf_dir)
+    return assortativity(g)
+
+
+def q_degree_histogram(spark, sf_dir):
+    _, _, g = _graph(spark, sf_dir)
+    return degree_histogram(g)
+
+
+def q_k_core(spark, sf_dir):
+    # max_rounds == the oracle's unrolled round count: the loop's early
+    # break fires only at the fixpoint (where further rounds are
+    # identity), so capped-at-20 output is structurally identical to 20
+    # unrolled SQL rounds whether or not peeling converged
+    _, _, g = _graph(spark, sf_dir)
+    return k_core(g, k=2, max_rounds=20)
+
+
+def q_adamic_adar(spark, sf_dir):
+    _, _, g = _graph(spark, sf_dir)
+    return adamic_adar(g, max_apex_degree=64)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    sh = shingles(docs, k=5)
+    sigs = minhash_signatures(sh, num_hashes=32)
+    pairs = _materialize_for_oracle(
+        lsh_pairs_from_buckets(minhash_band_buckets(sigs, bands=8, rows_per_band=4)),
+        "dedup_cluster_pairs",
+    )
+    return dedup_clusters(pairs, docs.select("doc_id"))
+
+
 def q_lpa(spark, sf_dir):
     _, _, g = _graph(spark, sf_dir)
     return label_propagation(g, max_iter=5, local_max_edges=0)
@@ -395,6 +452,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph operators with exact SQL oracles
         "triangle_count": q_triangle_count,
         "triangles_per_vertex": q_triangles_per_vertex,
+        # temporal rollups (batch twins of the streaming surface)
+        "hourly_rollup": q_hourly_rollup,
+        "sessions": q_sessions,
+        # descriptive graph statistics (graphstats.py)
+        "clustering_coefficient": q_clustering_coefficient,
+        "assortativity": q_assortativity,
+        "degree_histogram": q_degree_histogram,
+        "k_core": q_k_core,
+        "adamic_adar": q_adamic_adar,
         "cc_reply": q_cc_reply,
         "coarsen_by_conv": q_coarsen_by_conv,
         "modularity_conv": q_modularity_conv,
@@ -417,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_candidates": q_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         # training-data pipeline: text analysis
@@ -672,6 +739,32 @@ pr{i + 1} AS MATERIALIZED (
     )
 
 
+def _k_core_sql(k: int, rounds: int) -> str:
+    """Unrolled peeling rounds (operators/graphstats.py::k_core).
+
+    Peeling is monotone and idempotent at its fixpoint, so this equals
+    the early-stopped Spark loop whenever both reach the fixpoint
+    within their round caps (asserted empirically for the test data;
+    the Spark cap is higher)."""
+    # MATERIALIZED: each round references the previous CTE three times,
+    # so default inline expansion would grow 3^rounds
+    parts = ["e0 AS MATERIALIZED (SELECT src, dst FROM sym)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT src AS v FROM e{i - 1} "
+            f"GROUP BY src HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i - 1} e "
+            f"JOIN k{i} a ON e.src = a.v JOIN k{i} b ON e.dst = b.v)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{_GRAPH_CTE},\n{body}\n"
+        f"SELECT src AS id, count(*) AS core_degree FROM e{rounds} GROUP BY src"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcripts": f"""
@@ -708,6 +801,98 @@ pv AS (
 )
 SELECT d.id, coalesce(pv.t, 0) AS triangles
 FROM deg d LEFT JOIN pv ON d.id = pv.v
+""",
+        "hourly_rollup": """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+       round(sum(value), 9) AS sum_value_r9
+FROM events GROUP BY 1, 2
+""",
+        "sessions": """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+n AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_no
+  FROM o
+)
+SELECT user_id, min(event_id) AS session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM n GROUP BY user_id, sess_no
+""",
+        # lcc = 2T/(d(d-1)): both operands integer-valued doubles, same
+        # expression tree in both engines -> bit-identical division
+        "clustering_coefficient": f"""
+{_GRAPH_CTE},
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM canon e1
+  JOIN canon e2 ON e1.dst = e2.src
+  JOIN canon e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+pv AS (
+  SELECT v, count(*) AS t FROM (
+    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) GROUP BY v
+),
+cdeg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src)
+SELECT d.id,
+       coalesce(pv.t, 0) AS triangles,
+       coalesce(c.degree, 0) AS degree,
+       CASE WHEN coalesce(c.degree, 0) >= 2
+            THEN 2.0 * CAST(coalesce(pv.t, 0) AS DOUBLE)
+                 / (CAST(c.degree AS DOUBLE) * (CAST(c.degree AS DOUBLE) - 1.0))
+            ELSE 0.0 END AS lcc
+FROM deg d LEFT JOIN pv ON d.id = pv.v LEFT JOIN cdeg c ON d.id = c.id
+""",
+        # all five sums are sums of integer-valued doubles (exact under
+        # any association order); only the final ratio is rounded
+        "assortativity": f"""
+{_GRAPH_CTE},
+cdeg AS (SELECT src AS v, CAST(count(*) AS DOUBLE) AS d FROM sym GROUP BY src),
+j AS (
+  SELECT dx.d AS dx, dy.d AS dy
+  FROM sym e JOIN cdeg dx ON e.src = dx.v JOIN cdeg dy ON e.dst = dy.v
+),
+agg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS m,
+         sum(dx * dy) AS sxy, sum(dx) AS sx, sum(dy) AS sy,
+         sum(dx * dx) AS sxx, sum(dy * dy) AS syy
+  FROM j
+)
+SELECT round((m * sxy - sx * sy)
+             / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)), 9) AS assortativity_r9
+FROM agg
+""",
+        "degree_histogram": f"""
+{_GRAPH_CTE},
+cdeg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src),
+alld AS (SELECT coalesce(c.degree, 0) AS degree FROM deg d LEFT JOIN cdeg c ON d.id = c.id)
+SELECT degree, count(*) AS n_vertices FROM alld GROUP BY degree
+""",
+        "k_core": _k_core_sql(k=2, rounds=20),
+        # hub cap (dw <= 64) is part of the operator's semantics and is
+        # mirrored here; ln() may differ by 1 ulp across libms -> r9
+        "adamic_adar": f"""
+{_GRAPH_CTE},
+cdeg AS (SELECT src AS w, count(*) AS dw FROM sym GROUP BY src),
+apex AS (SELECT w, dw FROM cdeg WHERE dw >= 2 AND dw <= 64),
+nbrs AS (SELECT e.src AS w, a.dw, e.dst AS n FROM sym e JOIN apex a ON e.src = a.w),
+wedge AS (
+  SELECT l.n AS u, r.n AS v, 1.0 / ln(CAST(l.dw AS DOUBLE)) AS contrib
+  FROM nbrs l JOIN nbrs r ON l.w = r.w AND l.n < r.n
+),
+nonadj AS (
+  SELECT w.u, w.v, w.contrib FROM wedge w
+  LEFT JOIN canon c ON w.u = c.src AND w.v = c.dst
+  WHERE c.src IS NULL
+)
+SELECT u, v, count(*) AS common_neighbors, round(sum(contrib), 9) AS aa_r9
+FROM nonadj GROUP BY u, v
 """,
         "cc_full": _cc_star_sql(rounds=8),
         "cc_full_local": _cc_star_sql(rounds=8),
@@ -821,6 +1006,26 @@ FROM documents
         "simhash": _simhash_sql(),
         "fingerprint": _FINGERPRINT_SQL,
         "minhash_lsh_candidates": _MINHASH_LSH_SQL,
+        # transitive closure over the materialized candidate pairs (the
+        # pairs themselves are exact-checked by minhash_lsh_candidates);
+        # recursion recomputes the component labels independently
+        "dedup_clusters": f"""
+WITH RECURSIVE p AS (
+  SELECT id_a, id_b
+  FROM read_parquet('{_ORACLE_MAT_DIR}/dedup_cluster_pairs.parquet/*.parquet')
+),
+e AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       coalesce(c.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+""",
         "embedding_near_dupes": f"""
 WITH v AS (
   SELECT * FROM read_parquet('{_ORACLE_MAT_DIR}/embedding_signatures.parquet/*.parquet')

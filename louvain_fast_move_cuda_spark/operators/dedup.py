@@ -311,3 +311,40 @@ def near_dupe_pairs_from_signatures(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame, all_ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, cluster_id, is_canonical) — transitive near-duplicate
+    clusters: connected components over candidate pairs (id_a, id_b),
+    cluster_id = min doc id reachable; docs in no pair are their own
+    singleton cluster, and the min-id doc of each cluster is canonical
+    (the one a dedup pipeline would KEEP).
+
+    Scale shape: the pairs table is tiny relative to the corpus (it is
+    the output of a banded LSH join), so the component iteration runs
+    over pairs only; the corpus-sized table is touched once by the
+    final left join. Reuses the large-star/small-star component
+    operator — no new iteration logic.
+    """
+    from ..sources.edges import build_graph
+    from .components import connected_components
+
+    g = build_graph(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")), relabel=False
+    )
+    comp = connected_components(g, local_max_edges=0).select(
+        F.col("id").alias(id_col), F.col("component").alias("cluster_id")
+    )
+    return (
+        all_ids.select(id_col)
+        .join(comp, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            (F.coalesce("cluster_id", F.col(id_col)) == F.col(id_col)).alias(
+                "is_canonical"
+            ),
+        )
+    )

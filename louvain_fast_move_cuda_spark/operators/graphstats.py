@@ -1,0 +1,177 @@
+"""Link-graph descriptive statistics: local clustering coefficient,
+degree assortativity, k-core decomposition, degree histogram, and
+Adamic-Adar / common-neighbors link prediction.
+
+None of these exist in the CUDA reference (it is Louvain-only,
+/root/reference/main.cu); they extend the same §2.11 analytics surface
+as PageRank/CC/LPA/triangles, reusing the canonical symmetric edge
+table (sources/edges.py::GraphTables).
+
+Scale notes (the part that matters at 10^12 edges):
+
+* ``clustering_coefficient`` reuses the degree-ordered wedge join from
+  triangles.py — out-degree bounded by O(sqrt(m)) per vertex, so the
+  wedge join never explodes on power-law hubs.
+* ``adamic_adar`` is the textbook wedge-join scorer, which is O(sum
+  deg(w)^2) over apex vertices w — quadratic in hub degree. The
+  ``max_apex_degree`` cap (default 64) is therefore a *semantic*
+  parameter, not an optimization: hubs contribute ~1/log(d) ~ 0 per
+  wedge anyway, and every serious link-prediction system drops them.
+  The oracle mirrors the cap exactly.
+* ``k_core`` peels iteratively with one degree-agg per round over the
+  shrinking survivor set; each round localCheckpoints to truncate
+  lineage. Rounds are idempotent at the fixpoint, so a fixed-round
+  unrolled SQL oracle equals the early-stopped Spark run whenever both
+  reach the fixpoint within the cap.
+* ``assortativity`` / ``degree_histogram`` are single aggregates.
+
+Float determinism for oracles: degrees are integer-valued doubles, so
+sums of their products are exact (every partial sum is an integer
+below 2^53) regardless of association order; only final divisions /
+logs are rounded (9 decimals) where the expression trees differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.edges import GraphTables
+from .triangles import triangles_per_vertex
+
+
+def degree_histogram(graph: GraphTables) -> DataFrame:
+    """(degree: long, n_vertices: long) — unweighted degree distribution."""
+    deg = graph.edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
+    deg = (
+        graph.vertices.select("id")
+        .join(deg, "id", "left")
+        .select(F.coalesce("degree", F.lit(0)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_vertices"))
+
+
+def clustering_coefficient(graph: GraphTables) -> DataFrame:
+    """(id, triangles: long, degree: long, lcc: double).
+
+    lcc = 2*T / (d*(d-1)), 0 where d < 2. Both factors are
+    integer-valued, so the division is bit-reproducible across engines.
+    """
+    tri = triangles_per_vertex(graph)
+    deg = graph.edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))
+    d = F.col("degree").cast("double")
+    return (
+        tri.join(deg, "id", "left")
+        .select(
+            "id",
+            "triangles",
+            F.coalesce("degree", F.lit(0)).alias("degree"),
+            F.when(
+                F.coalesce("degree", F.lit(0)) >= 2,
+                F.lit(2.0) * F.col("triangles").cast("double") / (d * (d - F.lit(1.0))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
+
+
+def assortativity(graph: GraphTables) -> DataFrame:
+    """One row (assortativity: double) — Newman's degree assortativity r.
+
+    Pearson correlation of (deg(src), deg(dst)) over the directed
+    symmetric edge list:
+
+        r = (M*Sxy - Sx*Sy) / sqrt((M*Sxx - Sx^2) * (M*Syy - Sy^2))
+
+    All five sums are sums of integer-valued doubles (exact under any
+    association order), so only the final expression is rounded.
+    """
+    deg = graph.edges.groupBy(F.col("src").alias("v")).agg(
+        F.count("*").cast("double").alias("d")
+    )
+    e = (
+        graph.edges.select("src", "dst")
+        .join(deg.select(F.col("v").alias("src"), F.col("d").alias("dx")), "src")
+        .join(deg.select(F.col("v").alias("dst"), F.col("d").alias("dy")), "dst")
+    )
+    agg = e.agg(
+        F.count("*").cast("double").alias("m"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    m, sxy, sx, sy, sxx, syy = (F.col(c) for c in ["m", "sxy", "sx", "sy", "sxx", "syy"])
+    r = (m * sxy - sx * sy) / F.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+    return agg.select(F.round(r, 9).alias("assortativity_r9"))
+
+
+def k_core(graph: GraphTables, k: int = 2, max_rounds: int = 30) -> DataFrame:
+    """(id, core_degree: long) — vertices of the k-core (the maximal
+    subgraph where every vertex has degree >= k within it) with their
+    degree inside the core.
+
+    Iterative peeling: drop vertices with degree < k, recompute degrees
+    within the survivor set, repeat until a fixpoint (early stop) or
+    ``max_rounds``. Peeling is monotone — once the fixpoint is reached,
+    further rounds are identity — so a fixed-round oracle matches any
+    early-stopped run that converged within the cap.
+    """
+    edges = graph.edges.select("src", "dst").localCheckpoint(eager=True)
+    prev_n = None
+    for _ in range(max_rounds):
+        deg = edges.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("v").localCheckpoint(eager=True)
+        n = keep.count()
+        if prev_n is not None and n == prev_n:
+            break
+        prev_n = n
+        edges = (
+            edges.join(keep.select(F.col("v").alias("src")), "src", "left_semi")
+            .join(keep.select(F.col("v").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("core_degree"))
+
+
+def adamic_adar(
+    graph: GraphTables, max_apex_degree: int = 64, min_common: int = 1
+) -> DataFrame:
+    """(u, v, common_neighbors: long, aa_r9: double) for NON-adjacent
+    pairs u < v at distance 2, scored by Adamic-Adar
+    sum_w 1/ln(deg(w)) over shared neighbors w.
+
+    Apexes with deg < 2 span no wedge; apexes with deg >
+    ``max_apex_degree`` are excluded by definition (see module
+    docstring — this is the semantic hub cap that keeps the wedge join
+    O(cap^2) per apex instead of O(hub^2)).
+    """
+    deg = graph.edges.groupBy(F.col("src").alias("w")).agg(F.count("*").alias("dw"))
+    apex_ok = deg.filter((F.col("dw") >= 2) & (F.col("dw") <= max_apex_degree))
+    nbrs = graph.edges.select(F.col("src").alias("w"), F.col("dst").alias("n")).join(
+        apex_ok, "w"
+    )
+    wedges = (
+        nbrs.alias("l")
+        .join(nbrs.alias("r"), ["w", "dw"])
+        .filter(F.col("l.n") < F.col("r.n"))
+        .select(
+            F.col("l.n").alias("u"),
+            F.col("r.n").alias("v"),
+            (F.lit(1.0) / F.log(F.col("dw").cast("double"))).alias("contrib"),
+        )
+    )
+    canon = graph.edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    return (
+        wedges.join(canon, ["u", "v"], "left_anti")
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.round(F.sum("contrib"), 9).alias("aa_r9"),
+        )
+        .filter(F.col("common_neighbors") >= min_common)
+    )

@@ -168,6 +168,7 @@ def louvain(
     mode: str = "adaptive",
     local_finish_max_edges: int = 5_000_000,
     skew_salt_buckets: int | None = None,
+    max_levels: int | None = None,
 ) -> LouvainResult:
     """Run Louvain to convergence. ``graph`` from sources.edges.build_graph.
 
@@ -196,6 +197,10 @@ def louvain(
     per-round scheduling latency for tiny data. 0 disables (always
     distributed). Disabled automatically while durable checkpointing is
     on, so every superstep keeps hitting the checkpointer.
+
+    ``max_levels``: stop after this many coarsening levels (None = run
+    to convergence). Benchmarking hook — lets a scaling leg measure
+    exactly the level-0 distributed rounds.
 
     ``skew_salt_buckets``: hub-vertex skew handling for the A3
     per-(node, community) candidate sum (SURVEY.md §4 item 1 — a
@@ -556,6 +561,10 @@ def louvain(
             checkpointer.save(
                 level, -1, est, verts, labels, None, q, q, {"level": level, "round": -1, "q": q}
             )
+        if max_levels is not None and level >= max_levels:
+            # benchmarking hook: stop after N levels (labels reflect the
+            # partition found so far; Q is exact for that partition)
+            break
 
     return LouvainResult(
         labels=labels,

@@ -1,0 +1,81 @@
+"""Temporal rollups over the events/transcripts stream: tumbling-window
+aggregation and gap-based sessionization.
+
+These are the batch twins of the Structured Streaming surface
+(streaming/ingest.py): the same `F.window` / session-gap semantics a
+`readStream` pipeline would use with watermarks, expressed over the
+static table so they are exactly oracle-checkable. Not in the CUDA
+reference (Louvain-only); they cover the standard event-time operators
+a transcript pipeline needs (hourly activity rollups, conversation
+sessionization by inactivity gap).
+
+Scale notes: both are single-shuffle plans. The rollup is a plain
+groupBy on (window, event_type) — partial aggregation map-side, no
+skew risk beyond event_type hotspots, which AQE handles. The
+sessionizer is one window function over (user_id, ts) ordering — one
+range-partitioned sort, no driver state, no UDFs.
+
+Float determinism for oracles: sums of `value` are rounded (9
+decimals) because summation order differs across engines; counts and
+min/max are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_rollup(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """(window_start, event_type, n_events, n_users, sum_value_r9) per
+    tumbling event-time window — the batch form of the streaming
+    windowed aggregation.
+    """
+    return (
+        events.groupBy(
+            F.window("ts", width).alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 9).alias("sum_value_r9"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "n_users", "sum_value_r9")
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """(user_id, session_id, n_events, session_start, session_end) —
+    classic gap-based sessions: a new session starts whenever a user's
+    inter-event gap exceeds ``gap_minutes``.
+
+    Plan: lag() for the gap flag, a running sum for the session index —
+    two window functions over ONE (user_id, ts, event_id) sort, then a
+    groupBy. session_id = first event_id of the session (stable,
+    engine-independent).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond integers on both sides of the oracle comparison — a
+    # seconds cast would truncate fractional parts differently per engine.
+    # Parquet timestamps arrive as TIMESTAMP_NTZ; unix_micros needs a
+    # zoned timestamp, and UTC keeps the integers equal to epoch_us(ntz)
+    us = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+    gap = us - F.lag(us).over(w)
+    flagged = events.withColumn(
+        "new_sess",
+        F.when(
+            gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn("sess_no", F.sum("new_sess").over(w))
+    return (
+        numbered.groupBy("user_id", "sess_no")
+        .agg(
+            F.min("event_id").alias("session_id"),
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "session_id", "n_events", "session_start", "session_end")
+    )

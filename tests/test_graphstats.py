@@ -1,0 +1,134 @@
+"""Graph-statistics operators vs brute-force single-process oracles."""
+
+import math
+from collections import defaultdict
+from itertools import combinations
+
+from louvain_fast_move_cuda_spark.operators.graphstats import (
+    adamic_adar,
+    assortativity,
+    clustering_coefficient,
+    degree_histogram,
+    k_core,
+)
+from louvain_fast_move_cuda_spark.sources.edges import build_graph
+
+from oracle import powerlaw_graph
+
+
+def _adj(edges):
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    return nbrs
+
+
+def _gt(spark, edges):
+    return build_graph(spark.createDataFrame(edges, "a long, b long"), relabel=False)
+
+
+def test_clustering_coefficient_and_histogram(spark):
+    edges = powerlaw_graph(n=200, m_attach=3, seed=7)
+    nbrs = _adj(edges)
+    g = _gt(spark, edges)
+
+    got = {r.id: (r.triangles, r.degree, r.lcc) for r in clustering_coefficient(g).collect()}
+    hist = defaultdict(int)
+    for v, ns in nbrs.items():
+        t = sum(1 for x, y in combinations(sorted(ns), 2) if y in nbrs[x])
+        d = len(ns)
+        want_lcc = 2.0 * t / (d * (d - 1.0)) if d >= 2 else 0.0
+        assert got[v][0] == t, (v, got[v], t)
+        assert got[v][1] == d
+        assert abs(got[v][2] - want_lcc) < 1e-12
+        hist[d] += 1
+    got_hist = {r.degree: r.n_vertices for r in degree_histogram(g).collect()}
+    assert got_hist == dict(hist)
+
+
+def test_assortativity_matches_numpy(spark):
+    edges = powerlaw_graph(n=300, m_attach=2, seed=11)
+    nbrs = _adj(edges)
+    g = _gt(spark, edges)
+
+    xs, ys = [], []
+    for a, b in edges:
+        for u, v in ((a, b), (b, a)):
+            xs.append(len(nbrs[u]))
+            ys.append(len(nbrs[v]))
+    m = float(len(xs))
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    want = (m * sxy - sx * sy) / math.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+
+    got = assortativity(g).collect()[0]["assortativity_r9"]
+    assert abs(got - want) < 1e-9
+
+
+def test_k_core_peeling(spark):
+    # triangle + tail path: the 2-core is exactly the triangle
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5)]
+    g = _gt(spark, edges)
+    got = {r.id: r.core_degree for r in k_core(g, k=2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+
+    # a denser graph: peel-oracle in python
+    edges = powerlaw_graph(n=150, m_attach=3, seed=3)
+    g = _gt(spark, edges)
+    for k in (2, 3, 4):
+        nbrs = {v: set(ns) for v, ns in _adj(edges).items()}
+        while True:
+            drop = [v for v, ns in nbrs.items() if len(ns) < k]
+            if not drop:
+                break
+            for v in drop:
+                for w in nbrs[v]:
+                    nbrs[w].discard(v)
+                del nbrs[v]
+        want = {v: len(ns) for v, ns in nbrs.items() if ns}
+        got = {r.id: r.core_degree for r in k_core(g, k=k).collect()}
+        assert got == want, f"k={k}"
+
+
+def test_adamic_adar_scores(spark):
+    edges = powerlaw_graph(n=120, m_attach=2, seed=9)
+    nbrs = _adj(edges)
+    g = _gt(spark, edges)
+    cap = 64
+
+    want = defaultdict(lambda: [0, 0.0])
+    for w, ns in nbrs.items():
+        if not (2 <= len(ns) <= cap):
+            continue
+        contrib = 1.0 / math.log(float(len(ns)))
+        for u, v in combinations(sorted(ns), 2):
+            if v in nbrs[u]:
+                continue  # adjacent pairs excluded
+            want[(u, v)][0] += 1
+            want[(u, v)][1] += contrib
+
+    got = {(r.u, r.v): (r.common_neighbors, r.aa_r9) for r in
+           adamic_adar(g, max_apex_degree=cap).collect()}
+    assert set(got) == set(want)
+    for p, (cn, aa) in want.items():
+        assert got[p][0] == cn
+        assert abs(got[p][1] - aa) < 1e-8
+
+
+def test_dedup_clusters_transitive(spark):
+    from louvain_fast_move_cuda_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (9, 8)], "id_a long, id_b long"
+    )
+    all_ids = spark.createDataFrame([(i,) for i in range(11)], "doc_id long")
+    got = {r.doc_id: (r.cluster_id, r.is_canonical)
+           for r in dedup_clusters(pairs, all_ids).collect()}
+    # chains 1-2-3 and 7-9-8 merge transitively; everything else singleton
+    assert got[1] == (1, True) and got[2] == (1, False) and got[3] == (1, False)
+    assert got[7] == (7, True) and got[8] == (7, False) and got[9] == (7, False)
+    for v in (0, 4, 5, 6, 10):
+        assert got[v] == (v, True)

@@ -1,0 +1,78 @@
+"""Temporal rollup + sessionization vs brute-force oracles."""
+
+import datetime as dt
+from collections import defaultdict
+
+from louvain_fast_move_cuda_spark.operators.temporal import sessionize, tumbling_rollup
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    )
+
+
+def test_tumbling_rollup_hourly(spark):
+    base = dt.datetime(2024, 3, 1, 10, 59, 59)
+    rows = [
+        (0, base, 1, "a", 1.5),
+        (1, base + dt.timedelta(seconds=1), 1, "a", 2.0),  # next hour
+        (2, base + dt.timedelta(seconds=2), 2, "a", 3.0),
+        (3, base + dt.timedelta(hours=2), 1, "b", 4.0),
+    ]
+    out = {(r.window_start, r.event_type): (r.n_events, r.n_users, r.sum_value_r9)
+           for r in tumbling_rollup(_mk_events(spark, rows), "1 hour").collect()}
+    assert out[(dt.datetime(2024, 3, 1, 10), "a")] == (1, 1, 1.5)
+    assert out[(dt.datetime(2024, 3, 1, 11), "a")] == (2, 2, 5.0)
+    assert out[(dt.datetime(2024, 3, 1, 12), "b")] == (1, 1, 4.0)
+
+
+def test_sessionize_gap_boundaries(spark):
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        # user 1: second event exactly AT the 30-min gap (not >) -> same session
+        (0, t0, 1, "a", 0.0),
+        (1, t0 + dt.timedelta(minutes=30), 1, "a", 0.0),
+        # third event 30 min + 1 us later -> NEW session
+        (2, t0 + dt.timedelta(minutes=60, microseconds=1), 1, "a", 0.0),
+        # user 2: single event
+        (3, t0, 2, "a", 0.0),
+    ]
+    got = {(r.user_id, r.session_id): (r.n_events, r.session_start, r.session_end)
+           for r in sessionize(_mk_events(spark, rows), gap_minutes=30).collect()}
+    assert got[(1, 0)] == (2, t0, t0 + dt.timedelta(minutes=30))
+    assert got[(1, 2)][0] == 1
+    assert got[(2, 3)][0] == 1
+    assert len(got) == 3
+
+
+def test_sessionize_random_vs_bruteforce(spark):
+    import random
+
+    rng = random.Random(17)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(20):
+        t = t0
+        for _ in range(rng.randint(1, 40)):
+            t = t + dt.timedelta(seconds=rng.randint(1, 4000))
+            rows.append((eid, t, u, "x", 0.0))
+            eid += 1
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r[2]].append(r)
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort(key=lambda r: (r[1], r[0]))
+        cur = []
+        for r in evs:
+            if cur and (r[1] - cur[-1][1]).total_seconds() * 1e6 > 1800 * 1e6:
+                want[(u, cur[0][0])] = len(cur)
+                cur = []
+            cur.append(r)
+        if cur:
+            want[(u, cur[0][0])] = len(cur)
+    got = {(r.user_id, r.session_id): r.n_events
+           for r in sessionize(_mk_events(spark, rows), gap_minutes=30).collect()}
+    assert got == want
