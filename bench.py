@@ -76,6 +76,10 @@ def run_suite(names: list[str] | None, scaling_convs: int | None = None) -> dict
         # local-cluster[W,C,M]: W worker JVMs x C cores — the closest this
         # sandbox gets to executor-count (not core-count) scaling
         extra_conf = {"spark.executor.memory": os.environ.get("SPARK_GRAFT_EXEC_MEM", "8g")}
+        local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+        if local_dir:
+            # e.g. /dev/shm/spark: keep shuffle files off the disk path
+            extra_conf["spark.local.dir"] = local_dir
     spark = get_spark(
         app_name="bench", master=master, shuffle_partitions=max(8, CPUS),
         extra_conf=extra_conf,
@@ -168,11 +172,19 @@ def run_suite(names: list[str] | None, scaling_convs: int | None = None) -> dict
         timings["louvain_lvl0"] = time.time() - t0
         lvl0 = [mt for mt in res.metrics if mt.get("round", -1) >= 0]
         lvl0_sec = sum(mt["sec"] for mt in lvl0)
-        extra["louvain_spark_rounds"] = len(lvl0)
-        extra["louvain_spark_edges_per_sec_per_iter"] = (
+        extra["louvain_lvl0_rounds"] = len(lvl0)
+        extra["louvain_lvl0_edges_per_sec_per_iter"] = (
             n_directed * len(lvl0) / lvl0_sec if lvl0_sec > 0 else 0.0
         )
         extra["louvain_lvl0_q"] = res.modularity
+        if names is not None and names == {"louvain_lvl0"}:
+            # scaling legs parse these two keys; only publish them when
+            # this is the sole query so they can't clobber the adaptive
+            # run's metrics in a full-suite run
+            extra["louvain_spark_rounds"] = len(lvl0)
+            extra["louvain_spark_edges_per_sec_per_iter"] = extra[
+                "louvain_lvl0_edges_per_sec_per_iter"
+            ]
     if want("louvain_distributed"):
         # the 100 TB path end-to-end: every superstep on the Spark engine
         # (local tail disabled) — this is the timing that tracks the
@@ -244,6 +256,15 @@ def run_suite(names: list[str] | None, scaling_convs: int | None = None) -> dict
         }
         extra["ann_ivf_recall_at_10"] = (
             round(len(ivf_pairs & exact) / len(exact), 4) if exact else 1.0
+        )
+        # recall/cost knob: uniform-random test embeddings are IVF's worst
+        # case (no cluster structure), so also report a higher-nprobe point
+        ivf8 = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=8).collect()
+        }
+        extra["ann_ivf_recall_at_10_nprobe8"] = (
+            round(len(ivf8 & exact) / len(exact), 4) if exact else 1.0
         )
 
     return {"timings": timings, "extra": extra}
@@ -330,17 +351,24 @@ def main():
         for i, workers in enumerate(order):
             if i:
                 time.sleep(90)  # cool-down between legs
+            mem_mb = 1024 * int(os.environ.get("SPARK_GRAFT_EXEC_MEM", "8g").rstrip("g"))
             env = dict(
                 os.environ,
                 SPARK_GRAFT_CPUS=str(8 * workers),
-                SPARK_GRAFT_MASTER=f"local-cluster[{workers},8,8192]",
+                SPARK_GRAFT_MASTER=f"local-cluster[{workers},8,{mem_mb}]",
                 SPARK_GRAFT_SCALING_EDGES=graph_dir,
             )
+            sys.stderr.write(f"LEG {i} START workers={workers} t={time.time():.0f}\n")
+            sys.stderr.flush()
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--queries", "louvain_lvl0"],
                 env=env, capture_output=True, text=True,
             )
+            sys.stderr.write(
+                f"LEG {i} END workers={workers} rc={out.returncode} t={time.time():.0f}\n"
+            )
+            sys.stderr.flush()
             if out.returncode != 0:
                 # a failed leg must not kill the experiment — report and move on
                 sys.stderr.write(
@@ -377,8 +405,10 @@ def main():
                              "4x8": results[4].get("louvain_spark_rounds")},
             "n_convs": convs,
             "n_edges_directed": results[4].get("n_edges_directed"),
-            "louvain_lvl0_sec": {"1x8": results[1]["queries"]["louvain_lvl0"],
-                                 "4x8": results[4]["queries"]["louvain_lvl0"]},
+            "louvain_lvl0_sec": {
+                "1x8": results[1]["distributed_sec"]["louvain_lvl0"],
+                "4x8": results[4]["distributed_sec"]["louvain_lvl0"],
+            },
         }))
         return
 
@@ -433,11 +463,23 @@ def main():
     t0 = time.time()
     r = run_suite(names, scaling_convs)
     total = round(time.time() - t0, 3)
+    # headline value = the round-1-comparable adaptive queries only, so
+    # round-over-round totals stay apples-to-apples; the *_distributed /
+    # *_lvl0 timings (the 100 TB plan with the local tail disabled) are
+    # reported alongside, not mixed into the total
+    dist = {k: round(v, 3) for k, v in r["timings"].items()
+            if k.endswith("_distributed") or k.endswith("_lvl0")}
+    # same basis as round 1 (wall incl. session startup), minus the
+    # added distributed legs
+    headline = round(total - sum(dist.values()), 3)
     out = {
         "metric": "headline_suite_sec",
-        "value": total,
+        "value": headline,
         "unit": "sec",
-        "queries": {k: round(v, 3) for k, v in r["timings"].items()},
+        "wall_sec_incl_distributed": total,
+        "distributed_sec": dist,
+        "queries": {k: round(v, 3) for k, v in r["timings"].items()
+                    if k not in dist},
         "sf": _sf(SF_DIR),
         "cpus": CPUS,
         "louvain_mode": LOUVAIN_MODE,

@@ -190,3 +190,12 @@ def test_louvain_hub_graph_salted_identical_to_unsalted(spark):
     assert sorted(map(tuple, plain.labels.collect())) == sorted(
         map(tuple, salted.labels.collect())
     )
+
+
+def test_iceberg_seam_detection(spark):
+    """Sandbox has no Iceberg runtime: the seam must report unavailable
+    (never raise), and its table naming must be deterministic."""
+    from louvain_fast_move_cuda_spark.plans import iceberg
+
+    assert iceberg.iceberg_available(spark) is False
+    assert iceberg.table_name("ckpt", "pagerank", 7) == "ckpt.checkpoints.pagerank_step_7"
