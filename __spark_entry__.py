@@ -173,6 +173,19 @@ def q_edge_list(spark, sf_dir):
     return g.edges.filter(F.col("src") < F.col("dst")).select("src", "dst", "weight")
 
 
+def q_weighted_edge_list(spark, sf_dir):
+    # S2's weighted merge (the reference's TODO, graph.cu:32-34):
+    # duplicate raw links (reply + tool coinciding) SUM their weights
+    from louvain_fast_move_cuda_spark.sources.edges import (
+        canonicalize_edges,
+        derive_edges_from_transcripts,
+    )
+
+    t, _, _ = _graph(spark, sf_dir)
+    raw = derive_edges_from_transcripts(t).withColumn("w", F.lit(1.0))
+    return canonicalize_edges(raw, weight="w")
+
+
 def q_degrees(spark, sf_dir):
     _, _, g = _graph(spark, sf_dir)
     return g.vertices.select("id", "k")
@@ -448,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sources / scans (SURVEY.md §2.1) + per-turn text invariant
         "transcripts": q_transcripts,
         "edge_list": q_edge_list,
+        "weighted_edge_list": q_weighted_edge_list,
         "degrees": q_degrees,
         # graph operators with exact SQL oracles
         "triangle_count": q_triangle_count,
@@ -774,6 +788,14 @@ SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us FROM transcrip
         "edge_list": f"""
 {_GRAPH_CTE}
 SELECT src, dst, weight FROM canon
+""",
+        # S2 weighted merge: weight = link multiplicity (counts are
+        # integer-valued doubles -> exact)
+        "weighted_edge_list": f"""
+{_GRAPH_CTE}
+SELECT least(a, b) AS src, greatest(a, b) AS dst,
+       CAST(count(*) AS DOUBLE) AS weight
+FROM rawpairs WHERE a <> b GROUP BY 1, 2
 """,
         "degrees": f"""
 {_GRAPH_CTE}
