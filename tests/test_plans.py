@@ -199,3 +199,53 @@ def test_iceberg_seam_detection(spark):
 
     assert iceberg.iceberg_available(spark) is False
     assert iceberg.table_name("ckpt", "pagerank", 7) == "ckpt.checkpoints.pagerank_step_7"
+
+
+def test_graphstats_plans_have_no_cartesian_products(spark):
+    """The new graph-statistics operators must stay equi-join shaped:
+    a CartesianProduct/BroadcastNestedLoopJoin in any of them would be
+    a 100 TB scale-killer."""
+    from louvain_fast_move_cuda_spark.operators.graphstats import (
+        adamic_adar,
+        assortativity,
+        clustering_coefficient,
+        degree_histogram,
+        k_core,
+    )
+    from louvain_fast_move_cuda_spark.sources.edges import build_graph
+    from oracle import powerlaw_graph
+
+    g = build_graph(
+        spark.createDataFrame(powerlaw_graph(n=120, m_attach=2, seed=1), "a long, b long"),
+        relabel=False,
+    )
+    for df in (
+        clustering_coefficient(g),
+        assortativity(g),
+        degree_histogram(g),
+        k_core(g, k=2, max_rounds=3),
+        adamic_adar(g),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_single_sort_shuffle(spark):
+    """Gap sessionization must be ONE range-partitioned sort: the lag,
+    the running sum and the final groupBy all reuse the (user_id) window
+    partitioning — a second Exchange on user_id would double the shuffle."""
+    import datetime as dt
+
+    from louvain_fast_move_cuda_spark.operators.temporal import sessionize
+
+    df = spark.createDataFrame(
+        [(0, dt.datetime(2024, 1, 1), 1, "a", 0.0)],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    )
+    plan = _plan(sessionize(df))
+    # one exchange for the window sort; the groupBy(user_id, sess_no)
+    # hash-partitions on a superset key so AQE may add one partial agg
+    # exchange, but never a second full sort
+    assert plan.count("Sort ") <= 2  # window sort (+ possible agg sort)
+    assert "CartesianProduct" not in plan
