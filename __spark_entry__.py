@@ -314,9 +314,11 @@ def q_k_core(spark, sf_dir):
     # max_rounds == the oracle's unrolled round count: the loop's early
     # break fires only at the fixpoint (where further rounds are
     # identity), so capped-at-20 output is structurally identical to 20
-    # unrolled SQL rounds whether or not peeling converged
+    # unrolled SQL rounds whether or not peeling converged —
+    # on_truncate="ignore" is therefore safe HERE (the oracle mirrors
+    # the same cap); library callers get the raise-on-truncation default
     _, _, g = _graph(spark, sf_dir)
-    return k_core(g, k=2, max_rounds=20)
+    return k_core(g, k=2, max_rounds=20, on_truncate="ignore")
 
 
 def q_adamic_adar(spark, sf_dir):

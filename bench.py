@@ -36,6 +36,19 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 LOCAL_FINISH = int(os.environ.get("SPARK_GRAFT_LOCAL_FINISH_MAX_EDGES", "5000000"))
 
 
+def _exec_mem_mb(val: str) -> int:
+    """Normalize a JVM memory size ('8g', '8G', '8192m', '8192') to MB.
+
+    Used for BOTH spark.executor.memory and the local-cluster master
+    string's MB field so the two can never disagree."""
+    v = val.strip().lower()
+    if v.endswith("g"):
+        return 1024 * int(v[:-1])
+    if v.endswith("m"):
+        return int(v[:-1])
+    return int(v)  # bare number = MB (the local-cluster convention)
+
+
 def _sf(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -75,7 +88,9 @@ def run_suite(names: list[str] | None, scaling_convs: int | None = None) -> dict
     if master.startswith("local-cluster"):
         # local-cluster[W,C,M]: W worker JVMs x C cores — the closest this
         # sandbox gets to executor-count (not core-count) scaling
-        extra_conf = {"spark.executor.memory": os.environ.get("SPARK_GRAFT_EXEC_MEM", "8g")}
+        extra_conf = {
+            "spark.executor.memory": f"{_exec_mem_mb(os.environ.get('SPARK_GRAFT_EXEC_MEM', '8g'))}m"
+        }
         local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
         if local_dir:
             # e.g. /dev/shm/spark: keep shuffle files off the disk path
@@ -351,7 +366,7 @@ def main():
         for i, workers in enumerate(order):
             if i:
                 time.sleep(90)  # cool-down between legs
-            mem_mb = 1024 * int(os.environ.get("SPARK_GRAFT_EXEC_MEM", "8g").rstrip("g"))
+            mem_mb = _exec_mem_mb(os.environ.get("SPARK_GRAFT_EXEC_MEM", "8g"))
             env = dict(
                 os.environ,
                 SPARK_GRAFT_CPUS=str(8 * workers),

@@ -108,7 +108,12 @@ def assortativity(graph: GraphTables) -> DataFrame:
     return agg.select(F.round(r, 9).alias("assortativity_r9"))
 
 
-def k_core(graph: GraphTables, k: int = 2, max_rounds: int = 30) -> DataFrame:
+def k_core(
+    graph: GraphTables,
+    k: int = 2,
+    max_rounds: int = 30,
+    on_truncate: str = "raise",
+) -> DataFrame:
     """(id, core_degree: long) — vertices of the k-core (the maximal
     subgraph where every vertex has degree >= k within it) with their
     degree inside the core.
@@ -118,20 +123,38 @@ def k_core(graph: GraphTables, k: int = 2, max_rounds: int = 30) -> DataFrame:
     ``max_rounds``. Peeling is monotone — once the fixpoint is reached,
     further rounds are identity — so a fixed-round oracle matches any
     early-stopped run that converged within the cap.
+
+    ``on_truncate``: peeling can need up to n rounds on adversarial
+    inputs (a path graph peels one layer per round), so a run that
+    exhausts ``max_rounds`` without reaching the fixpoint would silently
+    return a SUPERSET of the k-core. ``"raise"`` (default) turns that
+    into a RuntimeError; ``"ignore"`` returns the truncated peel (valid
+    when the caller mirrors the same fixed round count, e.g. the
+    unrolled-SQL oracle).
     """
+    if on_truncate not in ("raise", "ignore"):
+        raise ValueError(f"on_truncate must be 'raise' or 'ignore', got {on_truncate!r}")
     edges = graph.edges.select("src", "dst").localCheckpoint(eager=True)
     prev_n = None
+    converged = False
     for _ in range(max_rounds):
         deg = edges.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
         keep = deg.filter(F.col("d") >= k).select("v").localCheckpoint(eager=True)
         n = keep.count()
         if prev_n is not None and n == prev_n:
+            converged = True
             break
         prev_n = n
         edges = (
             edges.join(keep.select(F.col("v").alias("src")), "src", "left_semi")
             .join(keep.select(F.col("v").alias("dst")), "dst", "left_semi")
             .localCheckpoint(eager=True)
+        )
+    if not converged and on_truncate == "raise":
+        raise RuntimeError(
+            f"k_core did not reach its fixpoint within max_rounds={max_rounds}; "
+            "the result would be a superset of the k-core. Raise max_rounds, or "
+            "pass on_truncate='ignore' to accept the truncated peel."
         )
     return edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("core_degree"))
 

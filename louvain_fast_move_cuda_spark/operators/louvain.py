@@ -180,8 +180,10 @@ def louvain(
     ``"arrow"`` with the CSR-blocked mapInPandas kernel
     (operators/louvain_arrow.py — the HASH mode) — two fewer shuffles
     per round. ``"adaptive"`` re-expresses the reference's
-    ADAPTIVE_SPEED policy (phaseOptimization.cuh:125-146): rounds 1..4
-    of each level run the df plan (early rounds move most vertices, so
+    ADAPTIVE_SPEED policy (phaseOptimization.cuh:125-146): rounds 0..4
+    (the first five — the code's ``rnd > 4`` matches the reference's
+    ``execution_number > adaptive``) of each level run the df plan
+    (early rounds move most vertices, so
     the shuffle pre-agg's map-side combine wins), later rounds the
     arrow kernel (small frontiers — partition-local argmax avoids two
     shuffles of a shrinking candidate set). All modes produce

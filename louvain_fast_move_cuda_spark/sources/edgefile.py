@@ -12,11 +12,12 @@ Spark-first: ``spark.read.text`` → split/try_cast/filter — every line
 parses independently, so the scan distributes over any number of file
 splits and the parse stays whole-stage-codegen (no Python). Blank and
 comment lines (`#`, `%` — common in SNAP/KONECT dumps) are dropped
-declaratively. ``skip_lines`` (exact reference semantics: drop the first
-N physical lines) is the one imperative bit: line position is a
-file-order concept DataFrames don't model, so it drops those lines in
-partition 0 of each file via mapPartitionsWithIndex — still streaming,
-never collected.
+declaratively. ``skip_lines`` (exact reference semantics: drop the
+first N physical lines of every input file) is the one imperative bit:
+line position is a file-order concept DataFrames don't model, so it
+reads via the Hadoop text format whose record key IS the in-file byte
+offset, and drops the first N records of each file's offset-0 split —
+still streaming, never collected.
 """
 
 from __future__ import annotations
@@ -48,22 +49,37 @@ def read_edge_file(
     """
     lines = spark.read.text(path)
     if skip_lines > 0:
-        # a text split at byte offset 0 holds each file's first lines in
-        # order; later splits can't contain them. rdd round-trip keeps the
-        # schema (value: string) and stays fully streaming.
+        # PER-FILE header skip. spark.read.text exposes neither the file
+        # nor the byte offset a partition starts at, so go to the Hadoop
+        # text input format directly: each record is (byte offset within
+        # its file, line) and each partition is one FileSplit of ONE
+        # file — the split whose first record sits at offset 0 holds
+        # that file's head. Dropping the first N records of exactly
+        # those splits skips N lines of EVERY input file (directory and
+        # glob paths included), not just one of them. Headers are
+        # assumed to fit the file's first split (< maxPartitionBytes —
+        # trivially true for real edge-file headers). Still fully
+        # streaming: nothing is collected.
         sc = spark.sparkContext
         n_skip = skip_lines
+        pairs = sc.newAPIHadoopFile(
+            path,
+            "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+            "org.apache.hadoop.io.LongWritable",
+            "org.apache.hadoop.io.Text",
+        )
 
-        def drop_head(idx, it):
-            if idx == 0:
-                for i, row in enumerate(it):
-                    if i >= n_skip:
-                        yield row
-            else:
-                yield from it
+        def drop_head(it):
+            is_head_split = None
+            for i, (off, line) in enumerate(it):
+                if is_head_split is None:
+                    is_head_split = off == 0
+                if is_head_split and i < n_skip:
+                    continue
+                yield (line,)
 
         lines = spark.createDataFrame(
-            lines.rdd.mapPartitionsWithIndex(drop_head, preservesPartitioning=True),
+            pairs.mapPartitions(drop_head, preservesPartitioning=True),
             lines.schema,
         )
     toks = F.split(F.trim(F.col("value")), r"\s+")

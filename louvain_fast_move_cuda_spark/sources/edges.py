@@ -183,6 +183,8 @@ def build_graph(
     agg = edges.agg(
         F.sum("weight").alias("w2"), (F.max("dst")).alias("maxid")
     ).collect()[0]
-    m = float(agg["w2"]) / 2.0
+    # sum() over zero edges is NULL — an empty edge set is a valid graph
+    # (e.g. dedup_clusters over a corpus with no LSH candidate pairs)
+    m = float(agg["w2"]) / 2.0 if agg["w2"] is not None else 0.0
     n_nodes = int(agg["maxid"]) + 1 if agg["maxid"] is not None else 0
     return GraphTables(edges=edges, vertices=verts, m=m, n_nodes=n_nodes)

@@ -166,3 +166,18 @@ def test_edge_file_skip_lines_comments_and_weighted(spark, tmp_path):
     # without skip_lines the header would parse as edge (10000, 3)
     raw2 = read_edge_file(spark, str(p), weighted=True)
     assert (10000, 3, 1.0) in {(r.a, r.b, r.weight) for r in raw2.collect()}
+
+
+def test_edge_file_skip_lines_per_file(spark, tmp_path):
+    """skip_lines must drop the header of EVERY input file when the path
+    is a directory — a numeric header like '10000 3' in a second file
+    must not parse as a bogus edge."""
+    from louvain_fast_move_cuda_spark.sources.edgefile import read_edge_file
+
+    d = tmp_path / "edges"
+    d.mkdir()
+    (d / "a.edge").write_text("10000 3\n0 1\n1 2\n")
+    (d / "b.edge").write_text("20000 5\n2 3\n3 4\n")
+    raw = read_edge_file(spark, str(d), skip_lines=1)
+    rows = sorted((r.a, r.b) for r in raw.collect())
+    assert rows == [(0, 1), (1, 2), (2, 3), (3, 4)]

@@ -132,3 +132,34 @@ def test_dedup_clusters_transitive(spark):
     assert got[7] == (7, True) and got[8] == (7, False) and got[9] == (7, False)
     for v in (0, 4, 5, 6, 10):
         assert got[v] == (v, True)
+
+
+def test_dedup_clusters_empty_pairs_all_singletons(spark):
+    """Zero LSH candidate pairs is a valid outcome (small corpus, high
+    band_bits): every doc must come back as its own singleton canonical
+    cluster instead of crashing on the empty-graph NULL weight sum."""
+    from louvain_fast_move_cuda_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    all_ids = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    got = {r.doc_id: (r.cluster_id, r.is_canonical)
+           for r in dedup_clusters(pairs, all_ids).collect()}
+    assert got == {i: (i, True) for i in range(5)}
+
+
+def test_k_core_truncation_guard(spark):
+    """A max_rounds cap that stops before the fixpoint must raise (the
+    truncated peel is a superset of the k-core), unless the caller
+    explicitly opts into the truncated result."""
+    import pytest
+
+    # triangle + 3-edge tail: k=2 peeling needs 3 rounds to strip the tail
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5)]
+    g = _gt(spark, edges)
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        k_core(g, k=2, max_rounds=1)
+    got = {r.id for r in k_core(g, k=2, max_rounds=1, on_truncate="ignore").collect()}
+    assert got > {0, 1, 2}  # strict superset: tail not fully peeled yet
+    # converged runs are unaffected by the default
+    full = {r.id: r.core_degree for r in k_core(g, k=2).collect()}
+    assert full == {0: 2, 1: 2, 2: 2}
