@@ -80,40 +80,47 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kmeans_iters: int = 2,
+    train_max: int = 4096,
 ) -> tuple[DataFrame, DataFrame]:
-    """Deterministic IVF index: hash-seeded centroids refined by
-    ``kmeans_iters`` Lloyd iterations (spherical k-means: assign by
-    cosine, recenter on the per-cluster mean — cosine normalizes, so the
-    mean direction is the spherical centroid). Assignment = argmax cosine
-    to a centroid (broadcast join, no shuffle of the corpus); each Lloyd
-    recenter is ONE map-side-combinable groupBy(cid) producing C rows.
+    """Deterministic IVF index: hash-sampled training set, farthest-first
+    seeds, ``kmeans_iters`` Lloyd iterations (spherical k-means: assign
+    by cosine, recenter on the per-cluster mean), then ONE full-corpus
+    assignment (argmax cosine against the broadcast centroids — no
+    shuffle of the corpus).
 
-    Seeds: hash-order oversample of 4C candidate vectors (distributed
-    top-4C — ``orderBy().limit()`` compiles to TakeOrderedAndProject:
-    per-partition top-k then a 4C-row merge on the driver, NOT a global
-    single-partition window), thinned to C by farthest-first traversal
-    on the driver (greedy max-min cosine distance — the k-means++ idea,
-    deterministic). Plain hash seeds can land two seeds in one cluster
-    and none in another, merging cells that Lloyd alone can never split;
-    farthest-first spreads them, and the Lloyd iterations then pull them
-    onto the actual cluster means.
+    Cost shape (the 100 TB property): Lloyd refinement runs on a
+    deterministic hash-ordered sample of ``train_max`` vectors held on
+    the driver — O(train_max · C · iters) NumPy work independent of
+    corpus size — so the corpus itself is scanned exactly TWICE: once by
+    the sampling top-k (TakeOrderedAndProject: per-partition top-k, then
+    a train_max-row driver merge — scan-only, no shuffle) and once by
+    the final assignment. (Previously each Lloyd iteration re-assigned
+    the full corpus: kmeans_iters+1 corpus×centroid passes.)
+
+    Seeds: the sample's first 4C hash-order rows thinned to C by
+    farthest-first traversal (greedy max-min cosine distance — the
+    k-means++ idea, deterministic). Plain hash seeds can land two seeds
+    in one cluster and none in another, merging cells that Lloyd alone
+    can never split; farthest-first spreads them, and the Lloyd
+    iterations then pull them onto the actual cluster means.
 
     Returns (centroids(cid, cv), assigned(id, vec, cid)).
     """
+    import numpy as np
+
     spark = corpus.sparkSession
-    top = (
+    sample = (
         corpus.select(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000_007)).alias("_h"),
             F.col(id_col).alias("_id"),
             F.col(vec_col).alias("cv"),
         )
         .orderBy("_h", "_id")
-        .limit(4 * n_centroids)
+        .limit(max(train_max, 4 * n_centroids))
         .collect()
     )
+    top = sample[: 4 * n_centroids]
     if len(top) > n_centroids:
-        import numpy as np
-
         cand = np.asarray([r["cv"] for r in top], dtype=np.float64)
         nrm = np.linalg.norm(cand, axis=1)
         nrm[nrm == 0] = 1.0
@@ -125,30 +132,31 @@ def ivf_assign(
             nxt = int(np.argmin(best_sim))  # farthest from the picked set
             picked.append(nxt)
             best_sim = np.maximum(best_sim, unit @ unit[nxt])
-        top = [top[i] for i in picked]
+        seeds = [top[i]["cv"] for i in picked]
+    else:
+        seeds = [r["cv"] for r in top]
+    cents_np = np.asarray([list(v) for v in seeds], dtype=np.float64)
+    if kmeans_iters > 0 and len(sample) and len(seeds) > 1:
+        train = np.asarray([list(r["cv"]) for r in sample], dtype=np.float64)
+        tn = np.linalg.norm(train, axis=1)
+        tn[tn == 0] = 1.0
+        t_unit = train / tn[:, None]
+        for _ in range(kmeans_iters):
+            cn = np.linalg.norm(cents_np, axis=1)
+            cn[cn == 0] = 1.0
+            # argmax over cosine; np.argmax keeps the FIRST max — the
+            # same (sim desc, cid asc) tie-break as _assign_to_centroids
+            assign = np.argmax(t_unit @ (cents_np / cn[:, None]).T, axis=1)
+            for c in range(len(cents_np)):
+                members = train[assign == c]
+                if len(members):  # empty cluster keeps its previous centroid
+                    cents_np[c] = members.mean(axis=0)
     vec_type = corpus.schema[vec_col].dataType.simpleString()
     cents = spark.createDataFrame(
-        [(i, r["cv"]) for i, r in enumerate(top)], schema=f"cid int, cv {vec_type}"
+        [(i, [float(x) for x in cv]) for i, cv in enumerate(cents_np)],
+        schema=f"cid int, cv {vec_type}",
     )
     corpus_iv = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    if kmeans_iters > 0:
-        dims = len(top[0]["cv"]) if top else 0
-        for _ in range(kmeans_iters):
-            assigned = _assign_to_centroids(corpus_iv, cents)
-            # per-cluster elementwise mean: one groupBy(cid) with `dims`
-            # avg columns (partial+final HashAggregate) -> C tiny rows
-            means = (
-                assigned.groupBy("cid")
-                .agg(*[F.avg(F.element_at("vec", d + 1)).alias(f"d{d}") for d in range(dims)])
-                .collect()
-            )
-            by_cid = {r["cid"]: [r[f"d{d}"] for d in range(dims)] for r in means}
-            # empty clusters keep their previous centroid (standard Lloyd)
-            prev = {r["cid"]: r["cv"] for r in cents.collect()}
-            cents = spark.createDataFrame(
-                [(i, by_cid.get(i, prev[i])) for i in sorted(prev)],
-                schema=f"cid int, cv {vec_type}",
-            )
     assigned = _assign_to_centroids(corpus_iv, cents)
     return cents, assigned
 
@@ -156,11 +164,19 @@ def ivf_assign(
 def ivf_probes(
     cents: DataFrame,
     queries: DataFrame,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(query_id, qv, cid) — each query's `nprobe` nearest centroid cells."""
+    """(query_id, qv, cid) — each query's `nprobe` nearest centroid cells.
+
+    ``nprobe=None`` scales with the index: C/2 (min 1). A fixed small
+    default (the round-2 nprobe=4 at C=16) gave 0.55 recall@10 on
+    uniform embeddings — the probe count must track the cell count or
+    recall silently decays as C grows.
+    """
+    if nprobe is None:
+        nprobe = max(1, cents.count() // 2)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     q_probe = (
         q.crossJoin(F.broadcast(cents))
@@ -197,13 +213,17 @@ def ivf_topk(
     queries: DataFrame,
     k: int = 10,
     n_centroids: int = 16,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kmeans_iters: int = 2,
+    train_max: int = 4096,
 ) -> DataFrame:
     """Approximate top-k: search only the query's `nprobe` nearest centroid
-    partitions. Same output schema as brute_force_topk."""
-    cents, assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, kmeans_iters)
+    partitions (default nprobe = n_centroids/2 — see ivf_probes). Same
+    output schema as brute_force_topk."""
+    if nprobe is None:
+        nprobe = max(1, n_centroids // 2)
+    cents, assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, kmeans_iters, train_max)
     probes = ivf_probes(cents, queries, nprobe, id_col, vec_col)
     return topk_within_cells(assigned, probes, k)
