@@ -169,6 +169,7 @@ def louvain(
     local_finish_max_edges: int = 5_000_000,
     skew_salt_buckets: int | None = None,
     max_levels: int | None = None,
+    memory_budget_rows: int = 50_000_000,
 ) -> LouvainResult:
     """Run Louvain to convergence. ``graph`` from sources.edges.build_graph.
 
@@ -186,7 +187,19 @@ def louvain(
     (early rounds move most vertices, so
     the shuffle pre-agg's map-side combine wins), later rounds the
     arrow kernel (small frontiers — partition-local argmax avoids two
-    shuffles of a shrinking candidate set). All modes produce
+    shuffles of a shrinking candidate set). ``"adaptive_memory"``
+    re-expresses ADAPTIVE_MEMORY (constants.h:13): the reference runs
+    the hash engine from round 1 like HASH mode (phaseOptimization.cuh:
+    135) but keeps the memory-lean sort path for the aggregation phase
+    (phaseAggregation.cuh:51) — its point is to use hashing only where
+    the table fits device memory. Spark analogue: rounds >= 1 run the
+    arrow kernel only while the level's candidate upper bound (its
+    directed edge count) fits ``memory_budget_rows`` (default = the
+    reference's 50M-edge chunk, STEP_ROUND constants.h:18); above the
+    budget the df sort-agg plan runs instead, because it spills to disk
+    gracefully where a single oversized Arrow batch cannot. (Coarsening
+    always uses the groupBy plan — Catalyst's HashAggregateExec already
+    owns the hash-to-sort memory fallback there.) All modes produce
     bit-identical moves on integer-weight graphs (cross-mode test
     mirrors the reference's HASH-vs-SORT agreement check,
     main.cu:20-39).
@@ -213,8 +226,10 @@ def louvain(
     weights are integer-valued float64 sums, so the two-stage plan is
     bit-identical to the single-stage one.
     """
-    if mode not in ("df", "arrow", "adaptive"):
-        raise ValueError(f"mode must be 'df', 'arrow' or 'adaptive', got {mode!r}")
+    if mode not in ("df", "arrow", "adaptive", "adaptive_memory"):
+        raise ValueError(
+            f"mode must be 'df', 'arrow', 'adaptive' or 'adaptive_memory', got {mode!r}"
+        )
     spark = graph.edges.sparkSession
     m = graph.m
     if m <= 0:
@@ -325,6 +340,13 @@ def louvain(
             )
 
         q_level_start = q if resume_q_level_start is None else resume_q_level_start
+        # ADAPTIVE_MEMORY dispatch (phaseOptimization.cuh:135 + the
+        # memory rationale behind constants.h:13): arrow (hash) only
+        # while this level's candidate upper bound fits the budget; one
+        # cheap count per level against the already-checkpointed est
+        mem_fits = True
+        if mode == "adaptive_memory":
+            mem_fits = est.count() <= memory_budget_rows
         # per-level skew decision: coarsening concentrates weight, so hub
         # skew can appear (or vanish) between levels; total degree is the
         # invariant 2m, max degree is one cheap agg per level
@@ -361,8 +383,12 @@ def louvain(
             # per-round engine choice (C3): ADAPTIVE_SPEED switches from
             # SORT to HASH after round `adaptive` within each level
             # (phaseOptimization.cuh:125-146)
-            use_arrow = mode == "arrow" or (
-                mode == "adaptive" and rnd > ADAPTIVE_SORT_ROUNDS
+            use_arrow = (
+                mode == "arrow"
+                or (mode == "adaptive" and rnd > ADAPTIVE_SORT_ROUNDS)
+                # ADAPTIVE_MEMORY swaps to hash at execution_number == 1
+                # (phaseOptimization.cuh:125), budget permitting
+                or (mode == "adaptive_memory" and rnd >= 1 and mem_fits)
             )
             if use_arrow:
                 moves = arrow_round_moves(
@@ -444,7 +470,10 @@ def louvain(
             )
             new_est = _apply_moves(est, moves, "src", "cs", bcast)
             new_est = _apply_moves(new_est, moves, "dst", "cd", bcast)
-            if mode in ("arrow", "adaptive") and not bcast:
+            if (
+                mode in ("arrow", "adaptive")
+                or (mode == "adaptive_memory" and mem_fits)
+            ) and not bcast:
                 # the shuffle join on dst broke src-colocation; the Arrow
                 # kernel needs the CSR-block invariant back
                 new_est = new_est.repartition(npart, "src")

@@ -53,6 +53,19 @@ def test_louvain_arrow_mode_matches_df_mode(spark):
     )
     assert _labels(res_ad) == _labels(res_df)
     assert res_ad.modularity == res_df.modularity
+    # ADAPTIVE_MEMORY (constants.h:13): hash from round 1 while the
+    # level's candidate bound fits the memory budget, sort-agg above it.
+    # Both budget regimes must agree with the other engines exactly:
+    # a huge budget == HASH dispatch, budget 0 == always the df plan.
+    for budget in (10**9, 0):
+        res_am = louvain(
+            build_graph(raw, relabel=False),
+            mode="adaptive_memory",
+            local_finish_max_edges=0,
+            memory_budget_rows=budget,
+        )
+        assert _labels(res_am) == _labels(res_df), f"budget={budget}"
+        assert res_am.modularity == res_df.modularity, f"budget={budget}"
 
 
 def test_local_finish_matches_distributed(spark):
