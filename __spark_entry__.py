@@ -255,8 +255,17 @@ def q_louvain_local(spark, sf_dir):
 
 
 def q_pagerank(spark, sf_dir):
+    """Tol-convergent PageRank (the user-facing variant) — exact oracle
+    row since round 3: the SQL unrolls max_iter supersteps AND mirrors
+    the engine's stopping rule (adopt the new ranks, then stop at the
+    first iteration whose L1 delta < tol, else run all max_iter), so
+    early stopping no longer forces a rows-only check. tol=1e-4 is
+    chosen to genuinely trigger the early exit within max_iter at
+    sf=0.01 (L1 decays ~0.85^k), exercising the selection logic rather
+    than degenerating into the fixed-iteration case."""
     _, _, g = _graph(spark, sf_dir)
-    return pagerank(g, max_iter=20, tol=1e-8)
+    pr = pagerank(g, max_iter=60, tol=1e-4)
+    return pr.select("id", F.round("rank", 9).alias("rank_r9"))
 
 
 def q_pagerank_fixed20(spark, sf_dir):
@@ -755,6 +764,52 @@ pr{i + 1} AS MATERIALIZED (
     )
 
 
+def _pagerank_converge_sql(max_iters: int, tol: float) -> str:
+    """Unroll operators/pagerank.py's supersteps WITH its early-exit rule.
+
+    All ``max_iters`` iterations are computed (SQL has no control flow),
+    along with each iteration's L1 delta sum(abs(new-old)); the output
+    then selects the first iteration whose L1 < tol — else the last —
+    which is exactly the engine's stopping rule (new ranks are adopted
+    before the check, pagerank.py:114-125). Both engines therefore pick
+    the same iteration K and compare round(rank, 9) at K. The only
+    theoretical divergence is an L1 value within float-summation noise
+    (~1e-15) of tol flipping K across engines — vanishingly unlikely at
+    tol=1e-4 and accepted like the existing r9 rounding boundaries."""
+    parts = [
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg)",
+        """shares AS MATERIALIZED (
+  SELECT s.src, s.dst, s.weight / d.k AS share FROM sym s JOIN deg d ON s.src = d.id)""",
+        "pr0 AS MATERIALIZED (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM deg)",
+    ]
+    for i in range(max_iters):
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT sh.dst AS id, sum(sh.share * p.rank) AS insum
+  FROM shares sh JOIN pr{i} p ON sh.src = p.id GROUP BY sh.dst),
+pr{i + 1} AS MATERIALIZED (
+  SELECT d.id, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c.insum, 0.0) AS rank
+  FROM deg d LEFT JOIN c{i} c ON d.id = c.id),
+d{i + 1} AS MATERIALIZED (
+  SELECT sum(abs(n.rank - p.rank)) AS l1 FROM pr{i + 1} n JOIN pr{i} p ON n.id = p.id)"""
+        )
+    tall = "\nUNION ALL ".join(
+        f"SELECT {i} AS it, id, rank FROM pr{i}" for i in range(1, max_iters + 1)
+    )
+    deltas = "\nUNION ALL ".join(
+        f"SELECT {i} AS it, l1 FROM d{i}" for i in range(1, max_iters + 1)
+    )
+    parts.append(f"tall AS ({tall})")
+    parts.append(
+        f"stop AS (SELECT coalesce(min(it), {max_iters}) AS k FROM ({deltas}) WHERE l1 < {tol!r})"
+    )
+    return (
+        f"{_GRAPH_CTE},\n"
+        + ",\n".join(parts)
+        + "\nSELECT id, round(rank, 9) AS rank_r9 FROM tall WHERE it = (SELECT k FROM stop)"
+    )
+
+
 def _k_core_sql(k: int, rounds: int) -> str:
     """Unrolled peeling rounds (operators/graphstats.py::k_core).
 
@@ -923,6 +978,7 @@ FROM nonadj GROUP BY u, v
         "label_propagation": _lpa_sql(rounds=5),
         "label_propagation_local": _lpa_sql(rounds=5),
         "pagerank_fixed20": _pagerank_sql(iters=20),
+        "pagerank": _pagerank_converge_sql(max_iters=60, tol=1e-4),
         "cc_reply": f"""
 WITH {_T.strip()}, {_IDS.strip()}
 SELECT vid AS id, min(vid) OVER (PARTITION BY conv_id) AS component FROM ids
