@@ -240,6 +240,33 @@ def q_lpa_one_round(spark, sf_dir):
     return label_propagation(g, max_iter=1, local_max_edges=0)
 
 
+_LEVEL0_ROUNDS = 8
+
+
+def q_louvain_level0(spark, sf_dir):
+    """The flagship fast-local-move inner loop (phaseOptimization.cuh:
+    158-181) with a hard driver-oracle row: level 0 of the DISTRIBUTED
+    engine, dq-threshold stop disabled (threshold=-1 — the loop stops on
+    n_moves==0 or the round cap) and exactly _LEVEL0_ROUNDS scored
+    rounds, mirrored round-for-round by unrolled SQL
+    (_louvain_level0_sql). Rounds past the natural n_moves==0 fixpoint
+    are identity on BOTH sides (empty move set -> empty frontier ->
+    empty move set), so the cap and the fixpoint commute and the round
+    count needn't match natural convergence. Output = the level's
+    flattened labels (dense relabel of surviving communities in
+    community-id order), integer-exact."""
+    _, _, g = _graph(spark, sf_dir)
+    res = louvain(
+        g,
+        threshold=-1.0,
+        early_stop_limit=_LEVEL0_ROUNDS - 1,
+        max_levels=1,
+        local_finish_max_edges=0,
+        mode="df",
+    )
+    return res.labels
+
+
 def q_louvain(spark, sf_dir):
     # distributed supersteps end-to-end (local_finish_max_edges=0); the
     # adaptive local-tail variant is louvain_communities_local below
@@ -496,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # unrolled-round SQL). The unsuffixed names run the DISTRIBUTED
         # plans; *_local run the adaptive driver-tail path (identical
         # output — parity is also pytest-proven)
+        "louvain_level0": q_louvain_level0,
         "louvain_communities": q_louvain,
         "louvain_communities_local": q_louvain_local,
         "pagerank": q_pagerank,
@@ -764,6 +792,109 @@ pr{i + 1} AS MATERIALIZED (
     )
 
 
+def _louvain_level0_sql(rounds: int) -> str:
+    """Unroll the level-0 fast-local-move inner loop of
+    operators/louvain.py (reference: phaseOptimization.cuh:158-181;
+    round-0 fast path + `node < c` guard phaseOptimizationSort.cu:28-158,
+    phaseOptimizationUpdate.cu:82-115) into chained CTEs.
+
+    Per round r >= 1, exactly the engine's df plan: frontier semi-join
+    (sources of edges whose dst moved last round into a community
+    different from src's, POST-move state), per-(node, dst-community)
+    weight sum A3, self-community window A5, delta-Q F1 with the same
+    IEEE expression tree as functions/modularity.py::delta_q
+    ((wnc - selfw)/m + k*(ctot_a - k - ctot_c)/(2.0*m*m), all
+    left-associated like the Python/Catalyst expressions), argmax with
+    the canonical (delta DESC, community ASC) tie-break A6, and the
+    positive-gain + changed-community move filter. Round 0 is the fast
+    path: each edge is its own candidate, selfw = 0, Σ_tot = k, and only
+    node < newc moves apply.
+
+    All compared quantities are integers or integer-valued float64 sums
+    (weights are link counts), so every aggregate is exact under any
+    association order, and delta comparisons are bit-identical because
+    both engines evaluate the identical expression tree on identical
+    inputs. Final output = the aggregation phase's label flatten: dense
+    0-based relabel of surviving (Σ_tot > 0) communities in
+    community-id order (phaseAggregation.cuh:28-49, community.h:48-55).
+    """
+    parts = [
+        "mm AS MATERIALIZED (SELECT sum(weight) / 2.0 AS m FROM sym)",
+        "v0 AS MATERIALIZED (SELECT id, k, id AS comm FROM deg)",
+        # ---- round 0: fast path (singleton communities) ----
+        """mv0 AS MATERIALIZED (
+  SELECT node, c AS newc FROM (
+    SELECT e.src AS node, e.dst AS c,
+           (e.weight - 0.0) / mm.m
+             + (ks.k * (ks.k - ks.k - kd.k)) / (2.0 * mm.m * mm.m) AS delta,
+           row_number() OVER (PARTITION BY e.src ORDER BY
+             (e.weight - 0.0) / mm.m
+               + (ks.k * (ks.k - ks.k - kd.k)) / (2.0 * mm.m * mm.m) DESC,
+             e.dst ASC) AS rn
+    FROM sym e
+    JOIN deg ks ON e.src = ks.id
+    JOIN deg kd ON e.dst = kd.id
+    CROSS JOIN mm
+    WHERE e.src <> e.dst
+  ) WHERE rn = 1 AND delta > 0 AND node < c)""",
+        """v1 AS MATERIALIZED (
+  SELECT v.id, v.k, coalesce(m.newc, v.comm) AS comm
+  FROM v0 v LEFT JOIN mv0 m ON v.id = m.node)""",
+    ]
+    for r in range(1, rounds):
+        parts.append(
+            f"""cw{r} AS MATERIALIZED (SELECT comm, sum(k) AS ctot FROM v{r} GROUP BY comm),
+f{r} AS MATERIALIZED (
+  SELECT DISTINCT e.src FROM sym e
+  JOIN mv{r - 1} mv ON e.dst = mv.node
+  JOIN v{r} vs ON e.src = vs.id
+  JOIN v{r} vd ON e.dst = vd.id
+  WHERE vs.comm <> vd.comm),
+pairs{r} AS MATERIALIZED (
+  SELECT e.src AS node, vd.comm AS cd, sum(e.weight) AS wnc,
+         min(vs.comm) AS cs, min(ks.k) AS k_src
+  FROM sym e
+  JOIN f{r} f ON e.src = f.src
+  JOIN v{r} vs ON e.src = vs.id
+  JOIN v{r} vd ON e.dst = vd.id
+  JOIN deg ks ON e.src = ks.id
+  WHERE e.src <> e.dst
+  GROUP BY e.src, vd.comm),
+selfp{r} AS MATERIALIZED (
+  SELECT node, cd, wnc, cs, k_src,
+         coalesce(sum(CASE WHEN cd = cs THEN wnc END)
+                  OVER (PARTITION BY node), 0.0) AS selfw
+  FROM pairs{r}),
+mv{r} AS MATERIALIZED (
+  SELECT node, cd AS newc FROM (
+    SELECT p.node, p.cd, p.cs,
+           (p.wnc - p.selfw) / mm.m
+             + (p.k_src * (ca.ctot - p.k_src - cc.ctot)) / (2.0 * mm.m * mm.m) AS delta,
+           row_number() OVER (PARTITION BY p.node ORDER BY
+             (p.wnc - p.selfw) / mm.m
+               + (p.k_src * (ca.ctot - p.k_src - cc.ctot)) / (2.0 * mm.m * mm.m) DESC,
+             p.cd ASC) AS rn
+    FROM selfp{r} p
+    JOIN cw{r} ca ON p.cs = ca.comm
+    JOIN cw{r} cc ON p.cd = cc.comm
+    CROSS JOIN mm
+  ) WHERE rn = 1 AND delta > 0 AND cd <> cs),
+v{r + 1} AS MATERIALIZED (
+  SELECT v.id, v.k, coalesce(m.newc, v.comm) AS comm
+  FROM v{r} v LEFT JOIN mv{r} m ON v.id = m.node)"""
+        )
+    return (
+        f"{_GRAPH_CTE},\n"
+        + ",\n".join(parts)
+        + f""",
+cwF AS (SELECT comm, sum(k) AS ctot FROM v{rounds} GROUP BY comm),
+surv AS (SELECT comm, row_number() OVER (ORDER BY comm) - 1 AS newid
+         FROM cwF WHERE ctot > 0)
+SELECT v.id AS orig_id, s.newid AS community
+FROM v{rounds} v JOIN surv s ON v.comm = s.comm"""
+    )
+
+
 def _pagerank_converge_sql(max_iters: int, tol: float) -> str:
     """Unroll operators/pagerank.py's supersteps WITH its early-exit rule.
 
@@ -973,6 +1104,7 @@ nonadj AS (
 SELECT u, v, count(*) AS common_neighbors, round(sum(contrib), 9) AS aa_r9
 FROM nonadj GROUP BY u, v
 """,
+        "louvain_level0": _louvain_level0_sql(rounds=_LEVEL0_ROUNDS),
         "cc_full": _cc_star_sql(rounds=8),
         "cc_full_local": _cc_star_sql(rounds=8),
         "label_propagation": _lpa_sql(rounds=5),
