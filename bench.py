@@ -49,6 +49,28 @@ def _exec_mem_mb(val: str) -> int:
     return int(v)  # bare number = MB (the local-cluster convention)
 
 
+def _shuffle_totals(spark):
+    """(shuffle_read_bytes, shuffle_write_bytes) summed over completed
+    stages, from the Spark UI monitoring REST API (a public, stable
+    API). None on any failure (UI disabled, port race, ...) — metrics
+    must never kill a leg."""
+    try:
+        import json as _json
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        url = f"{base}/api/v1/applications/{app}/stages?status=COMPLETE"
+        with urllib.request.urlopen(url, timeout=10) as r:
+            stages = _json.loads(r.read().decode())
+        return (
+            sum(s.get("shuffleReadBytes", 0) for s in stages),
+            sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        )
+    except Exception:
+        return None
+
+
 def _sf(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -85,12 +107,17 @@ def run_suite(names: list[str] | None, scaling_convs: int | None = None) -> dict
 
     master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{CPUS}]")
     extra_conf = None
+    if os.environ.get("SPARK_GRAFT_UI") == "1":
+        # the UI (off by default: session.py) carries the monitoring
+        # REST API that _shuffle_totals reads; scaling legs turn it on
+        extra_conf = {"spark.ui.enabled": "true"}
     if master.startswith("local-cluster"):
         # local-cluster[W,C,M]: W worker JVMs x C cores — the closest this
         # sandbox gets to executor-count (not core-count) scaling
-        extra_conf = {
-            "spark.executor.memory": f"{_exec_mem_mb(os.environ.get('SPARK_GRAFT_EXEC_MEM', '8g'))}m"
-        }
+        extra_conf = dict(extra_conf or {})
+        extra_conf["spark.executor.memory"] = (
+            f"{_exec_mem_mb(os.environ.get('SPARK_GRAFT_EXEC_MEM', '8g'))}m"
+        )
         local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
         if local_dir:
             # e.g. /dev/shm/spark: keep shuffle files off the disk path
@@ -182,9 +209,11 @@ def run_suite(names: list[str] | None, scaling_convs: int | None = None) -> dict
         # scaling-leg mode: ONLY the distributed level-0 optimization
         # rounds (max_levels=1, no local tail) — the regime the N->4N
         # efficiency number is about; everything else is leg overhead
+        sh_before = _shuffle_totals(spark)
         t0 = time.time()
         res = louvain(g, mode=LOUVAIN_MODE, local_finish_max_edges=0, max_levels=1)
         timings["louvain_lvl0"] = time.time() - t0
+        sh_after = _shuffle_totals(spark)
         lvl0 = [mt for mt in res.metrics if mt.get("round", -1) >= 0]
         lvl0_sec = sum(mt["sec"] for mt in lvl0)
         extra["louvain_lvl0_rounds"] = len(lvl0)
@@ -192,6 +221,17 @@ def run_suite(names: list[str] | None, scaling_convs: int | None = None) -> dict
             n_directed * len(lvl0) / lvl0_sec if lvl0_sec > 0 else 0.0
         )
         extra["louvain_lvl0_q"] = res.modularity
+        if sh_before is not None and sh_after is not None and lvl0:
+            # per-round shuffle volume: separates "fixed per-round
+            # latency amortizing" from "shuffle bytes saturating the
+            # bus" when reading the scaling table (BENCH.md)
+            rd = sh_after[0] - sh_before[0]
+            wr = sh_after[1] - sh_before[1]
+            extra["louvain_lvl0_shuffle_read_bytes"] = rd
+            extra["louvain_lvl0_shuffle_write_bytes"] = wr
+            extra["louvain_lvl0_shuffle_mb_per_round"] = round(
+                (rd + wr) / (1024 * 1024) / len(lvl0), 2
+            )
         if names is not None and names == {"louvain_lvl0"}:
             # scaling legs parse these two keys; only publish them when
             # this is the sole query so they can't clobber the adaptive
@@ -402,6 +442,7 @@ def main():
                 SPARK_GRAFT_CPUS=str(8 * workers),
                 SPARK_GRAFT_MASTER=f"local-cluster[{workers},8,{mem_mb}]",
                 SPARK_GRAFT_SCALING_EDGES=graph_dir,
+                SPARK_GRAFT_UI="1",  # REST metrics: shuffle bytes/round
             )
             sys.stderr.write(f"LEG {i} START workers={workers} t={time.time():.0f}\n")
             sys.stderr.flush()
@@ -453,6 +494,10 @@ def main():
             "louvain_lvl0_sec": {
                 "1x8": results[1]["distributed_sec"]["louvain_lvl0"],
                 "4x8": results[4]["distributed_sec"]["louvain_lvl0"],
+            },
+            "shuffle_mb_per_round": {
+                "1x8": results[1].get("louvain_lvl0_shuffle_mb_per_round"),
+                "4x8": results[4].get("louvain_lvl0_shuffle_mb_per_round"),
             },
         }))
         return
