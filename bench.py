@@ -432,15 +432,32 @@ def main():
                 check=True,
             )
             time.sleep(60)  # cool down after the build burst
+        # Per-ARM executor memory, e.g. "1:20g,4:10g". Needed above ~40M
+        # edges on this 128 GB box: the 1-worker arm must hold the whole
+        # working set in ONE executor (starves below ~20g), while 4x20g
+        # heaps + shuffle + page cache exceed host RAM and collapse the
+        # 4-worker arm (measured: 0.6M e/s/iter at 4x20g vs 1.9M at
+        # 4x10g on identical input). Giving the 4x arm LESS per-executor
+        # memory makes the measured efficiency a conservative lower
+        # bound w.r.t. the equal-memory fairness concern.
+        per_arm_mem = {}
+        mems_env = os.environ.get("SPARK_GRAFT_SCALING_EXEC_MEMS")
+        if mems_env:
+            for part in mems_env.split(","):
+                w, mv = part.split(":")
+                per_arm_mem[int(w)] = mv
         results = {}
         for i, workers in enumerate(order):
             if i:
                 time.sleep(90)  # cool-down between legs
-            mem_mb = _exec_mem_mb(os.environ.get("SPARK_GRAFT_EXEC_MEM", "8g"))
+            mem_mb = _exec_mem_mb(
+                per_arm_mem.get(workers, os.environ.get("SPARK_GRAFT_EXEC_MEM", "8g"))
+            )
             env = dict(
                 os.environ,
                 SPARK_GRAFT_CPUS=str(8 * workers),
                 SPARK_GRAFT_MASTER=f"local-cluster[{workers},8,{mem_mb}]",
+                SPARK_GRAFT_EXEC_MEM=f"{mem_mb}m",
                 SPARK_GRAFT_SCALING_EDGES=graph_dir,
                 SPARK_GRAFT_UI="1",  # REST metrics: shuffle bytes/round
             )
