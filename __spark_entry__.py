@@ -267,6 +267,19 @@ def q_louvain_level0(spark, sf_dir):
     return res.labels
 
 
+def q_louvain_level0_coarse(spark, sf_dir):
+    """Optimize -> aggregate end-to-end: the coarse edge table built from
+    the level-0 labels (A8 edge merge over the dense relabel), exact
+    because merged weights are integer-valued sums. Together with
+    louvain_level0 this hard-oracles one full Louvain superstep cycle:
+    inner loop, label flatten, AND graph coarsening."""
+    labels = q_louvain_level0(spark, sf_dir).select(
+        F.col("orig_id").alias("id"), "community"
+    )
+    _, _, g = _graph(spark, sf_dir)
+    return aggregate_graph(g.edges, labels)
+
+
 def q_louvain(spark, sf_dir):
     # distributed supersteps end-to-end (local_finish_max_edges=0); the
     # adaptive local-tail variant is louvain_communities_local below
@@ -524,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plans; *_local run the adaptive driver-tail path (identical
         # output — parity is also pytest-proven)
         "louvain_level0": q_louvain_level0,
+        "louvain_level0_coarse": q_louvain_level0_coarse,
         "louvain_communities": q_louvain,
         "louvain_communities_local": q_louvain_local,
         "pagerank": q_pagerank,
@@ -883,15 +897,43 @@ v{r + 1} AS MATERIALIZED (
   SELECT v.id, v.k, coalesce(m.newc, v.comm) AS comm
   FROM v{r} v LEFT JOIN mv{r} m ON v.id = m.node)"""
         )
-    return (
+    body = (
         f"{_GRAPH_CTE},\n"
         + ",\n".join(parts)
         + f""",
 cwF AS (SELECT comm, sum(k) AS ctot FROM v{rounds} GROUP BY comm),
 surv AS (SELECT comm, row_number() OVER (ORDER BY comm) - 1 AS newid
-         FROM cwF WHERE ctot > 0)
+         FROM cwF WHERE ctot > 0)"""
+    )
+    return (
+        body
+        + f"""
 SELECT v.id AS orig_id, s.newid AS community
 FROM v{rounds} v JOIN surv s ON v.comm = s.comm"""
+    )
+
+
+def _louvain_level0_coarse_sql(rounds: int) -> str:
+    """The aggregation phase's A8 edge merge (phaseAggregation.cuh:53-104)
+    applied to the level-0 result: relabel both endpoints of the
+    directed-symmetric edge list through the flattened labels and merge
+    parallel edges by weight sum (self-loops kept — they carry the
+    intra-community weight, phaseAggregation.cuh:172). Certifies the
+    optimize -> aggregate pipeline end-to-end: weights are integer-valued
+    sums, so the coarse table is exact."""
+    labels_sql = _louvain_level0_sql(rounds)
+    # reuse the full level-0 unroll, swap the final projection
+    body = labels_sql.rsplit("\nSELECT v.id AS orig_id", 1)[0]
+    return (
+        body
+        + f"""
+SELECT ss.newid AS src, sd.newid AS dst, sum(e.weight) AS weight
+FROM sym e
+JOIN v{rounds} vs ON e.src = vs.id
+JOIN surv ss ON vs.comm = ss.comm
+JOIN v{rounds} vd ON e.dst = vd.id
+JOIN surv sd ON vd.comm = sd.comm
+GROUP BY 1, 2"""
     )
 
 
@@ -1105,6 +1147,7 @@ SELECT u, v, count(*) AS common_neighbors, round(sum(contrib), 9) AS aa_r9
 FROM nonadj GROUP BY u, v
 """,
         "louvain_level0": _louvain_level0_sql(rounds=_LEVEL0_ROUNDS),
+        "louvain_level0_coarse": _louvain_level0_coarse_sql(rounds=_LEVEL0_ROUNDS),
         "cc_full": _cc_star_sql(rounds=8),
         "cc_full_local": _cc_star_sql(rounds=8),
         "label_propagation": _lpa_sql(rounds=5),
