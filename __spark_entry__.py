@@ -280,6 +280,23 @@ def q_louvain_level0_coarse(spark, sf_dir):
     return aggregate_graph(g.edges, labels)
 
 
+def q_refine_buckets(spark, sf_dir):
+    """C9 refine phase (the reference's empty stub, phaseRefine.cuh:1-3;
+    semantics: Leiden connectivity guarantee, operators/refine.py) under
+    an adversarial partition — community = vid % 50, which packs many
+    disconnected parts into every community. Output community = min vid
+    reachable through intra-bucket edges; local_max_edges=0 certifies
+    the DISTRIBUTED star rounds over the restricted subgraph."""
+    from louvain_fast_move_cuda_spark.operators.refine import refine_partition
+
+    _, ids, g = _graph(spark, sf_dir)
+    labels = ids.select(
+        F.col("vid").alias("orig_id"),
+        F.pmod("vid", F.lit(50)).alias("community"),
+    )
+    return refine_partition(g, labels, local_max_edges=0)
+
+
 def q_louvain(spark, sf_dir):
     # distributed supersteps end-to-end (local_finish_max_edges=0); the
     # adaptive local-tail variant is louvain_communities_local below
@@ -538,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # output — parity is also pytest-proven)
         "louvain_level0": q_louvain_level0,
         "louvain_level0_coarse": q_louvain_level0_coarse,
+        "refine_buckets": q_refine_buckets,
         "louvain_communities": q_louvain,
         "louvain_communities_local": q_louvain_local,
         "pagerank": q_pagerank,
@@ -720,7 +738,12 @@ FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
 """
 
 
-def _cc_star_sql(rounds: int = 8) -> str:
+def _cc_star_sql(
+    rounds: int = 8,
+    extra_pred: str = "",
+    out_id: str = "id",
+    out_comm: str = "component",
+) -> str:
     """Unroll the alternating large-star/small-star rounds of
     operators/components.py into chained CTEs.
 
@@ -728,11 +751,18 @@ def _cc_star_sql(rounds: int = 8) -> str:
     itself), so unrolling MORE rounds than the Spark run needed yields
     the identical final edge set — and therefore identical labels. All
     state is integer pairs: bit-exact across engines.
+
+    ``extra_pred``: additional predicate on the base edge set (e.g. an
+    intra-community restriction for the refine-phase oracle);
+    ``out_id``/``out_comm``: output column names.
     """
     # MATERIALIZED: every round's CTEs are referenced 2+ times; without it
     # DuckDB inlines them and the expression tree grows exponentially in
     # the round count (it re-opens the parquet per expansion)
-    parts = [f"symcc0 AS MATERIALIZED (SELECT src, dst FROM sym WHERE src <> dst)"]
+    parts = [
+        "symcc0 AS MATERIALIZED "
+        f"(SELECT src, dst FROM sym WHERE src <> dst{extra_pred})"
+    ]
     for r in range(rounds):
         parts.append(
             f"""minsL{r} AS MATERIALIZED (SELECT src, least(min(dst), src) AS mn FROM symcc{r} GROUP BY src),
@@ -749,7 +779,7 @@ symcc{r + 1} AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
         )
     final = f"""parents AS (SELECT src AS id, min(dst) AS component
            FROM symcc{rounds} WHERE dst < src GROUP BY src)
-SELECT d.id, coalesce(p.component, d.id) AS component
+SELECT d.id AS {out_id}, coalesce(p.component, d.id) AS {out_comm}
 FROM deg d LEFT JOIN parents p ON d.id = p.id"""
     return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + ",\n" + final
 
@@ -1148,6 +1178,15 @@ FROM nonadj GROUP BY u, v
 """,
         "louvain_level0": _louvain_level0_sql(rounds=_LEVEL0_ROUNDS),
         "louvain_level0_coarse": _louvain_level0_coarse_sql(rounds=_LEVEL0_ROUNDS),
+        # refine = CC restricted to intra-community (same-bucket) edges;
+        # min-id labels are globally unique because communities are
+        # vertex-disjoint
+        "refine_buckets": _cc_star_sql(
+            rounds=8,
+            extra_pred=" AND src % 50 = dst % 50",
+            out_id="orig_id",
+            out_comm="community",
+        ),
         "cc_full": _cc_star_sql(rounds=8),
         "cc_full_local": _cc_star_sql(rounds=8),
         "label_propagation": _lpa_sql(rounds=5),

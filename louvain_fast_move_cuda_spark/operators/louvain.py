@@ -53,7 +53,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.modularity import delta_q, modularity
+from ..functions.modularity import delta_q, modularity, modularity_fused
 from ..plans.skew import salted_sum_by_key, skewed_degree_trigger
 from .louvain_arrow import arrow_round_moves
 from .louvain_local import local_louvain
@@ -96,6 +96,49 @@ def _apply_moves(df: DataFrame, moves: DataFrame, key: str, comm_col: str, bcast
         df.join(mv, key, "left")
         .withColumn(comm_col, F.coalesce(F.col("_newc"), F.col(comm_col)))
         .drop("_newc")
+    )
+
+
+def _refine_result(graph: GraphTables, res: LouvainResult) -> LouvainResult:
+    """C9 refine (the reference's empty stub, phaseRefine.cuh:1-3) as
+    Leiden connectivity refinement: split every community into its
+    connected parts (operators/refine.py — Q can only rise), dense-
+    relabel, and recompute Q/community count over the original graph."""
+    from ..sources.edges import assign_contiguous_ids as _ids
+    from .refine import refine_partition
+
+    labels = refine_partition(graph, res.labels)
+    rl = _ids(
+        labels.select(F.col("community").alias("comm")).distinct(),
+        ["comm"],
+        id_col="newid",
+    )
+    labels = (
+        labels.join(rl.withColumnRenamed("comm", "community"), "community")
+        .select("orig_id", F.col("newid").alias("community"))
+        .localCheckpoint(eager=True)
+    )
+    ls = labels.select(F.col("orig_id").alias("src"), F.col("community").alias("cs"))
+    ld = labels.select(F.col("orig_id").alias("dst"), F.col("community").alias("cd"))
+    est = (
+        graph.edges.join(ls, "src").join(ld, "dst")
+        .select(F.col("weight").alias("w"), "cs", "cd")
+    )
+    ctot = (
+        graph.vertices.join(
+            labels.select(F.col("orig_id").alias("id"), "community"), "id"
+        )
+        .groupBy(F.col("community").alias("comm"))
+        .agg(F.sum("k").alias("ctot"))
+    )
+    q = modularity_fused(est, ctot, graph.m)
+    n = rl.count()
+    return LouvainResult(
+        labels=labels,
+        modularity=q,
+        n_communities=n,
+        levels=res.levels,
+        metrics=res.metrics + [{"refine": True, "q": q, "n_communities": n}],
     )
 
 
@@ -170,6 +213,7 @@ def louvain(
     skew_salt_buckets: int | None = None,
     max_levels: int | None = None,
     memory_budget_rows: int = 50_000_000,
+    refine: bool = False,
 ) -> LouvainResult:
     """Run Louvain to convergence. ``graph`` from sources.edges.build_graph.
 
@@ -216,6 +260,12 @@ def louvain(
     ``max_levels``: stop after this many coarsening levels (None = run
     to convergence). Benchmarking hook — lets a scaling leg measure
     exactly the level-0 distributed rounds.
+
+    ``refine``: run the C9 refine phase on the final labels — the
+    reference declares it but ships an empty stub (phaseRefine.cuh:1-3);
+    here it is Leiden's connectivity guarantee (operators/refine.py):
+    every output community is split into its connected parts, which can
+    only raise Q. Off by default to preserve exact reference semantics.
 
     ``skew_salt_buckets``: hub-vertex skew handling for the A3
     per-(node, community) candidate sum (SURVEY.md §4 item 1 — a
@@ -331,13 +381,14 @@ def louvain(
                 .select("orig_id", F.col("_final").alias("community"))
                 .localCheckpoint(eager=True)
             )
-            return LouvainResult(
+            res = LouvainResult(
                 labels=labels,
                 modularity=loc.modularity,
                 n_communities=loc.n_communities,
                 levels=level + loc.levels_added + 1,
                 metrics=metrics,
             )
+            return _refine_result(graph, res) if refine else res
 
         q_level_start = q if resume_q_level_start is None else resume_q_level_start
         # ADAPTIVE_MEMORY dispatch (phaseOptimization.cuh:135 + the
@@ -597,10 +648,11 @@ def louvain(
             # partition found so far; Q is exact for that partition)
             break
 
-    return LouvainResult(
+    res = LouvainResult(
         labels=labels,
         modularity=q,
         n_communities=int(n_best),
         levels=level + 1,
         metrics=metrics,
     )
+    return _refine_result(graph, res) if refine else res

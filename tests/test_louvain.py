@@ -163,3 +163,59 @@ def test_empty_candidate_round_moves_direct():
     for rnd in (0, 1):
         nodes, newc = _round_moves(e, e, ew, ctot, comm, ctot, 3.0, rnd)
         assert len(nodes) == 0 and len(newc) == 0
+
+
+def test_refine_splits_disconnected_community(spark):
+    """C9 refine (phaseRefine.cuh is an empty stub in the reference;
+    semantics: Leiden connectivity guarantee): a community containing
+    two components must split into its connected parts, each labeled by
+    its minimum reachable vertex id."""
+    from louvain_fast_move_cuda_spark.operators.refine import refine_partition
+
+    # two disjoint triangles forced into ONE community (0), plus a
+    # separate pair in community 1
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (6, 7)]
+    raw = spark.createDataFrame(edges, "a long, b long")
+    g = build_graph(raw, relabel=False)
+    labels = spark.createDataFrame(
+        [(i, 0) for i in range(6)] + [(6, 1), (7, 1)],
+        "orig_id long, community long",
+    )
+    got = {r.orig_id: r.community
+           for r in refine_partition(g, labels).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3, 6: 6, 7: 6}
+    # the split can only raise Q: (sum a_i)^2 >= sum a_i^2
+    m = g.m
+    epdf = [(r.src, r.dst, r.weight) for r in g.edges.collect()]
+    deg = {r.id: r.k for r in g.vertices.collect()}
+    before = {i: 0 for i in range(6)} | {6: 1, 7: 1}
+    def q_of(part):
+        ctot = {}
+        for v, c in part.items():
+            ctot[c] = ctot.get(c, 0.0) + deg[v]
+        return _modularity(
+            [(s, d, w) for s, d, w in epdf], part, ctot, m
+        )
+    assert q_of(got) > q_of(before)
+
+
+def test_refine_is_identity_and_monotone_on_louvain_output(spark):
+    """louvain(refine=True): Q never drops vs the unrefined run, the
+    refined partition is a fixpoint of refinement (every community
+    connected), and labels stay dense 0-based."""
+    from louvain_fast_move_cuda_spark.operators.refine import refine_partition
+
+    edges = powerlaw_graph(n=250, m_attach=2, seed=11)
+    raw = spark.createDataFrame(edges, "a long, b long")
+    plain = louvain(build_graph(raw, relabel=False))
+    g = build_graph(raw, relabel=False)
+    ref = louvain(g, refine=True)
+    assert ref.modularity >= plain.modularity - 1e-12
+    lab = {r.orig_id: r.community for r in ref.labels.collect()}
+    assert set(lab.values()) == set(range(ref.n_communities))  # dense
+    # idempotence: refining the refined labels changes nothing (up to
+    # the canonical min-id relabel refine_partition uses internally)
+    ldf = ref.labels
+    again = refine_partition(g, ldf)
+    n_parts = again.select("community").distinct().count()
+    assert n_parts == ref.n_communities
