@@ -280,6 +280,46 @@ def q_louvain_level0_coarse(spark, sf_dir):
     return aggregate_graph(g.edges, labels)
 
 
+def q_louvain_level0_weighted(spark, sf_dir):
+    """The level-0 fast-move loop over the WEIGHTED graph (duplicate raw
+    links merged by weight sum — the reference's unfinished weighted
+    branch, graph.cu:32-34, completed by this engine): certifies the
+    delta-Q expression with non-unit Σ_tot/k/w values. Same unrolled-SQL
+    round count and stop rule as louvain_level0; weights are link
+    multiplicities (integer-valued float64), so every aggregate stays
+    exact."""
+    from louvain_fast_move_cuda_spark.sources.edges import (
+        GraphTables,
+        canonicalize_edges,
+        derive_edges_from_transcripts,
+        symmetrize,
+        vertex_weights,
+    )
+
+    t, _, _ = _graph(spark, sf_dir)
+    raw = derive_edges_from_transcripts(t).withColumn("w", F.lit(1.0))
+    edges = symmetrize(canonicalize_edges(raw, weight="w")).localCheckpoint(eager=True)
+    verts = vertex_weights(edges).localCheckpoint(eager=True)
+    agg = (
+        edges.agg(F.sum("weight").alias("w2"))
+        .crossJoin(verts.agg(F.count("*").alias("n")))
+        .collect()[0]
+    )
+    g = GraphTables(
+        edges=edges, vertices=verts,
+        m=float(agg["w2"]) / 2.0, n_nodes=int(agg["n"]),
+    )
+    res = louvain(
+        g,
+        threshold=-1.0,
+        early_stop_limit=_LEVEL0_ROUNDS - 1,
+        max_levels=1,
+        local_finish_max_edges=0,
+        mode="df",
+    )
+    return res.labels
+
+
 def q_refine_buckets(spark, sf_dir):
     """C9 refine phase (the reference's empty stub, phaseRefine.cuh:1-3;
     semantics: Leiden connectivity guarantee, operators/refine.py) under
@@ -555,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # output — parity is also pytest-proven)
         "louvain_level0": q_louvain_level0,
         "louvain_level0_coarse": q_louvain_level0_coarse,
+        "louvain_level0_weighted": q_louvain_level0_weighted,
         "refine_buckets": q_refine_buckets,
         "louvain_communities": q_louvain,
         "louvain_communities_local": q_louvain_local,
@@ -836,7 +877,7 @@ pr{i + 1} AS MATERIALIZED (
     )
 
 
-def _louvain_level0_sql(rounds: int) -> str:
+def _louvain_level0_sql(rounds: int, sym: str = "sym", deg: str = "deg", extra_cte: str = "") -> str:
     """Unroll the level-0 fast-local-move inner loop of
     operators/louvain.py (reference: phaseOptimization.cuh:158-181;
     round-0 fast path + `node < c` guard phaseOptimizationSort.cu:28-158,
@@ -863,10 +904,10 @@ def _louvain_level0_sql(rounds: int) -> str:
     community-id order (phaseAggregation.cuh:28-49, community.h:48-55).
     """
     parts = [
-        "mm AS MATERIALIZED (SELECT sum(weight) / 2.0 AS m FROM sym)",
-        "v0 AS MATERIALIZED (SELECT id, k, id AS comm FROM deg)",
+        f"mm AS MATERIALIZED (SELECT sum(weight) / 2.0 AS m FROM {sym})",
+        f"v0 AS MATERIALIZED (SELECT id, k, id AS comm FROM {deg})",
         # ---- round 0: fast path (singleton communities) ----
-        """mv0 AS MATERIALIZED (
+        f"""mv0 AS MATERIALIZED (
   SELECT node, c AS newc FROM (
     SELECT e.src AS node, e.dst AS c,
            (e.weight - 0.0) / mm.m
@@ -875,9 +916,9 @@ def _louvain_level0_sql(rounds: int) -> str:
              (e.weight - 0.0) / mm.m
                + (ks.k * (ks.k - ks.k - kd.k)) / (2.0 * mm.m * mm.m) DESC,
              e.dst ASC) AS rn
-    FROM sym e
-    JOIN deg ks ON e.src = ks.id
-    JOIN deg kd ON e.dst = kd.id
+    FROM {sym} e
+    JOIN {deg} ks ON e.src = ks.id
+    JOIN {deg} kd ON e.dst = kd.id
     CROSS JOIN mm
     WHERE e.src <> e.dst
   ) WHERE rn = 1 AND delta > 0 AND node < c)""",
@@ -889,7 +930,7 @@ def _louvain_level0_sql(rounds: int) -> str:
         parts.append(
             f"""cw{r} AS MATERIALIZED (SELECT comm, sum(k) AS ctot FROM v{r} GROUP BY comm),
 f{r} AS MATERIALIZED (
-  SELECT DISTINCT e.src FROM sym e
+  SELECT DISTINCT e.src FROM {sym} e
   JOIN mv{r - 1} mv ON e.dst = mv.node
   JOIN v{r} vs ON e.src = vs.id
   JOIN v{r} vd ON e.dst = vd.id
@@ -897,11 +938,11 @@ f{r} AS MATERIALIZED (
 pairs{r} AS MATERIALIZED (
   SELECT e.src AS node, vd.comm AS cd, sum(e.weight) AS wnc,
          min(vs.comm) AS cs, min(ks.k) AS k_src
-  FROM sym e
+  FROM {sym} e
   JOIN f{r} f ON e.src = f.src
   JOIN v{r} vs ON e.src = vs.id
   JOIN v{r} vd ON e.dst = vd.id
-  JOIN deg ks ON e.src = ks.id
+  JOIN {deg} ks ON e.src = ks.id
   WHERE e.src <> e.dst
   GROUP BY e.src, vd.comm),
 selfp{r} AS MATERIALIZED (
@@ -928,7 +969,7 @@ v{r + 1} AS MATERIALIZED (
   FROM v{r} v LEFT JOIN mv{r} m ON v.id = m.node)"""
         )
     body = (
-        f"{_GRAPH_CTE},\n"
+        f"{_GRAPH_CTE},{extra_cte}\n"
         + ",\n".join(parts)
         + f""",
 cwF AS (SELECT comm, sum(k) AS ctot FROM v{rounds} GROUP BY comm),
@@ -1178,6 +1219,22 @@ FROM nonadj GROUP BY u, v
 """,
         "louvain_level0": _louvain_level0_sql(rounds=_LEVEL0_ROUNDS),
         "louvain_level0_coarse": _louvain_level0_coarse_sql(rounds=_LEVEL0_ROUNDS),
+        # weighted twin: duplicate raw links merge by count (S2 weighted
+        # canonicalization); vertices come only from edges, all k > 0
+        "louvain_level0_weighted": _louvain_level0_sql(
+            rounds=_LEVEL0_ROUNDS,
+            sym="wsym",
+            deg="wdeg",
+            extra_cte="""
+wcanon AS MATERIALIZED (
+  SELECT least(a, b) AS src, greatest(a, b) AS dst,
+         CAST(count(*) AS DOUBLE) AS weight
+  FROM rawpairs WHERE a <> b GROUP BY 1, 2),
+wsym AS MATERIALIZED (
+  SELECT src, dst, weight FROM wcanon
+  UNION ALL SELECT dst AS src, src AS dst, weight FROM wcanon),
+wdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS k FROM wsym GROUP BY src),""",
+        ),
         # refine = CC restricted to intra-community (same-bucket) edges;
         # min-id labels are globally unique because communities are
         # vertex-disjoint

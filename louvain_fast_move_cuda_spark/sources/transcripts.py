@@ -135,9 +135,17 @@ def transcript_graph(
         .join(vertex_weights(edges), "id", "left")
         .select("id", F.coalesce("k", F.lit(0.0)).alias("k"))
     )
-    agg = edges.agg(F.sum("weight").alias("w2")).collect()[0]
+    # ONE action for both host scalars (the modularity_fused pattern):
+    # m from the edge sum, n from the (checkpointed) vid table — vids are
+    # dense over ALL turns, so ids.count() == verts.count() without
+    # evaluating the verts join here
+    agg = (
+        edges.agg(F.sum("weight").alias("w2"))
+        .crossJoin(ids.agg(F.count("*").alias("n")))
+        .collect()[0]
+    )
     m = float(agg["w2"]) / 2.0 if agg["w2"] is not None else 0.0
-    n_nodes = verts.count()
+    n_nodes = int(agg["n"])
     return t, ids, GraphTables(edges=edges, vertices=verts, m=m, n_nodes=n_nodes)
 
 
