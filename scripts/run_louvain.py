@@ -43,6 +43,12 @@ def main():
     ap.add_argument("--skip-lines", type=int, default=0)
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint-dir")
+    ap.add_argument(
+        "--refine",
+        action="store_true",
+        help="run the C9 refine phase (Leiden connectivity guarantee: "
+        "split disconnected communities; Q can only rise)",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.getOrCreate()
@@ -67,7 +73,7 @@ def main():
         g = GraphTables(edges=edges, vertices=verts, m=m, n_nodes=verts.count())
 
     ckpt = SuperstepCheckpointer(args.checkpoint_dir) if args.checkpoint_dir else None
-    res = louvain(g, checkpointer=ckpt)
+    res = louvain(g, checkpointer=ckpt, refine=args.refine)
     res.labels.write.mode("overwrite").parquet(args.output)
     print(json.dumps({
         "modularity": res.modularity,
