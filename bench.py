@@ -34,6 +34,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # driver-local tail threshold (0 = always distributed — used by --scaling
 # so the efficiency number measures the distributed kernel, not NumPy)
 LOCAL_FINISH = int(os.environ.get("SPARK_GRAFT_LOCAL_FINISH_MAX_EDGES", "5000000"))
+# broadcast-vs-shuffle threshold for move sets / community weights: at
+# ~30M-vertex scale a round-0 move set (~12M rows, ~250 MB) broadcasts
+# comfortably, replacing 3 edge-table shuffles per early round
+BCAST_MAX = int(os.environ.get("SPARK_GRAFT_BCAST_MAX", "5000000"))
 
 
 def _exec_mem_mb(val: str) -> int:
@@ -211,7 +215,13 @@ def run_suite(names: list[str] | None, scaling_convs: int | None = None) -> dict
         # efficiency number is about; everything else is leg overhead
         sh_before = _shuffle_totals(spark)
         t0 = time.time()
-        res = louvain(g, mode=LOUVAIN_MODE, local_finish_max_edges=0, max_levels=1)
+        res = louvain(
+            g, mode=LOUVAIN_MODE, local_finish_max_edges=0, max_levels=1,
+            broadcast_moves_max=BCAST_MAX,
+            # Σ_tot stays on the default threshold: at level 0 it is
+            # vertex-count-sized and broadcasting it OOMs the executors
+            broadcast_comm_max=5_000_000,
+        )
         timings["louvain_lvl0"] = time.time() - t0
         sh_after = _shuffle_totals(spark)
         lvl0 = [mt for mt in res.metrics if mt.get("round", -1) >= 0]

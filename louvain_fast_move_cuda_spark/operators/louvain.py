@@ -214,6 +214,7 @@ def louvain(
     max_levels: int | None = None,
     memory_budget_rows: int = 50_000_000,
     refine: bool = False,
+    broadcast_comm_max: int | None = None,
 ) -> LouvainResult:
     """Run Louvain to convergence. ``graph`` from sources.edges.build_graph.
 
@@ -261,6 +262,14 @@ def louvain(
     to convergence). Benchmarking hook — lets a scaling leg measure
     exactly the level-0 distributed rounds.
 
+    ``broadcast_comm_max``: separate broadcast threshold for the
+    Σ_tot community-weight table (defaults to ``broadcast_moves_max``).
+    Splitting the two matters at ~10^7-vertex scale: a round-0 move set
+    (~40% of vertices × 16 B) broadcasts comfortably and removes three
+    edge-table shuffles per early round, while Σ_tot at level 0 is
+    vertex-count-sized and must stay a shuffle join until coarsening
+    shrinks it.
+
     ``refine``: run the C9 refine phase on the final labels — the
     reference declares it but ships an empty stub (phaseRefine.cuh:1-3);
     here it is Leiden's connectivity guarantee (operators/refine.py):
@@ -284,6 +293,8 @@ def louvain(
     m = graph.m
     if m <= 0:
         raise ValueError("empty graph")
+    if broadcast_comm_max is None:
+        broadcast_comm_max = broadcast_moves_max
     npart = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     level = 0
@@ -430,7 +441,7 @@ def louvain(
             if frontier is not None:
                 cand = cand.join(frontier, "src", "left_semi")
 
-            bcast_cw = n_cw <= broadcast_moves_max
+            bcast_cw = n_cw <= broadcast_comm_max
             # per-round engine choice (C3): ADAPTIVE_SPEED switches from
             # SORT to HASH after round `adaptive` within each level
             # (phaseOptimization.cuh:125-146)
