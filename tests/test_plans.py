@@ -249,3 +249,25 @@ def test_sessionize_single_sort_shuffle(spark):
     # exchange, but never a second full sort
     assert plan.count("Sort ") <= 2  # window sort (+ possible agg sort)
     assert "CartesianProduct" not in plan
+
+
+def test_refine_plan_has_no_cartesian_products(spark):
+    """The refine phase (intra-community restriction + CC) must stay
+    equi-join shaped end-to-end: its subgraph build is two hash joins
+    against the label table, never a nested-loop."""
+    from pyspark.sql import functions as F
+
+    from louvain_fast_move_cuda_spark.operators.refine import refine_partition
+    from louvain_fast_move_cuda_spark.sources.edges import build_graph
+    from oracle import powerlaw_graph
+
+    g = build_graph(
+        spark.createDataFrame(powerlaw_graph(n=120, m_attach=2, seed=1), "a long, b long"),
+        relabel=False,
+    )
+    labels = g.vertices.select(
+        F.col("id").alias("orig_id"), F.pmod("id", F.lit(7)).alias("community")
+    )
+    plan = _plan(refine_partition(g, labels, local_max_edges=0))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
