@@ -24,11 +24,14 @@ Oracle-design notes (why value-hashes match bit-for-bit):
   table to parquet as a first stage and the oracle reads the same file
   (_materialize_for_oracle), making everything downstream of the hash
   an exact side-by-side check;
-* the iterative fixpoint algorithms with early stopping
-  (louvain_communities, pagerank-with-tol) stay rows-only here — their
-  float64 oracles live in tests/oracle.py; fixed-iteration twins
-  (pagerank_fixed20, cc_full, label_propagation) are exact via
-  unrolled-round SQL.
+* every query now carries a hard oracle (0 rows-only since round 4):
+  fixed-iteration algorithms (pagerank_fixed20, cc_full,
+  label_propagation) unroll their rounds into SQL; the full multi-level
+  Louvain loop materializes its labels + claimed modularity and the
+  oracle recomputes the partition's Q from ITS OWN graph derivation
+  (_louvain_full_sql) — labels round-trip exactly, the recomputed Q is
+  bit-identical (integer-valued sums, same expression tree), and the
+  claimed modularity must agree with DuckDB's recompute to 1e-9.
 """
 
 from __future__ import annotations
@@ -140,6 +143,65 @@ def _conv_labels(ids: DataFrame) -> DataFrame:
     return ids.select(
         F.col("vid").alias("id"), F.min("vid").over(w).alias("community")
     )
+
+
+def _partition_q(g, labels: DataFrame) -> float:
+    """Q of a given partition via the pure-aggregate formula.
+
+    w_in / (2m) - sq / (4m^2) over integer-valued float64 sums (all edge
+    weights are link multiplicities), so the value is bit-identical in
+    ANY engine that sums exactly and applies the same expression tree —
+    this is what lets DuckDB certify the engine's claimed modularity
+    (see the louvain_communities oracle). ``labels``: (orig_id,
+    community)."""
+    ls = labels.select(F.col("orig_id").alias("src"), F.col("community").alias("cs"))
+    ld = labels.select(F.col("orig_id").alias("dst"), F.col("community").alias("cd"))
+    est = g.edges.join(ls, "src").join(ld, "dst")
+    ctot = (
+        g.vertices.join(
+            labels.select(F.col("orig_id").alias("id"), "community"), "id"
+        )
+        .groupBy("community")
+        .agg(F.sum("k").alias("ctot"))
+    )
+    a = est.filter(F.col("cs") == F.col("cd")).agg(F.sum("weight").alias("win"))
+    b = ctot.agg(F.sum(F.col("ctot") * F.col("ctot")).alias("s"))
+    row = a.crossJoin(b).collect()[0]
+    w_in = float(row["win"]) if row["win"] is not None else 0.0
+    sq = float(row["s"]) if row["s"] is not None else 0.0
+    m = g.m
+    return w_in / (2.0 * m) - sq / (4.0 * m * m)
+
+
+_LOUVAIN_ARTIFACTS: dict = {}
+
+
+def _louvain_distributed_artifact(spark, sf_dir):
+    """Run the DISTRIBUTED multi-level Louvain loop once per sf_dir and
+    materialize its outputs for the DuckDB oracle:
+
+    * ``louvain_labels_distributed.parquet`` — the emitted (orig_id,
+      community) labels;
+    * ``louvain_meta_distributed.parquet`` — one row carrying the
+      engine's claimed ``res.modularity``.
+
+    The oracle recomputes Q *of the emitted labels* from its OWN
+    independently derived graph (events -> transcripts -> edges in pure
+    SQL) and checks |q_claimed - q_recomputed| < 1e-9 — the hard gate
+    for the full loop (modularityAlgorithms.h:28-67) that the unrolled
+    level-0 SQL cannot reach. Returns (labels_readback, q_claimed,
+    q_recomputed)."""
+    if sf_dir not in _LOUVAIN_ARTIFACTS:
+        _, _, g = _graph(spark, sf_dir)
+        res = louvain(g, local_finish_max_edges=0)
+        labels = _materialize_for_oracle(
+            res.labels.select("orig_id", "community"), "louvain_labels_distributed"
+        )
+        q_re = _partition_q(g, labels)
+        meta = spark.createDataFrame([(float(res.modularity),)], "q_claimed double")
+        _materialize_for_oracle(meta, "louvain_meta_distributed")
+        _LOUVAIN_ARTIFACTS[sf_dir] = (labels, float(res.modularity), q_re)
+    return _LOUVAIN_ARTIFACTS[sf_dir]
 
 
 # --------------------------------------------------------------------------
@@ -338,17 +400,48 @@ def q_refine_buckets(spark, sf_dir):
 
 
 def q_louvain(spark, sf_dir):
-    # distributed supersteps end-to-end (local_finish_max_edges=0); the
-    # adaptive local-tail variant is louvain_communities_local below
-    _, _, g = _graph(spark, sf_dir)
-    return louvain(g, local_finish_max_edges=0).labels
+    """The FULL multi-level distributed Louvain loop, hard-gated (round-4
+    upgrade from rows-only). Output: the emitted labels plus
+
+    * ``q_partition`` — Q of the labels recomputed OUTSIDE the engine by
+      the pure-aggregate formula (_partition_q); integer-valued sums make
+      it bit-identical to the oracle's recompute over DuckDB's OWN graph
+      derivation, so the hash compare certifies the labels describe the
+      same partition quality on both engines' graphs;
+    * ``q_claim_ok`` — literal TRUE here; the oracle emits
+      |q_claimed - q_recomputed| < 1e-9 computed in DuckDB (claimed Q
+      read from the materialized meta row). A wrong engine modularity
+      flips the oracle's bit and fails the hash — the claim is judged by
+      the independent engine, never by this one."""
+    labels, _q_claimed, q_re = _louvain_distributed_artifact(spark, sf_dir)
+    return labels.select(
+        "orig_id",
+        "community",
+        F.lit(q_re).alias("q_partition"),
+        F.lit(True).alias("q_claim_ok"),
+    )
 
 
 def q_louvain_local(spark, sf_dir):
-    # the adaptive path: coarsened tail (here: the whole run at sf<=0.01)
-    # finishes in the driver with the exact-parity NumPy kernel
+    """The adaptive path (coarsened tail finishes in the driver with the
+    exact-parity NumPy kernel), hard-gated two ways: the oracle reads the
+    DISTRIBUTED engine's materialized labels — so the hash compare IS the
+    bit-identity claim between the two engines (BENCH.md) — and
+    recomputes Q of those labels in DuckDB against THIS engine's claimed
+    modularity (|delta| < 1e-9, judged oracle-side)."""
+    labels_dist, _, _ = _louvain_distributed_artifact(spark, sf_dir)
     _, _, g = _graph(spark, sf_dir)
-    return louvain(g).labels
+    res = louvain(g)
+    labels = res.labels.select("orig_id", "community")
+    q_re = _partition_q(g, labels)
+    meta = spark.createDataFrame([(float(res.modularity),)], "q_claimed double")
+    _materialize_for_oracle(meta, "louvain_meta_local")
+    return labels.select(
+        "orig_id",
+        "community",
+        F.lit(q_re).alias("q_partition"),
+        F.lit(True).alias("q_claim_ok"),
+    )
 
 
 def q_pagerank(spark, sf_dir):
@@ -399,6 +492,68 @@ def q_hourly_rollup(spark, sf_dir):
 
 def q_sessions(spark, sf_dir):
     return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"), gap_minutes=30)
+
+
+def q_streaming_edges(spark, sf_dir):
+    """Structured Streaming ingest end-to-end under the driver oracle
+    (round-4 upgrade: streaming/ingest.py was pytest-only).
+
+    The transcript table is written as 4 time-ordered parquet chunk
+    files; ``run_edge_ingest`` replays them as 4 micro-batches
+    (maxFilesPerTrigger=1, availableNow) through BOTH streams — the
+    stateless reply projection and the applyInPandasWithState tool-chain
+    whose per-tool state must carry the chain across batch boundaries.
+    The streamed composite-key edges are then mapped to vids and
+    canonicalized; the oracle is the BATCH edge derivation SQL (lead()
+    windows over the full table), so the hash compare certifies
+    incremental == batch on real micro-batch replay."""
+    import os
+    import shutil
+    import tempfile
+
+    from louvain_fast_move_cuda_spark.sources.edges import canonicalize_edges
+    from louvain_fast_move_cuda_spark.streaming.ingest import run_edge_ingest
+
+    t, ids, _ = _graph(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="spark_graft_streaming_")
+    in_dir = f"{base}/in"
+    os.makedirs(in_dir)
+    # 4 global time-ordered chunks: later chunks only contain rows >=
+    # (ts, conv_id, turn_idx) of earlier ones, the same total order the
+    # batch windows use — the arrival-order contract of the tool chain
+    w = Window.orderBy("ts", "conv_id", "turn_idx")
+    chunked = t.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    ).withColumn("_c", F.ntile(4).over(w))
+    for c in range(1, 5):
+        stage = f"{base}/stage{c}"
+        chunked.filter(F.col("_c") == c).drop("_c").coalesce(1).write.parquet(stage)
+        parts = sorted(
+            f for f in os.listdir(stage) if f.endswith(".parquet")
+        )
+        for i, f_name in enumerate(parts):
+            dst = f"{in_dir}/{c:03d}_{i:03d}.parquet"
+            shutil.move(f"{stage}/{f_name}", dst)
+            # strictly increasing mtimes pin the FileStreamSource replay
+            # order to the chunk order (it processes oldest-first)
+            os.utime(dst, (1_700_000_000 + c, 1_700_000_000 + c))
+    run_edge_ingest(
+        spark, in_dir, f"{base}/out", f"{base}/ck",
+        available_now=True, max_files_per_trigger=1,
+    )
+    streamed = spark.read.parquet(f"{base}/out/reply").unionByName(
+        spark.read.parquet(f"{base}/out/tool")
+    )
+    a_ids = ids.select(
+        F.col("conv_id").alias("a_conv"), F.col("turn_idx").alias("a_idx"),
+        F.col("vid").alias("a"),
+    )
+    b_ids = ids.select(
+        F.col("conv_id").alias("b_conv"), F.col("turn_idx").alias("b_idx"),
+        F.col("vid").alias("b"),
+    )
+    raw = streamed.join(a_ids, ["a_conv", "a_idx"]).join(b_ids, ["b_conv", "b_idx"])
+    return canonicalize_edges(raw.select("a", "b"))
 
 
 def q_clustering_coefficient(spark, sf_dir):
@@ -577,6 +732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temporal rollups (batch twins of the streaming surface)
         "hourly_rollup": q_hourly_rollup,
         "sessions": q_sessions,
+        # Structured Streaming ingest itself (micro-batch replay vs the
+        # batch derivation SQL — incremental == batch, hard-gated)
+        "streaming_edges": q_streaming_edges,
         # descriptive graph statistics (graphstats.py)
         "clustering_coefficient": q_clustering_coefficient,
         "assortativity": q_assortativity,
@@ -588,11 +746,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_conv": q_modularity_conv,
         "louvain_round0": q_louvain_round0,
         "lpa_one_round": q_lpa_one_round,
-        # iterative fixpoints (louvain rows-only here; float64 oracles in
-        # tests/; cc_full/label_propagation/pagerank_fixed20 exact via
-        # unrolled-round SQL). The unsuffixed names run the DISTRIBUTED
-        # plans; *_local run the adaptive driver-tail path (identical
-        # output — parity is also pytest-proven)
+        # iterative fixpoints — ALL hard-gated: cc_full/label_propagation/
+        # pagerank_fixed20 exact via unrolled-round SQL; the full Louvain
+        # loop via materialized labels + DuckDB-recomputed partition Q
+        # (_louvain_full_sql). The unsuffixed names run the DISTRIBUTED
+        # plans; *_local run the adaptive driver-tail path (bit-identical
+        # output — the _local oracle reads the distributed labels file,
+        # making the parity claim itself the gate)
         "louvain_level0": q_louvain_level0,
         "louvain_level0_coarse": q_louvain_level0_coarse,
         "louvain_level0_weighted": q_louvain_level0_weighted,
@@ -1080,6 +1240,55 @@ def _k_core_sql(k: int, rounds: int) -> str:
     )
 
 
+def _louvain_full_sql(meta_name: str) -> str:
+    """Hard gate for the full multi-level Louvain loop.
+
+    Reads the DISTRIBUTED engine's materialized labels, recomputes the
+    partition's Q from DuckDB's OWN graph derivation (events ->
+    transcripts -> sym/deg, _GRAPH_CTE — nothing engine-side enters the
+    recompute except the labels under test), and emits per label row:
+
+    * q_partition — the recomputed Q. Bit-identical to the Spark side's
+      independent recompute because every sum is integer-valued float64
+      and the final expression tree is the same (see _partition_q).
+    * q_claim_ok — |q_claimed - q_recomputed| < 1e-9, with q_claimed read
+      from ``meta_name`` (the engine's res.modularity). The Spark side
+      emits literal TRUE, so the hash compare fails unless DuckDB's
+      independent judgment agrees. 1e-9 beats the north rule's 1e-6
+      allclose by 1000x; bitwise equality is not demanded for the
+      CLAIMED value because the engine's incremental Q accumulates in a
+      different summation order than a from-scratch recompute.
+
+    For louvain_communities_local the labels under test come from the
+    ADAPTIVE engine Spark-side while the oracle still reads the
+    distributed labels file — the per-row compare then doubles as the
+    engines' bit-identity gate (VERDICT r3 gate (b))."""
+    return f"""
+{_GRAPH_CTE},
+lab AS (
+  SELECT orig_id, community
+  FROM read_parquet('{_ORACLE_MAT_DIR}/louvain_labels_distributed.parquet/*.parquet')
+),
+meta AS (
+  SELECT q_claimed FROM read_parquet('{_ORACLE_MAT_DIR}/{meta_name}.parquet/*.parquet')
+),
+mm AS (SELECT sum(weight) / 2.0 AS m FROM sym),
+win AS (
+  SELECT coalesce(sum(e.weight), 0.0) AS w_in
+  FROM sym e JOIN lab ls ON e.src = ls.orig_id JOIN lab ld ON e.dst = ld.orig_id
+  WHERE ls.community = ld.community
+),
+sq AS (
+  SELECT sum(ctot * ctot) AS s
+  FROM (SELECT sum(d.k) AS ctot FROM deg d JOIN lab l ON d.id = l.orig_id GROUP BY l.community)
+),
+qq AS (SELECT w_in / (2.0 * m) - s / (4.0 * m * m) AS q FROM mm, win, sq)
+SELECT lab.orig_id, lab.community, qq.q AS q_partition,
+       abs(qq.q - meta.q_claimed) < 1e-9 AS q_claim_ok
+FROM lab, qq, meta
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcripts": f"""
@@ -1101,6 +1310,11 @@ FROM rawpairs WHERE a <> b GROUP BY 1, 2
         "degrees": f"""
 {_GRAPH_CTE}
 SELECT id, k FROM deg
+""",
+        # the streamed edges must equal the batch derivation exactly
+        "streaming_edges": f"""
+{_GRAPH_CTE}
+SELECT src, dst, weight FROM canon
 """,
         "triangle_count": f"""
 {_GRAPH_CTE}
@@ -1246,6 +1460,12 @@ wdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS k FROM wsym GROUP BY src)
         ),
         "cc_full": _cc_star_sql(rounds=8),
         "cc_full_local": _cc_star_sql(rounds=8),
+        # full multi-level Louvain loop, hard-gated since round 4 (was
+        # rows-only): labels round-trip + DuckDB-recomputed partition Q
+        # vs the engine's claimed modularity; the _local twin is checked
+        # against the DISTRIBUTED labels file = engine bit-identity gate
+        "louvain_communities": _louvain_full_sql("louvain_meta_distributed"),
+        "louvain_communities_local": _louvain_full_sql("louvain_meta_local"),
         "label_propagation": _lpa_sql(rounds=5),
         "label_propagation_local": _lpa_sql(rounds=5),
         "pagerank_fixed20": _pagerank_sql(iters=20),

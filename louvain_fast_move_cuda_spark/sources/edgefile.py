@@ -13,16 +13,21 @@ parses independently, so the scan distributes over any number of file
 splits and the parse stays whole-stage-codegen (no Python). Blank and
 comment lines (`#`, `%` — common in SNAP/KONECT dumps) are dropped
 declaratively. ``skip_lines`` (exact reference semantics: drop the
-first N physical lines of every input file) is the one imperative bit:
-line position is a file-order concept DataFrames don't model, so it
-reads via the Hadoop text format whose record key IS the in-file byte
-offset, and drops the first N records of each file's offset-0 split —
-still streaming, never collected.
+first N physical lines of every input file) is the one place needing a
+file-order concept DataFrames don't usually model; since round 4 it is
+fully JVM-side too: the hidden ``_metadata`` column gives each row its
+file and the byte offset of the split it was read from, so a file's
+head rows are exactly the rows of its offset-0 split, numbered in read
+order by ``monotonically_increasing_id`` (strictly increasing within a
+scan partition). Only head splits pass through the per-file window;
+every other split streams straight to the parser with no shuffle and
+no Python anywhere (the round-3 version pumped every line through an
+RDD generator).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .edges import GraphTables, build_graph
@@ -49,39 +54,33 @@ def read_edge_file(
     """
     lines = spark.read.text(path)
     if skip_lines > 0:
-        # PER-FILE header skip. spark.read.text exposes neither the file
-        # nor the byte offset a partition starts at, so go to the Hadoop
-        # text input format directly: each record is (byte offset within
-        # its file, line) and each partition is one FileSplit of ONE
-        # file — the split whose first record sits at offset 0 holds
-        # that file's head. Dropping the first N records of exactly
-        # those splits skips N lines of EVERY input file (directory and
-        # glob paths included), not just one of them. Headers are
-        # assumed to fit the file's first split (< maxPartitionBytes —
-        # trivially true for real edge-file headers). Still fully
-        # streaming: nothing is collected.
-        sc = spark.sparkContext
-        n_skip = skip_lines
-        pairs = sc.newAPIHadoopFile(
-            path,
-            "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
-            "org.apache.hadoop.io.LongWritable",
-            "org.apache.hadoop.io.Text",
+        # PER-FILE header skip, fully JVM-side. _metadata.file_block_start
+        # is the byte offset of the split a row was read from: a file's
+        # first skip_lines lines live in its offset-0 split (headers are
+        # assumed to fit the first split — < maxPartitionBytes, trivially
+        # true for real edge-file headers; every non-empty file HAS an
+        # offset-0 split, so nothing can silently under-skip). Within one
+        # scan partition monotonically_increasing_id increases in read
+        # order and a split's rows are contiguous, so a row_number per
+        # (file) over the head-split rows IS the in-file line number.
+        # Only head splits shuffle (bounded by maxPartitionBytes x
+        # n_files); tail splits union straight through — no Python, no
+        # RDD, whole-stage codegen end to end.
+        tagged = spark.read.text(path).select(
+            "value",
+            F.col("_metadata.file_path").alias("_fp"),
+            F.col("_metadata.file_block_start").alias("_bs"),
+            F.monotonically_increasing_id().alias("_mid"),
         )
-
-        def drop_head(it):
-            is_head_split = None
-            for i, (off, line) in enumerate(it):
-                if is_head_split is None:
-                    is_head_split = off == 0
-                if is_head_split and i < n_skip:
-                    continue
-                yield (line,)
-
-        lines = spark.createDataFrame(
-            pairs.mapPartitions(drop_head, preservesPartitioning=True),
-            lines.schema,
+        head = tagged.filter(F.col("_bs") == 0)
+        tail = tagged.filter(F.col("_bs") != 0).select("value")
+        w = Window.partitionBy("_fp").orderBy("_mid")
+        head_kept = (
+            head.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > skip_lines)
+            .select("value")
         )
+        lines = head_kept.unionByName(tail)
     toks = F.split(F.trim(F.col("value")), r"\s+")
     parsed = (
         lines.filter(F.trim("value") != "")

@@ -191,11 +191,19 @@ def run_edge_ingest(
     output_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Drive both edge streams to parquet sinks (exactly-once via the
     streaming checkpoint; restarts resume from the last committed batch).
+
+    ``max_files_per_trigger`` splits an availableNow backlog into one
+    micro-batch per N files — the driver-oracle query uses 1 so the
+    tool-chain state is genuinely carried ACROSS batches, not exercised
+    in a single big batch.
     """
-    turns = read_transcript_stream(spark, input_dir)
+    turns = read_transcript_stream(
+        spark, input_dir, max_files_per_trigger=max_files_per_trigger
+    )
     queries = []
     for name, df in (
         ("reply", reply_edges_stream(turns)),

@@ -271,3 +271,22 @@ def test_refine_plan_has_no_cartesian_products(spark):
     plan = _plan(refine_partition(g, labels, local_max_edges=0))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_edge_file_skip_scan_is_jvm_only(spark, tmp_path):
+    """The skip_lines path must never leave the JVM (round-4 rewrite:
+    _metadata.file_block_start + per-file head window replaced the
+    RDD+Python generator): no Python eval, no RDD scan, and only the
+    head-split rows meet an Exchange."""
+    from louvain_fast_move_cuda_spark.sources.edgefile import read_edge_file
+
+    d = tmp_path / "edges"
+    d.mkdir()
+    (d / "a.edge").write_text("header\n0 1\n1 2\n")
+    (d / "b.edge").write_text("header\n2 3\n")
+    df = read_edge_file(spark, str(d), skip_lines=1)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Scan ExistingRDD" not in plan
+    assert sorted((r.a, r.b) for r in df.collect()) == [(0, 1), (1, 2), (2, 3)]
