@@ -1428,7 +1428,8 @@ nonadj AS (
   LEFT JOIN canon c ON w.u = c.src AND w.v = c.dst
   WHERE c.src IS NULL
 )
-SELECT u, v, count(*) AS common_neighbors, round(sum(contrib), 9) AS aa_r9
+SELECT u, v, count(*) AS common_neighbors, round(sum(contrib), 9) AS aa_r9,
+       CAST(64 AS INT) AS apex_cap
 FROM nonadj GROUP BY u, v
 """,
         "louvain_level0": _louvain_level0_sql(rounds=_LEVEL0_ROUNDS),

@@ -308,10 +308,24 @@ def run_suite(names: list[str] | None, scaling_convs: int | None = None) -> dict
             "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
         )
         queries = emb.filter(F.col("vec_id") < 50)
-        # default nprobe = n_centroids/2 = 8 (scaled with the cell count)
-        ivf = ivf_topk(emb, queries, k=10, n_centroids=16)
+        # high-recall half-the-cells point (nprobe=8 at C=16) — explicit
+        # since round 4: the library default is now the cheaper
+        # ceil(sqrt(C)) (see ivf_probes' measured recall/cost table)
+        ivf = ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=8)
         ivf_pairs = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
         timings["ann"] = time.time() - t0
+        # prebuilt-index reuse: a second query batch must pay probes +
+        # within-cell top-k only, never the 2 corpus scans of ivf_assign
+        from louvain_fast_move_cuda_spark.operators.similarity import ivf_assign
+
+        idx_cents, idx_assigned = ivf_assign(emb, n_centroids=16)
+        idx_assigned = idx_assigned.localCheckpoint(eager=True)
+        t0 = time.time()
+        ivf_topk(
+            emb, emb.filter(F.col("vec_id").between(50, 99)), k=10,
+            index=(idx_cents, idx_assigned), nprobe=8,
+        ).count()
+        extra["ann_repeat_query_sec"] = round(time.time() - t0, 3)
         # recall@10 vs brute force (the IVF quality metric; measured, not
         # assumed — centroid training changes must not sag it)
         from louvain_fast_move_cuda_spark.operators.similarity import brute_force_topk
@@ -332,7 +346,10 @@ def run_suite(names: list[str] | None, scaling_convs: int | None = None) -> dict
         extra["ann_ivf_recall_at_10_nprobe4"] = (
             round(len(ivf4 & exact) / len(exact), 4) if exact else 1.0
         )
-        # IVF's intended regime: clustered embeddings (64 deterministic
+        # IVF's intended regime: clustered embeddings under the LIBRARY
+        # DEFAULT nprobe (ceil(sqrt(C)) = 4 at C=16) — the sublinear
+        # default must hold full recall where cluster structure exists
+        # (64 deterministic
         # hash-derived cluster centers + small per-vector noise, same
         # ids/dim as the uniform table, JVM-only expressions)
         dim = len(emb.select("embedding").first()[0])

@@ -151,6 +151,12 @@ def k_core(
             .localCheckpoint(eager=True)
         )
     if not converged and on_truncate == "raise":
+        # a peel can hit its fixpoint exactly at max_rounds with no spare
+        # round to observe the repeat; one extra O(1)-result count settles
+        # whether the last filter actually removed anything before raising
+        deg = edges.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
+        converged = deg.filter(F.col("d") >= k).count() == prev_n
+    if not converged and on_truncate == "raise":
         raise RuntimeError(
             f"k_core did not reach its fixpoint within max_rounds={max_rounds}; "
             "the result would be a superset of the k-core. Raise max_rounds, or "
@@ -162,14 +168,18 @@ def k_core(
 def adamic_adar(
     graph: GraphTables, max_apex_degree: int = 64, min_common: int = 1
 ) -> DataFrame:
-    """(u, v, common_neighbors: long, aa_r9: double) for NON-adjacent
-    pairs u < v at distance 2, scored by Adamic-Adar
+    """(u, v, common_neighbors: long, aa_r9: double, apex_cap: int) for
+    NON-adjacent pairs u < v at distance 2, scored by Adamic-Adar
     sum_w 1/ln(deg(w)) over shared neighbors w.
 
     Apexes with deg < 2 span no wedge; apexes with deg >
     ``max_apex_degree`` are excluded by definition (see module
     docstring — this is the semantic hub cap that keeps the wedge join
-    O(cap^2) per apex instead of O(hub^2)).
+    O(cap^2) per apex instead of O(hub^2)). Because the cap changes the
+    scores, it is SURFACED: every row carries ``apex_cap``, and
+    :func:`adamic_adar_excluded_hubs` lists exactly which apexes the cap
+    removed — a 100x-scale caller can see what the numbers mean without
+    reading the job's config (the k-core truncation-guard philosophy).
     """
     deg = graph.edges.groupBy(F.col("src").alias("w")).agg(F.count("*").alias("dw"))
     apex_ok = deg.filter((F.col("dw") >= 2) & (F.col("dw") <= max_apex_degree))
@@ -197,4 +207,16 @@ def adamic_adar(
             F.round(F.sum("contrib"), 9).alias("aa_r9"),
         )
         .filter(F.col("common_neighbors") >= min_common)
+        .withColumn("apex_cap", F.lit(max_apex_degree).cast("int"))
     )
+
+
+def adamic_adar_excluded_hubs(
+    graph: GraphTables, max_apex_degree: int = 64
+) -> DataFrame:
+    """(w, dw) — the hub apexes :func:`adamic_adar` excluded under the
+    same ``max_apex_degree``. Tiny by construction (hubs are the tail of
+    the degree distribution), so a caller can collect or join it to
+    qualify the scores."""
+    deg = graph.edges.groupBy(F.col("src").alias("w")).agg(F.count("*").alias("dw"))
+    return deg.filter(F.col("dw") > max_apex_degree)

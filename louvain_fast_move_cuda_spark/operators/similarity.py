@@ -145,7 +145,11 @@ def ivf_assign(
             cn = np.linalg.norm(cents_np, axis=1)
             cn[cn == 0] = 1.0
             # argmax over cosine; np.argmax keeps the FIRST max — the
-            # same (sim desc, cid asc) tie-break as _assign_to_centroids
+            # same deterministic first-max rule as _assign_to_centroids'
+            # (sim desc, cid asc). (Not bit-identical tie-breaking: the
+            # float association differs — unit @ unit here vs
+            # dot/(|v|*|c|) there — so an exact tie can land elsewhere;
+            # harmless for training, which only needs determinism.)
             assign = np.argmax(t_unit @ (cents_np / cn[:, None]).T, axis=1)
             for c in range(len(cents_np)):
                 members = train[assign == c]
@@ -170,13 +174,22 @@ def ivf_probes(
 ) -> DataFrame:
     """(query_id, qv, cid) — each query's `nprobe` nearest centroid cells.
 
-    ``nprobe=None`` scales with the index: C/2 (min 1). A fixed small
-    default (the round-2 nprobe=4 at C=16) gave 0.55 recall@10 on
-    uniform embeddings — the probe count must track the cell count or
-    recall silently decays as C grows.
+    ``nprobe=None`` scales SUBLINEARLY with the index: ceil(sqrt(C)),
+    min 1 — the probe count must track the cell count (a fixed nprobe=4
+    decays as C grows) without erasing IVF's cost advantage (the
+    round-3 C/2 default scanned half the corpus per query). Search cost
+    is ~nprobe/C of brute force; measured recall@10 at C=16 (BENCH.md):
+    sqrt default (4 probes) = 1.00 on clustered embeddings (IVF's
+    intended regime) and 0.55 on uniform-random ones (the no-structure
+    worst case); half-the-cells (8 probes) = 0.80 uniform. Callers on
+    unclustered data should pass nprobe explicitly — recall there is
+    bought linearly with probes, and brute_force_topk is usually the
+    better tool.
     """
     if nprobe is None:
-        nprobe = max(1, cents.count() // 2)
+        import math
+
+        nprobe = max(1, math.isqrt(cents.count() - 1) + 1)  # ceil(sqrt(C))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     q_probe = (
         q.crossJoin(F.broadcast(cents))
@@ -218,12 +231,36 @@ def ivf_topk(
     vec_col: str = "embedding",
     kmeans_iters: int = 2,
     train_max: int = 4096,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate top-k: search only the query's `nprobe` nearest centroid
-    partitions (default nprobe = n_centroids/2 — see ivf_probes). Same
-    output schema as brute_force_topk."""
-    if nprobe is None:
-        nprobe = max(1, n_centroids // 2)
-    cents, assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, kmeans_iters, train_max)
+    partitions (default nprobe = ceil(sqrt(n_centroids)) — see
+    ivf_probes for the measured recall/cost trade). Same output schema
+    as brute_force_topk.
+
+    ``index``: a prebuilt ``(centroids, assigned)`` pair from
+    :func:`ivf_assign` — REQUIRED for repeated query batches against one
+    corpus, otherwise every call re-trains and re-assigns (two full
+    corpus scans per call). Persist/checkpoint ``assigned`` before
+    reuse so the scans actually amortize:
+
+        cents, assigned = ivf_assign(corpus, n_centroids=256)
+        assigned = assigned.localCheckpoint(eager=True)  # or write out
+        for qs in query_batches:
+            ivf_topk(corpus, qs, index=(cents, assigned))
+    """
+    if index is not None:
+        # nprobe=None falls through to ivf_probes, which derives the
+        # sqrt default from the INDEX's actual cell count (n_centroids
+        # describes only a to-be-built index)
+        cents, assigned = index
+    else:
+        if nprobe is None:
+            import math
+
+            nprobe = max(1, math.isqrt(n_centroids - 1) + 1)  # ceil(sqrt(C))
+        cents, assigned = ivf_assign(
+            corpus, n_centroids, id_col, vec_col, kmeans_iters, train_max
+        )
     probes = ivf_probes(cents, queries, nprobe, id_col, vec_col)
     return topk_within_cells(assigned, probes, k)

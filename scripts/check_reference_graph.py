@@ -64,7 +64,13 @@ def main() -> int:
             failures.append(f"m {g.m} != {float(WANT_LINKS)}")
 
     res = louvain(g)
-    want_labels, q_want = louvain_oracle(pairs)[:2]
+    # canonical-dedup the raw pairs before the oracle: the ENGINE dedups
+    # duplicate lines (canonicalize_edges, weight 1.0) while the oracle
+    # would double-count them — a user-supplied --edge-file with repeated
+    # lines must not produce a false parity failure (ADVICE r3). The
+    # default reference file has no duplicates, so this is a no-op there.
+    canon_pairs = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    want_labels, q_want = louvain_oracle(canon_pairs)[:2]
     got_labels = {r.orig_id: r.community for r in res.labels.collect()}
     n_label_mismatch = sum(
         1 for k, v in want_labels.items() if got_labels.get(k) != v

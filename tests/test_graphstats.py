@@ -110,12 +110,24 @@ def test_adamic_adar_scores(spark):
             want[(u, v)][0] += 1
             want[(u, v)][1] += contrib
 
-    got = {(r.u, r.v): (r.common_neighbors, r.aa_r9) for r in
-           adamic_adar(g, max_apex_degree=cap).collect()}
+    rows = adamic_adar(g, max_apex_degree=cap).collect()
+    got = {(r.u, r.v): (r.common_neighbors, r.aa_r9) for r in rows}
     assert set(got) == set(want)
     for p, (cn, aa) in want.items():
         assert got[p][0] == cn
         assert abs(got[p][1] - aa) < 1e-8
+    # the semantic hub cap is surfaced on every row...
+    assert {r.apex_cap for r in rows} == {cap}
+    # ...and the companion lists exactly the apexes it excluded
+    from louvain_fast_move_cuda_spark.operators.graphstats import (
+        adamic_adar_excluded_hubs,
+    )
+
+    small_cap = 10
+    excluded = {r.w: r.dw for r in
+                adamic_adar_excluded_hubs(g, max_apex_degree=small_cap).collect()}
+    assert excluded == {w: len(ns) for w, ns in nbrs.items() if len(ns) > small_cap}
+    assert excluded  # the powerlaw graph genuinely has hubs above 10
 
 
 def test_dedup_clusters_transitive(spark):
@@ -163,3 +175,18 @@ def test_k_core_truncation_guard(spark):
     # converged runs are unaffected by the default
     full = {r.id: r.core_degree for r in k_core(g, k=2).collect()}
     assert full == {0: 2, 1: 2, 2: 2}
+
+
+def test_k_core_fixpoint_exactly_at_max_rounds_is_not_truncation(spark):
+    """A peel that reaches its fixpoint in the LAST allowed round (no
+    spare round to observe the repeated keep-count) must not raise: the
+    post-loop recount settles that the result is exact (ADVICE r3)."""
+    import pytest
+
+    # P8 path: k=2 peeling strips one layer per round and needs exactly
+    # 4 filter rounds to empty; round 5 would only confirm the fixpoint
+    edges = [(i, i + 1) for i in range(7)]
+    g = _gt(spark, edges)
+    assert k_core(g, k=2, max_rounds=4).count() == 0  # exact, no raise
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        k_core(g, k=2, max_rounds=3)  # genuinely truncated still raises

