@@ -126,6 +126,11 @@ def run_suite(names: list[str] | None, scaling_convs: int | None = None) -> dict
         if local_dir:
             # e.g. /dev/shm/spark: keep shuffle files off the disk path
             extra_conf["spark.local.dir"] = local_dir
+    if os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS"):
+        # memory/bus trade knob (VERDICT r3 #6): this box is bus-bound,
+        # so compression trades CPU cycles against bytes moved
+        extra_conf = dict(extra_conf or {})
+        extra_conf["spark.shuffle.compress"] = os.environ["SPARK_GRAFT_SHUFFLE_COMPRESS"]
     spark = get_spark(
         app_name="bench", master=master, shuffle_partitions=max(8, CPUS),
         extra_conf=extra_conf,
@@ -516,32 +521,39 @@ def main():
                 results[workers] = r
         if not all(w in results for w in set(order)):
             print(json.dumps({
-                "metric": "louvain_scaling_efficiency_1_to_4_executors",
+                "metric": "louvain_scaling_efficiency_executors",
                 "value": None, "unit": "ratio",
                 "error": f"legs missing: have {sorted(results)}, want {sorted(set(order))}",
             }))
             return
-        th1 = results[1]["louvain_spark_edges_per_sec_per_iter"]
-        th4 = results[4]["louvain_spark_edges_per_sec_per_iter"]
-        eff = (th4 / th1) / 4.0 if th1 > 0 else 0.0
+        # efficiency between the smallest and largest worker counts in
+        # the order (1->4 for the north-rule number; 1->2 / arbitrary
+        # brackets for the memory/bus trade arms, VERDICT r3 #6)
+        base_w, top_w = min(results), max(results)
+        ratio = top_w / base_w
+        th_b = results[base_w]["louvain_spark_edges_per_sec_per_iter"]
+        th_t = results[top_w]["louvain_spark_edges_per_sec_per_iter"]
+        eff = (th_t / th_b) / ratio if th_b > 0 else 0.0
+        lab_b, lab_t = f"{base_w}x8", f"{top_w}x8"
         print(json.dumps({
-            "metric": "louvain_scaling_efficiency_1_to_4_executors",
+            "metric": f"louvain_scaling_efficiency_{base_w}_to_{top_w}_executors",
             "value": round(eff, 4),
             "unit": "ratio",
-            "topology": "local-cluster[W,8,8192]: W separate executor JVMs x 8 cores",
-            "regime": "distributed level-0 rounds" if th1 > 0 else "INVALID: no distributed rounds",
-            "throughput_spark_edges_per_sec_per_iter": {"1x8": th1, "4x8": th4},
-            "spark_rounds": {"1x8": results[1].get("louvain_spark_rounds"),
-                             "4x8": results[4].get("louvain_spark_rounds")},
+            "topology": "local-cluster[W,8,mem]: W separate executor JVMs x 8 cores",
+            "exec_mems": per_arm_mem or os.environ.get("SPARK_GRAFT_EXEC_MEM", "8g"),
+            "regime": "distributed level-0 rounds" if th_b > 0 else "INVALID: no distributed rounds",
+            "throughput_spark_edges_per_sec_per_iter": {lab_b: th_b, lab_t: th_t},
+            "spark_rounds": {lab_b: results[base_w].get("louvain_spark_rounds"),
+                             lab_t: results[top_w].get("louvain_spark_rounds")},
             "n_convs": convs,
-            "n_edges_directed": results[4].get("n_edges_directed"),
+            "n_edges_directed": results[top_w].get("n_edges_directed"),
             "louvain_lvl0_sec": {
-                "1x8": results[1]["distributed_sec"]["louvain_lvl0"],
-                "4x8": results[4]["distributed_sec"]["louvain_lvl0"],
+                lab_b: results[base_w]["distributed_sec"]["louvain_lvl0"],
+                lab_t: results[top_w]["distributed_sec"]["louvain_lvl0"],
             },
             "shuffle_mb_per_round": {
-                "1x8": results[1].get("louvain_lvl0_shuffle_mb_per_round"),
-                "4x8": results[4].get("louvain_lvl0_shuffle_mb_per_round"),
+                lab_b: results[base_w].get("louvain_lvl0_shuffle_mb_per_round"),
+                lab_t: results[top_w].get("louvain_lvl0_shuffle_mb_per_round"),
             },
         }))
         return
@@ -593,6 +605,60 @@ def main():
         names = set(args[args.index("--queries") + 1].split(","))
     if "--scaling-convs" in args:
         scaling_convs = int(args[args.index("--scaling-convs") + 1])
+
+    # Default driver entry point = BEST-OF-N (VERDICT r3 #2): this host
+    # throttles CPU after sustained load (BENCH.md: identical code
+    # measured 16.9 s vs 99.2 s back-to-back), so a single throw is
+    # noise, not evidence. Each run is a fresh JVM subprocess with a
+    # cool-down between runs; the recorded value is the per-run minimum
+    # and every per-query timing is its own across-run minimum — the
+    # same alternating best-of protocol the scaling legs already use.
+    # --single runs one pass (used by the subprocesses and iteration).
+    best_of = int(os.environ.get("SPARK_GRAFT_BEST_OF", "3"))
+    if "--single" not in args and names is None and scaling_convs is None and best_of > 1:
+        runs = []
+        for i in range(best_of):
+            if i:
+                time.sleep(int(os.environ.get("SPARK_GRAFT_BEST_OF_COOLDOWN", "60")))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--single"],
+                capture_output=True, text=True,
+            )
+            if out.returncode != 0:
+                sys.stderr.write(
+                    f"BEST-OF RUN {i} FAILED rc={out.returncode}\n{out.stderr[-4000:]}\n"
+                )
+                continue
+            line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+            runs.append(json.loads(line))
+        if not runs:
+            sys.stderr.write("all best-of runs failed\n")
+            sys.exit(1)
+        best = min(runs, key=lambda r: r["value"])
+        merged = dict(best)
+        merged["value"] = round(min(r["value"] for r in runs), 3)
+        merged["queries"] = {
+            k: round(min(r["queries"][k] for r in runs if k in r["queries"]), 3)
+            for k in best["queries"]
+        }
+        merged["distributed_sec"] = {
+            k: round(min(r["distributed_sec"][k] for r in runs if k in r["distributed_sec"]), 3)
+            for k in best["distributed_sec"]
+        }
+        for k in best:
+            # throughput metrics: best = max across runs
+            if isinstance(best[k], (int, float)) and k.endswith("edges_per_sec_per_iter"):
+                merged[k] = max(r.get(k, 0.0) for r in runs)
+        merged["protocol"] = (
+            f"best-of-{len(runs)} (fresh JVM per run, "
+            f"{os.environ.get('SPARK_GRAFT_BEST_OF_COOLDOWN', '60')}s cool-down; "
+            "value/per-query = across-run minima, throughput = maxima — "
+            "throttle-robust per VERDICT r3)"
+        )
+        merged["runs_headline_sec"] = [r["value"] for r in runs]
+        merged["runs_wall_sec"] = [r["wall_sec_incl_distributed"] for r in runs]
+        print(json.dumps(merged))
+        return
 
     t0 = time.time()
     r = run_suite(names, scaling_convs)
