@@ -350,27 +350,7 @@ def q_louvain_level0_weighted(spark, sf_dir):
     round count and stop rule as louvain_level0; weights are link
     multiplicities (integer-valued float64), so every aggregate stays
     exact."""
-    from louvain_fast_move_cuda_spark.sources.edges import (
-        GraphTables,
-        canonicalize_edges,
-        derive_edges_from_transcripts,
-        symmetrize,
-        vertex_weights,
-    )
-
-    t, _, _ = _graph(spark, sf_dir)
-    raw = derive_edges_from_transcripts(t).withColumn("w", F.lit(1.0))
-    edges = symmetrize(canonicalize_edges(raw, weight="w")).localCheckpoint(eager=True)
-    verts = vertex_weights(edges).localCheckpoint(eager=True)
-    agg = (
-        edges.agg(F.sum("weight").alias("w2"))
-        .crossJoin(verts.agg(F.count("*").alias("n")))
-        .collect()[0]
-    )
-    g = GraphTables(
-        edges=edges, vertices=verts,
-        m=float(agg["w2"]) / 2.0, n_nodes=int(agg["n"]),
-    )
+    g = _weighted_graph(spark, sf_dir)
     res = louvain(
         g,
         threshold=-1.0,
@@ -444,7 +424,15 @@ def q_louvain_local(spark, sf_dir):
     )
 
 
+_WGRAPH_CACHE: dict = {}
+
+
 def _weighted_graph(spark, sf_dir):
+    """S2 weighted-merge graph (duplicate raw links sum their weights),
+    built once per sf_dir — shared by the level-0 and full-loop weighted
+    queries."""
+    if sf_dir in _WGRAPH_CACHE:
+        return _WGRAPH_CACHE[sf_dir]
     from louvain_fast_move_cuda_spark.sources.edges import (
         GraphTables,
         canonicalize_edges,
@@ -462,10 +450,11 @@ def _weighted_graph(spark, sf_dir):
         .crossJoin(verts.agg(F.count("*").alias("n")))
         .collect()[0]
     )
-    return GraphTables(
+    _WGRAPH_CACHE[sf_dir] = GraphTables(
         edges=edges, vertices=verts,
         m=float(agg["w2"]) / 2.0, n_nodes=int(agg["n"]),
     )
+    return _WGRAPH_CACHE[sf_dir]
 
 
 def q_louvain_weighted(spark, sf_dir):
