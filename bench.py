@@ -616,6 +616,33 @@ def main():
     # --single runs one pass (used by the subprocesses and iteration).
     best_of = int(os.environ.get("SPARK_GRAFT_BEST_OF", "3"))
     if "--single" not in args and names is None and scaling_convs is None and best_of > 1:
+        def merged_json(runs):
+            best = min(runs, key=lambda r: r["value"])
+            merged = dict(best)
+            merged["value"] = round(min(r["value"] for r in runs), 3)
+            merged["queries"] = {
+                k: round(min(r["queries"][k] for r in runs if k in r["queries"]), 3)
+                for k in best["queries"]
+            }
+            merged["distributed_sec"] = {
+                k: round(min(r["distributed_sec"][k] for r in runs
+                             if k in r["distributed_sec"]), 3)
+                for k in best["distributed_sec"]
+            }
+            for k in best:
+                # throughput metrics: best = max across runs
+                if isinstance(best[k], (int, float)) and k.endswith("edges_per_sec_per_iter"):
+                    merged[k] = max(r.get(k, 0.0) for r in runs)
+            merged["protocol"] = (
+                f"best-of-{len(runs)} (fresh JVM per run, "
+                f"{os.environ.get('SPARK_GRAFT_BEST_OF_COOLDOWN', '60')}s cool-down; "
+                "value/per-query = across-run minima, throughput = maxima — "
+                "throttle-robust per VERDICT r3)"
+            )
+            merged["runs_headline_sec"] = [r["value"] for r in runs]
+            merged["runs_wall_sec"] = [r["wall_sec_incl_distributed"] for r in runs]
+            return json.dumps(merged)
+
         runs = []
         for i in range(best_of):
             if i:
@@ -631,33 +658,13 @@ def main():
                 continue
             line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
             runs.append(json.loads(line))
+            # print the merged best-so-far after EVERY run: if an outer
+            # timeout kills the protocol mid-way, the last stdout line is
+            # still a complete, parseable best-of-k record
+            print(merged_json(runs), flush=True)
         if not runs:
             sys.stderr.write("all best-of runs failed\n")
             sys.exit(1)
-        best = min(runs, key=lambda r: r["value"])
-        merged = dict(best)
-        merged["value"] = round(min(r["value"] for r in runs), 3)
-        merged["queries"] = {
-            k: round(min(r["queries"][k] for r in runs if k in r["queries"]), 3)
-            for k in best["queries"]
-        }
-        merged["distributed_sec"] = {
-            k: round(min(r["distributed_sec"][k] for r in runs if k in r["distributed_sec"]), 3)
-            for k in best["distributed_sec"]
-        }
-        for k in best:
-            # throughput metrics: best = max across runs
-            if isinstance(best[k], (int, float)) and k.endswith("edges_per_sec_per_iter"):
-                merged[k] = max(r.get(k, 0.0) for r in runs)
-        merged["protocol"] = (
-            f"best-of-{len(runs)} (fresh JVM per run, "
-            f"{os.environ.get('SPARK_GRAFT_BEST_OF_COOLDOWN', '60')}s cool-down; "
-            "value/per-query = across-run minima, throughput = maxima — "
-            "throttle-robust per VERDICT r3)"
-        )
-        merged["runs_headline_sec"] = [r["value"] for r in runs]
-        merged["runs_wall_sec"] = [r["wall_sec_incl_distributed"] for r in runs]
-        print(json.dumps(merged))
         return
 
     t0 = time.time()

@@ -219,3 +219,39 @@ def test_refine_is_identity_and_monotone_on_louvain_output(spark):
     again = refine_partition(g, ldf)
     n_parts = again.select("community").distinct().count()
     assert n_parts == ref.n_communities
+
+
+def test_louvain_full_gate_is_sharp(spark):
+    """The round-4 full-loop hard gate must (a) pass end-to-end on real
+    output and (b) FAIL when the engine's claimed modularity is off by
+    more than the 1e-9 tolerance — i.e. the oracle genuinely judges the
+    claim rather than echoing it."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from conftest import SF_DIR
+
+    sdf = entrymod.queries()["louvain_communities"](spark, SF_DIR)
+    srows = sorted(tuple(r) for r in sdf.collect())
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF_DIR}/events.parquet'")
+    sql = entrymod.oracle_sql()["louvain_communities"]
+    orows = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert srows == orows  # labels round-trip, Q bitwise, claim judged ok
+
+    # perturb the claimed modularity by 1e-6 (1000x the gate tolerance):
+    # the oracle must now emit q_claim_ok=False on every row
+    meta_path = f"{entrymod._ORACLE_MAT_DIR}/louvain_meta_distributed.parquet"
+    (q_claimed,) = con.execute(
+        f"SELECT q_claimed FROM read_parquet('{meta_path}/*.parquet')"
+    ).fetchone()
+    spark.createDataFrame(
+        [(float(q_claimed) + 1e-6,)], "q_claimed double"
+    ).write.mode("overwrite").parquet(meta_path)
+    bad = con.execute(sql).fetchall()
+    assert bad and all(row[-1] is False for row in bad)
+    # restore the true claim for any later consumer of the artifact
+    spark.createDataFrame([(float(q_claimed),)], "q_claimed double").write.mode(
+        "overwrite"
+    ).parquet(meta_path)
