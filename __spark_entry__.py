@@ -57,7 +57,9 @@ from louvain_fast_move_cuda_spark.operators.graphstats import (
     adamic_adar,
     assortativity,
     clustering_coefficient,
+    community_metrics,
     degree_histogram,
+    jaccard_similarity,
     k_core,
 )
 from louvain_fast_move_cuda_spark.operators.labelprop import label_propagation
@@ -72,7 +74,14 @@ from louvain_fast_move_cuda_spark.operators.multimodal import (
     sample_frames,
     synthesize_media,
 )
-from louvain_fast_move_cuda_spark.operators.pagerank import pagerank
+from louvain_fast_move_cuda_spark.operators.pagerank import (
+    pagerank,
+    personalized_pagerank,
+)
+from louvain_fast_move_cuda_spark.operators.walks import (
+    random_walks,
+    sample_neighbors,
+)
 from louvain_fast_move_cuda_spark.operators.temporal import sessionize, tumbling_rollup
 from louvain_fast_move_cuda_spark.operators.similarity import brute_force_topk, ivf_topk
 from louvain_fast_move_cuda_spark.operators.textstats import (
@@ -712,6 +721,45 @@ def q_adamic_adar(spark, sf_dir):
     return adamic_adar(g, max_apex_degree=64)
 
 
+def q_jaccard_links(spark, sf_dir):
+    _, _, g = _graph(spark, sf_dir)
+    return jaccard_similarity(g, max_apex_degree=64)
+
+
+def q_community_metrics(spark, sf_dir):
+    # evaluate the deterministic 'turns by conversation' partition (the
+    # same one modularity_conv scores), so the oracle derives identical
+    # labels in pure SQL
+    _, ids, g = _graph(spark, sf_dir)
+    return community_metrics(g, _conv_labels(ids)).select(
+        "community",
+        "n_vertices",
+        "volume",
+        "internal_weight",
+        "cut",
+        "conductance_r9",
+    )
+
+
+def q_pagerank_personalized(spark, sf_dir):
+    """Fixed 20 supersteps (tol=0) from the deterministic seed set
+    vid % 97 == 0; ranks r9-rounded like the other PageRank queries."""
+    _, _, g = _graph(spark, sf_dir)
+    seeds = g.vertices.select("id").filter(F.col("id") % 97 == 0)
+    pr = personalized_pagerank(g, seeds, alpha=0.85, max_iter=20, tol=0.0)
+    return pr.select("id", F.round("rank", 9).alias("rank_r9"))
+
+
+def q_random_walks(spark, sf_dir):
+    _, _, g = _graph(spark, sf_dir)
+    return random_walks(g, length=8, seed_mod=7, salt=0)
+
+
+def q_neighbor_sample(spark, sf_dir):
+    _, _, g = _graph(spark, sf_dir)
+    return sample_neighbors(g, k=5, salt=0)
+
+
 def q_dedup_clusters(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     sh = shingles(docs, k=5)
@@ -890,6 +938,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_communities_weighted": q_louvain_weighted,
         "pagerank": q_pagerank,
         "pagerank_fixed20": q_pagerank_fixed20,
+        "pagerank_personalized": q_pagerank_personalized,
+        # partition-quality diagnostics + link prediction + embedding-
+        # training inputs (walk corpus / GNN neighbor sampling)
+        "community_metrics": q_community_metrics,
+        "jaccard_links": q_jaccard_links,
+        "random_walks": q_random_walks,
+        "neighbor_sample": q_neighbor_sample,
         "cc_full": q_cc_full,
         "cc_full_local": q_cc_full_local,
         "label_propagation": q_lpa,
@@ -1164,6 +1219,66 @@ pr{i + 1} AS MATERIALIZED (
         + ",\n".join(parts)
         + f"\nSELECT id, round(rank, 9) AS rank_r9 FROM pr{iters}"
     )
+
+
+def _ppr_sql(iters: int = 20, seed_mod: int = 97) -> str:
+    """Unroll operators/pagerank.py::personalized_pagerank's fixed
+    supersteps: restart mass 1/|seeds| on id % seed_mod == 0, ranks
+    initialized to the restart vector, the same share table and
+    left-join-coalesce superstep as the uniform oracle. (1.0 - 0.85)
+    is written unfolded so both engines carry the identical IEEE
+    constant (0.15000000000000002)."""
+    parts = [
+        f"ns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg WHERE id % {seed_mod} = 0)",
+        f"""pv AS MATERIALIZED (
+  SELECT id, CASE WHEN id % {seed_mod} = 0 THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS p
+  FROM deg)""",
+        """shares AS MATERIALIZED (
+  SELECT s.src, s.dst, s.weight / d.k AS share FROM sym s JOIN deg d ON s.src = d.id)""",
+        "pr0 AS MATERIALIZED (SELECT id, p AS rank FROM pv)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT sh.dst AS id, sum(sh.share * p.rank) AS insum
+  FROM shares sh JOIN pr{i} p ON sh.src = p.id GROUP BY sh.dst),
+pr{i + 1} AS MATERIALIZED (
+  SELECT d.id, (1.0 - 0.85) * d.p + 0.85 * coalesce(c.insum, 0.0) AS rank
+  FROM pv d LEFT JOIN c{i} c ON d.id = c.id)"""
+        )
+    return (
+        f"{_GRAPH_CTE},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT id, round(rank, 9) AS rank_r9 FROM pr{iters}"
+    )
+
+
+def _walks_sql(length: int = 8, seed_mod: int = 7, salt: int = 0) -> str:
+    """Unroll operators/walks.py::random_walks — per step the SAME
+    portable arithmetic mixer picks neighbor number mix % deg in
+    dst-sorted adjacency order; all intermediates < ~1e10 so the int64
+    expressions are exact in both engines (walks.py module docstring)."""
+    parts = [
+        """nbr AS MATERIALIZED (
+  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+         count(*) OVER (PARTITION BY src) AS deg
+  FROM sym)""",
+        f"w0 AS MATERIALIZED (SELECT id AS walk_id, 0 AS step, id AS vertex FROM deg WHERE id % {seed_mod} = 0)",
+    ]
+    for s in range(1, length + 1):
+        mix = (
+            f"(((c.vertex % 1000003) * 10007 + (c.walk_id % 1000003) * 97"
+            f" + {s} * 31 + {salt}) % 999983)"
+        )
+        parts.append(
+            f"""w{s} AS MATERIALIZED (
+  SELECT c.walk_id, {s} AS step, n.dst AS vertex
+  FROM w{s - 1} c JOIN nbr n ON n.src = c.vertex AND n.idx = {mix} % n.deg)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT walk_id, step, vertex FROM w{s}" for s in range(length + 1)
+    )
+    return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + "\n" + union
 
 
 def _louvain_level0_sql(rounds: int, sym: str = "sym", deg: str = "deg", extra_cte: str = "") -> str:
@@ -1587,6 +1702,63 @@ nonadj AS (
 SELECT u, v, count(*) AS common_neighbors, round(sum(contrib), 9) AS aa_r9,
        CAST(64 AS INT) AS apex_cap
 FROM nonadj GROUP BY u, v
+""",
+        # capped intersection over apexes, FULL degrees in the union
+        # denominator (graphstats.py::jaccard_similarity docstring)
+        "jaccard_links": f"""
+{_GRAPH_CTE},
+cdeg AS (SELECT src AS w, count(*) AS dw FROM sym GROUP BY src),
+apex AS (SELECT w FROM cdeg WHERE dw >= 2 AND dw <= 64),
+nbrs AS (SELECT e.src AS w, e.dst AS n FROM sym e JOIN apex a ON e.src = a.w),
+wedge AS (SELECT l.n AS u, r.n AS v FROM nbrs l JOIN nbrs r ON l.w = r.w AND l.n < r.n),
+nonadj AS (
+  SELECT w.u, w.v FROM wedge w
+  LEFT JOIN canon c ON w.u = c.src AND w.v = c.dst
+  WHERE c.src IS NULL
+),
+com AS (SELECT u, v, count(*) AS common_neighbors FROM nonadj GROUP BY u, v)
+SELECT c.u, c.v, c.common_neighbors,
+       round(CAST(c.common_neighbors AS DOUBLE)
+             / CAST(du.dw + dv.dw - c.common_neighbors AS DOUBLE), 9) AS jaccard_r9,
+       CAST(64 AS INT) AS apex_cap
+FROM com c JOIN cdeg du ON c.u = du.w JOIN cdeg dv ON c.v = dv.w
+""",
+        # the 'turns by conversation' partition (same labels as
+        # modularity_conv); every sum integer-valued -> exact; only the
+        # conductance ratio is rounded
+        "community_metrics": f"""
+{_GRAPH_CTE},
+lab AS (SELECT vid AS id, min(vid) OVER (PARTITION BY conv_id) AS community FROM ids),
+vol AS (
+  SELECT l.community, count(*) AS n_vertices, sum(d.k) AS volume
+  FROM deg d JOIN lab l ON d.id = l.id GROUP BY l.community),
+intra AS (
+  SELECT ls.community, sum(e.weight) AS internal_weight
+  FROM sym e JOIN lab ls ON e.src = ls.id JOIN lab ld ON e.dst = ld.id
+  WHERE ls.community = ld.community GROUP BY ls.community),
+mm2 AS (SELECT sum(weight) AS two_m FROM sym)
+SELECT v.community, v.n_vertices, v.volume,
+       coalesce(i.internal_weight, 0.0) AS internal_weight,
+       v.volume - coalesce(i.internal_weight, 0.0) AS cut,
+       CASE WHEN least(v.volume, (SELECT two_m FROM mm2) - v.volume) > 0.0
+            THEN round((v.volume - coalesce(i.internal_weight, 0.0))
+                       / least(v.volume, (SELECT two_m FROM mm2) - v.volume), 9)
+            ELSE 0.0 END AS conductance_r9
+FROM vol v LEFT JOIN intra i ON v.community = i.community
+""",
+        "pagerank_personalized": _ppr_sql(iters=20, seed_mod=97),
+        "random_walks": _walks_sql(length=8, seed_mod=7, salt=0),
+        "neighbor_sample": f"""
+{_GRAPH_CTE},
+cand AS (
+  SELECT src, dst,
+         ((src % 1000003) * 10007 + (dst % 1000003) * 97 + 0) % 999983 AS h
+  FROM sym),
+rk AS (
+  SELECT src, dst,
+         CAST(row_number() OVER (PARTITION BY src ORDER BY h, dst) AS INT) AS sample_rank
+  FROM cand)
+SELECT src, dst, sample_rank FROM rk WHERE sample_rank <= 5
 """,
         "louvain_level0": _louvain_level0_sql(rounds=_LEVEL0_ROUNDS),
         "louvain_level0_coarse": _louvain_level0_coarse_sql(rounds=_LEVEL0_ROUNDS),

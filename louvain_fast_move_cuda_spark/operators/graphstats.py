@@ -211,6 +211,113 @@ def adamic_adar(
     )
 
 
+def jaccard_similarity(
+    graph: GraphTables, max_apex_degree: int = 64, min_common: int = 1
+) -> DataFrame:
+    """(u, v, common_neighbors: long, jaccard_r9: double, apex_cap: int)
+    for NON-adjacent pairs u < v at distance 2:
+    J(u,v) = |N(u) ∩ N(v)| / |N(u) ∪ N(v)|.
+
+    Same capped wedge join as :func:`adamic_adar` (the cap is semantic
+    and surfaced — see that docstring): the intersection is counted over
+    apexes with 2 <= deg <= ``max_apex_degree`` only, while the union
+    denominator deg(u) + deg(v) - common uses FULL degrees, so a capped
+    intersection can only lower the score — hub-mediated "similarity"
+    is exactly what link prediction wants discounted. Numerator and
+    denominator are integers, so the division is bit-reproducible; r9
+    rounding is belt-and-braces for the cross-engine hash.
+    """
+    deg = graph.edges.groupBy(F.col("src").alias("w")).agg(F.count("*").alias("dw"))
+    apex_ok = deg.filter((F.col("dw") >= 2) & (F.col("dw") <= max_apex_degree))
+    nbrs = graph.edges.select(F.col("src").alias("w"), F.col("dst").alias("n")).join(
+        apex_ok.select("w"), "w"
+    )
+    wedges = (
+        nbrs.alias("l")
+        .join(nbrs.alias("r"), "w")
+        .filter(F.col("l.n") < F.col("r.n"))
+        .select(F.col("l.n").alias("u"), F.col("r.n").alias("v"))
+    )
+    canon = graph.edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    common = (
+        wedges.join(canon, ["u", "v"], "left_anti")
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("common_neighbors"))
+        .filter(F.col("common_neighbors") >= min_common)
+    )
+    return (
+        common.join(deg.select(F.col("w").alias("u"), F.col("dw").alias("du")), "u")
+        .join(deg.select(F.col("w").alias("v"), F.col("dw").alias("dv")), "v")
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common_neighbors")).cast("double"),
+                9,
+            ).alias("jaccard_r9"),
+            F.lit(max_apex_degree).cast("int").alias("apex_cap"),
+        )
+    )
+
+
+def community_metrics(graph: GraphTables, labels: DataFrame) -> DataFrame:
+    """(community, n_vertices, volume, internal_weight, cut,
+    conductance_r9) — per-community quality diagnostics of a given
+    partition (the evaluation-side complement of Louvain itself).
+
+    ``labels``: (id, community). Per community c: volume = Σ k_v over
+    members (directed incident weight), internal_weight = Σ directed
+    weights of intra-c edges, cut = volume − internal_weight, and
+    conductance φ(c) = cut / min(volume, 2m − volume) — 0 when the
+    denominator is 0 (a community spanning the whole graph cuts
+    nothing). All sums are integer-valued float64 (link counts), so
+    only the final ratio is rounded for the cross-engine hash.
+
+    Scale: one labels join per edge endpoint + two groupBys — the same
+    shape as one Louvain Q evaluation; no per-pair or per-wedge work.
+    """
+    ls = labels.select(F.col("id").alias("src"), F.col("community").alias("cs"))
+    ld = labels.select(F.col("id").alias("dst"), F.col("community").alias("cd"))
+    intra = (
+        graph.edges.join(ls, "src")
+        .join(ld, "dst")
+        .filter(F.col("cs") == F.col("cd"))
+        .groupBy(F.col("cs").alias("community"))
+        .agg(F.sum("weight").alias("internal_weight"))
+    )
+    vol = (
+        graph.vertices.join(labels, "id")
+        .groupBy("community")
+        .agg(F.count("*").alias("n_vertices"), F.sum("k").alias("volume"))
+    )
+    two_m = 2.0 * graph.m
+    cut = F.col("volume") - F.col("internal_weight")
+    denom = F.least(F.col("volume"), F.lit(two_m) - F.col("volume"))
+    return (
+        vol.join(intra, "community", "left")
+        .select(
+            "community",
+            "n_vertices",
+            "volume",
+            F.coalesce("internal_weight", F.lit(0.0)).alias("internal_weight"),
+        )
+        .select(
+            "community",
+            "n_vertices",
+            "volume",
+            "internal_weight",
+            cut.alias("cut"),
+            F.when(denom > 0.0, F.round(cut / denom, 9))
+            .otherwise(F.lit(0.0))
+            .alias("conductance_r9"),
+        )
+    )
+
+
 def adamic_adar_excluded_hubs(
     graph: GraphTables, max_apex_degree: int = 64
 ) -> DataFrame:

@@ -53,6 +53,83 @@ def _local_pagerank(graph: GraphTables, alpha: float, max_iter: int, tol: float)
     return spark.createDataFrame(pd.DataFrame({"id": ids, "rank": rank}))
 
 
+def personalized_pagerank(
+    graph: GraphTables,
+    seeds: DataFrame,
+    alpha: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 0.0,
+) -> DataFrame:
+    """Topic-sensitive PageRank: restart mass concentrated on ``seeds``
+    (one column ``id``) instead of uniform. Returns (id, rank); Σ = 1.
+
+    rank' = (1−α)·p + α·Σ_in share·rank, with p_i = 1/|seeds| on seeds
+    and 0 elsewhere; ranks initialize to p (the standard PPR
+    convention). A separate function — not a ``pagerank`` parameter —
+    so the uniform loop's expression tree (pinned bit-exactly by the
+    pagerank_fixed20 oracle) is untouched.
+
+    Same superstep shape and scale properties as :func:`pagerank`: the
+    static share table is built once, each iteration is one shuffle
+    join + groupBy, lineage truncated per round. Non-seed vertices
+    unreachable from any seed keep rank exactly 0 and the left join's
+    coalesce handles them without a dense vector. tol=0 (default) runs
+    exactly ``max_iter`` supersteps — the deterministic fixed-iteration
+    contract the cross-engine oracle checks; a positive tol enables the
+    same L1 early stop as :func:`pagerank`.
+    """
+    spark = graph.edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_seeds = seeds.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    p0 = 1.0 / n_seeds
+    pvec = (
+        graph.vertices.select("id")
+        .join(seeds.select("id").withColumn("p", F.lit(p0)), "id", "left")
+        .select("id", F.coalesce("p", F.lit(0.0)).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    shares = (
+        graph.edges.join(
+            graph.vertices.select(F.col("id").alias("src"), F.col("k").alias("k_src")), "src"
+        )
+        .select("src", "dst", (F.col("weight") / F.col("k_src")).alias("share"))
+        .repartition(npart, "src")
+        .localCheckpoint(eager=True)
+    )
+    ranks = pvec.select("id", F.col("p").alias("rank")).localCheckpoint(eager=True)
+    for _it in range(max_iter):
+        contribs = (
+            shares.join(ranks.select(F.col("id").alias("src"), "rank"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("share") * F.col("rank")).alias("in_sum"))
+        )
+        new_ranks = (
+            pvec.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - alpha) * F.col("p")
+                    + F.lit(alpha) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        # the L1 action doubles as the per-round materialization point
+        # (truncates lineage inside the lazy localCheckpoint), exactly
+        # like the uniform loop — so it runs even when tol=0
+        l1 = (
+            new_ranks.join(ranks.withColumnRenamed("rank", "old"), "id")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        ranks = new_ranks
+        if tol > 0.0 and l1 is not None and float(l1) < tol:
+            break
+    return ranks
+
+
 def pagerank(
     graph: GraphTables,
     alpha: float = 0.85,

@@ -1,0 +1,152 @@
+"""Deterministic random-walk corpus generation and neighbor sampling.
+
+Neither exists in the CUDA reference (it is Louvain-only,
+/root/reference/main.cu); they extend the training-data-pipeline
+surface: DeepWalk/node2vec-style walk corpora are the standard input
+for skip-gram graph embeddings, and bounded per-vertex neighbor samples
+are the standard minibatch input for GraphSAGE-style GNN training.
+
+Determinism is the design center, not an afterthought. A 100 TB walk
+job that cannot be re-run bit-identically cannot be checkpointed,
+resumed, audited, or oracle-checked. Instead of RNG state (which is
+per-task and reorder-sensitive in any distributed engine), every
+"random" choice is a pure arithmetic mixer over (vertex, walk, step):
+
+    mix(a, b, c) = ((a % 1000003) * 10007 + (b % 1000003) * 97
+                    + c * 31 + salt) % 999983
+
+All intermediates stay below ~1e10, so the expression is exact int64
+arithmetic in ANY engine (no overflow, no wrap-semantics divergence —
+DuckDB errors on int64 overflow where Spark non-ANSI wraps, so staying
+small is what makes the side-by-side oracle possible). The mixer is a
+hash for *spreading*, not cryptography; callers wanting stronger mixing
+can raise ``salt`` per epoch to get decorrelated walk sets.
+
+Scale notes (the part that matters at 10^12 edges):
+
+* ``index_neighbors`` ranks each vertex's adjacency once with a single
+  window (one shuffle by src); every walk step is then ONE equi-join
+  against this static table — the standard distributed-walk shape.
+  The indexed table is localCheckpointed so L steps reuse one scan.
+* Each walk step joins the O(n_seeds) frontier against the adjacency —
+  frontier-sized, not graph-sized, work per step.
+* ``sample_neighbors`` is one window over the adjacency. On power-law
+  hubs the per-src sort partition is the skew point; ``pre_thin``
+  probabilistically pre-filters a hub's candidate set by the same mixer
+  before ranking (keep-probability ~ 4k/expected-max-degree), bounding
+  the window partition while leaving <=k semantics unchanged whenever
+  the thinned set still has >= k survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.edges import GraphTables
+
+# portable mixer constants (see module docstring)
+_P = 1000003
+_M = 999983
+
+
+def _mix(a, b, c, salt: int):
+    """Pure-arithmetic int64 mixer, identical in Spark and ANSI SQL."""
+    return (
+        (a % F.lit(_P)) * F.lit(10007)
+        + (b % F.lit(_P)) * F.lit(97)
+        + c * F.lit(31)
+        + F.lit(salt)
+    ) % F.lit(_M)
+
+
+def index_neighbors(graph: GraphTables) -> DataFrame:
+    """(src, dst, idx: 0-based rank of dst within src's adjacency,
+    deg: src's unweighted degree). One window by src, materialized so
+    every walk step / sample reuses it without re-shuffling."""
+    w = Window.partitionBy("src").orderBy("dst")
+    return (
+        graph.edges.select("src", "dst")
+        .withColumn("idx", F.row_number().over(w) - F.lit(1))
+        .withColumn("deg", F.count("*").over(Window.partitionBy("src")))
+        .localCheckpoint(eager=True)
+    )
+
+
+def random_walks(
+    graph: GraphTables,
+    length: int = 8,
+    seed_mod: int = 1,
+    salt: int = 0,
+    nbrs: DataFrame | None = None,
+) -> DataFrame:
+    """(walk_id, step, vertex) — one deterministic walk of ``length``
+    steps from every seed vertex (vid % seed_mod == 0; 1 = all).
+
+    Step s from vertex v of walk w takes neighbor number
+    mix(v, w, s) % deg(v) in dst-sorted adjacency order. Walks never
+    stall mid-way: the symmetric edge table has no sinks (every vertex
+    with an in-edge has an out-edge, by construction in
+    sources.edges.build_graph); an ISOLATED seed (in the vertex table
+    but no edges) emits only its step-0 row — a stub walk, identical in
+    the SQL oracle.
+
+    ``nbrs``: optional prebuilt :func:`index_neighbors` output — pass it
+    when generating several walk sets (epochs with different ``salt``)
+    so the adjacency is ranked once (mirrors similarity.py's
+    prebuilt-IVF-index reuse pattern).
+    """
+    if length < 1:
+        raise ValueError(f"length must be >= 1, got {length}")
+    if nbrs is None:
+        nbrs = index_neighbors(graph)
+    seeds = graph.vertices.select(F.col("id").alias("vertex")).filter(
+        F.col("id") % F.lit(seed_mod) == 0
+    )
+    cur = seeds.select(F.col("vertex").alias("walk_id"), F.lit(0).alias("step"), "vertex")
+    out = [cur]
+    for s in range(1, length + 1):
+        pick = _mix(F.col("vertex"), F.col("walk_id"), F.lit(s), salt)
+        cur = (
+            cur.select("walk_id", F.col("vertex").alias("src"), pick.alias("h"))
+            .join(nbrs, "src")
+            .filter(F.col("idx") == F.col("h") % F.col("deg"))
+            .select("walk_id", F.lit(s).alias("step"), F.col("dst").alias("vertex"))
+        )
+        if s % 4 == 0:
+            # truncate the L-join lineage like the superstep loops do
+            cur = cur.localCheckpoint(eager=True)
+        out.append(cur)
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def sample_neighbors(
+    graph: GraphTables,
+    k: int = 5,
+    salt: int = 0,
+    pre_thin: int = 0,
+) -> DataFrame:
+    """(src, dst, sample_rank: 1..k) — up to ``k`` neighbors per vertex,
+    chosen deterministically by mixer order (ties broken by dst).
+
+    ``pre_thin``: 0 = exact (window over the full adjacency). A value
+    t > 0 keeps only neighbors with mix % t == 0 BEFORE ranking —
+    the probabilistic hub-bound for power-law graphs (see module
+    docstring); with thinning the per-src sample is a mixer-random
+    subset and may return fewer than k rows for low-degree vertices,
+    so it is a separate opt-in, never a silent fallback.
+    """
+    h = _mix(F.col("src"), F.col("dst"), F.lit(0), salt)
+    cand = graph.edges.select("src", "dst").withColumn("h", h)
+    if pre_thin > 0:
+        cand = cand.filter(F.col("h") % F.lit(pre_thin) == 0)
+    w = Window.partitionBy("src").orderBy("h", "dst")
+    return (
+        cand.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .select("src", "dst", "sample_rank")
+    )

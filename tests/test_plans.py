@@ -290,3 +290,59 @@ def test_edge_file_skip_scan_is_jvm_only(spark, tmp_path):
     assert "ArrowEvalPython" not in plan
     assert "Scan ExistingRDD" not in plan
     assert sorted((r.a, r.b) for r in df.collect()) == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_walks_and_new_stats_plans_are_equi_join_shaped(spark):
+    """Round-4 additions (walks, neighbor sampling, Jaccard, community
+    metrics, personalized PageRank's static tables) must stay
+    equi-join/window shaped — no nested-loop anywhere, and the walk
+    step must join on the current vertex (frontier-sized work/step)."""
+    from pyspark.sql import functions as F
+
+    from louvain_fast_move_cuda_spark.operators.graphstats import (
+        community_metrics,
+        jaccard_similarity,
+    )
+    from louvain_fast_move_cuda_spark.operators.walks import (
+        random_walks,
+        sample_neighbors,
+    )
+    from louvain_fast_move_cuda_spark.sources.edges import build_graph
+    from oracle import powerlaw_graph
+
+    g = build_graph(
+        spark.createDataFrame(powerlaw_graph(n=120, m_attach=2, seed=1), "a long, b long"),
+        relabel=False,
+    )
+    labels = g.vertices.select("id", F.pmod("id", F.lit(5)).alias("community"))
+    for df in (
+        random_walks(g, length=3, seed_mod=2),
+        sample_neighbors(g, k=3),
+        jaccard_similarity(g),
+        community_metrics(g, labels),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "EvalPython" not in plan
+
+
+def test_neighbor_sample_single_window_shuffle(spark):
+    """Over a materialized edge table (the production shape — _graph
+    localCheckpoints it), sample_neighbors is ONE hash-partition-by-src
+    window sort, and Spark's WindowGroupLimit pushdown pre-truncates
+    each partition to the top-k BEFORE the Exchange — the hub-friendly
+    plan (a hub ships at most k·n_map_partitions rows, not its whole
+    adjacency)."""
+    from louvain_fast_move_cuda_spark.operators.walks import sample_neighbors
+    from louvain_fast_move_cuda_spark.sources.edges import build_graph
+    from oracle import powerlaw_graph
+
+    g = build_graph(
+        spark.createDataFrame(powerlaw_graph(n=120, m_attach=2, seed=1), "a long, b long"),
+        relabel=False,
+    )
+    g.edges = g.edges.localCheckpoint(eager=True)
+    plan = _plan(sample_neighbors(g, k=3), mode="simple")  # one line per node
+    assert plan.count("Exchange") == 1
+    assert plan.count("WindowGroupLimit") == 2  # partial (pre-shuffle) + final

@@ -1,0 +1,203 @@
+"""Deterministic walks / neighbor sampling / link-prediction /
+community-metrics operators vs brute-force single-process oracles."""
+
+from collections import defaultdict
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from louvain_fast_move_cuda_spark.operators.graphstats import (
+    community_metrics,
+    jaccard_similarity,
+)
+from louvain_fast_move_cuda_spark.operators.pagerank import (
+    pagerank,
+    personalized_pagerank,
+)
+from louvain_fast_move_cuda_spark.operators.walks import (
+    _M,
+    _P,
+    index_neighbors,
+    random_walks,
+    sample_neighbors,
+)
+from louvain_fast_move_cuda_spark.sources.edges import build_graph
+
+from oracle import powerlaw_graph
+
+
+def _adj(edges):
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    return nbrs
+
+
+def _gt(spark, edges):
+    return build_graph(spark.createDataFrame(edges, "a long, b long"), relabel=False)
+
+
+def _mix_py(a, b, c, salt=0):
+    return ((a % _P) * 10007 + (b % _P) * 97 + c * 31 + salt) % _M
+
+
+def test_index_neighbors_dense_ranks(spark):
+    edges = powerlaw_graph(n=120, m_attach=3, seed=3)
+    nbrs = _adj(edges)
+    idx = index_neighbors(_gt(spark, edges)).collect()
+    per_src = defaultdict(list)
+    for r in idx:
+        per_src[r.src].append((r.idx, r.dst, r.deg))
+    for v, rows in per_src.items():
+        rows.sort()
+        assert [i for i, _, _ in rows] == list(range(len(rows)))
+        assert [d for _, d, _ in rows] == sorted(nbrs[v])
+        assert all(dg == len(nbrs[v]) for _, _, dg in rows)
+
+
+def test_random_walks_match_python_replay(spark):
+    edges = powerlaw_graph(n=150, m_attach=2, seed=9)
+    nbrs = {v: sorted(ns) for v, ns in _adj(edges).items()}
+    got = random_walks(_gt(spark, edges), length=6, seed_mod=3, salt=5).collect()
+    walks = defaultdict(dict)
+    for r in got:
+        walks[r.walk_id][r.step] = r.vertex
+    seeds = [v for v in nbrs if v % 3 == 0]
+    assert sorted(walks.keys()) == sorted(seeds)
+    for w in seeds:
+        cur = w
+        assert walks[w][0] == w
+        for s in range(1, 7):
+            ns = nbrs[cur]
+            cur = ns[_mix_py(cur, w, s, 5) % len(ns)]
+            assert walks[w][s] == cur, (w, s)
+
+
+def test_random_walks_isolated_seed_emits_step0_only(spark):
+    g = _gt(spark, [(0, 1), (1, 2)])
+    # vertex table from edges only -> add an isolated vertex by hand
+    iso = g.vertices.sparkSession.createDataFrame([(99, 0.0)], "id long, k double")
+    g.vertices = g.vertices.unionByName(iso)
+    rows = random_walks(g, length=4, seed_mod=99).collect()
+    per_walk = defaultdict(list)
+    for r in rows:
+        per_walk[r.walk_id].append(r.step)
+    assert sorted(per_walk[99]) == [0]  # stub walk, no neighbors
+    assert sorted(per_walk[0]) == [0, 1, 2, 3, 4]
+
+
+def test_sample_neighbors_bounded_and_exact(spark):
+    edges = powerlaw_graph(n=200, m_attach=4, seed=13)
+    nbrs = _adj(edges)
+    got = sample_neighbors(_gt(spark, edges), k=3, salt=1).collect()
+    per_src = defaultdict(list)
+    for r in got:
+        assert r.dst in nbrs[r.src]
+        per_src[r.src].append((r.sample_rank, r.dst))
+    for v, rows in per_src.items():
+        rows.sort()
+        assert len(rows) == min(3, len(nbrs[v]))
+        assert [rk for rk, _ in rows] == list(range(1, len(rows) + 1))
+        # the chosen subset is the mixer-order prefix
+        want = sorted(nbrs[v], key=lambda d: (_mix_py(v, d, 0, 1), d))[:3]
+        assert [d for _, d in rows] == want
+
+
+def test_sample_neighbors_pre_thin_is_subset(spark):
+    edges = powerlaw_graph(n=200, m_attach=4, seed=13)
+    nbrs = _adj(edges)
+    thin = sample_neighbors(_gt(spark, edges), k=3, salt=1, pre_thin=2).collect()
+    for r in thin:
+        assert r.dst in nbrs[r.src]
+        assert _mix_py(r.src, r.dst, 0, 1) % 2 == 0
+        assert 1 <= r.sample_rank <= 3
+
+
+def test_jaccard_matches_bruteforce(spark):
+    edges = powerlaw_graph(n=150, m_attach=3, seed=21)
+    nbrs = _adj(edges)
+    # cap high enough to be inert on this graph -> exact textbook Jaccard
+    cap = max(len(ns) for ns in nbrs.values())
+    got = {(r.u, r.v): (r.common_neighbors, r.jaccard_r9) for r in
+           jaccard_similarity(_gt(spark, edges), max_apex_degree=cap).collect()}
+    want = {}
+    for u, v in combinations(sorted(nbrs), 2):
+        if v in nbrs[u]:
+            continue
+        c = len(nbrs[u] & nbrs[v])
+        if c >= 1:
+            want[(u, v)] = (c, c / len(nbrs[u] | nbrs[v]))
+    assert set(got) == set(want)
+    for k, (c, j) in want.items():
+        assert got[k][0] == c
+        assert abs(got[k][1] - j) < 1e-8
+
+
+def test_jaccard_hub_cap_discounts_star_center(spark):
+    # star: center 0 with leaves 1..10, plus an off-star edge 1-2
+    edges = [(0, i) for i in range(1, 11)] + [(1, 2)]
+    got = jaccard_similarity(_gt(spark, edges), max_apex_degree=5).collect()
+    # center deg=10 > cap -> no wedge through it survives; (1,2) adjacent
+    assert got == []
+
+
+def test_community_metrics_bruteforce(spark):
+    edges = powerlaw_graph(n=100, m_attach=2, seed=5)
+    nbrs = _adj(edges)
+    g = _gt(spark, edges)
+    labels = g.vertices.select("id", (F.col("id") % 4).alias("community"))
+    got = {r.community: r for r in community_metrics(g, labels).collect()}
+    two_m = 2.0 * len(edges)
+    for c in range(4):
+        members = {v for v in nbrs if v % 4 == c}
+        vol = float(sum(len(nbrs[v]) for v in members))
+        internal = float(
+            sum(1 for v in members for w in nbrs[v] if w in members)
+        )  # directed count
+        cut = vol - internal
+        denom = min(vol, two_m - vol)
+        r = got[c]
+        assert r.n_vertices == len(members)
+        assert r.volume == vol
+        assert r.internal_weight == internal
+        assert r.cut == cut
+        if denom > 0:
+            assert abs(r.conductance_r9 - cut / denom) < 1e-8
+        else:
+            assert r.conductance_r9 == 0.0
+
+
+def test_community_metrics_whole_graph_conductance_zero(spark):
+    g = _gt(spark, [(0, 1), (1, 2), (2, 0)])
+    labels = g.vertices.select("id", F.lit(0).cast("long").alias("community"))
+    rows = community_metrics(g, labels).collect()
+    assert len(rows) == 1
+    assert rows[0].cut == 0.0 and rows[0].conductance_r9 == 0.0
+
+
+def test_personalized_pagerank_localizes_and_sums_to_one(spark):
+    # two triangle components; seeds only in the first
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    g = _gt(spark, edges)
+    seeds = g.vertices.select("id").filter(F.col("id") < 3)
+    pr = {r.id: r.rank for r in personalized_pagerank(g, seeds, max_iter=30).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    for v in (10, 11, 12):
+        assert pr[v] == 0.0  # unreachable from seeds
+    for v in (0, 1, 2):
+        assert abs(pr[v] - 1.0 / 3.0) < 1e-9  # symmetry
+
+
+def test_personalized_pagerank_uniform_seeds_match_pagerank(spark):
+    """With ALL vertices as seeds, PPR == standard PageRank (same
+    fixed-iteration count) up to the expression-tree rounding delta."""
+    edges = powerlaw_graph(n=80, m_attach=2, seed=17)
+    g = _gt(spark, edges)
+    ppr = {r.id: r.rank for r in
+           personalized_pagerank(g, g.vertices.select("id"), max_iter=20).collect()}
+    pr = {r.id: r.rank for r in
+          pagerank(g, max_iter=20, tol=0.0, local_max_edges=0).collect()}
+    assert set(ppr) == set(pr)
+    for v in pr:
+        assert abs(ppr[v] - pr[v]) < 1e-12
