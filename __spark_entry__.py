@@ -81,6 +81,7 @@ from louvain_fast_move_cuda_spark.operators.pagerank import (
 from louvain_fast_move_cuda_spark.operators.walks import (
     random_walks,
     sample_neighbors,
+    skipgram_pairs,
 )
 from louvain_fast_move_cuda_spark.operators.temporal import sessionize, tumbling_rollup
 from louvain_fast_move_cuda_spark.operators.similarity import brute_force_topk, ivf_topk
@@ -755,6 +756,11 @@ def q_random_walks(spark, sf_dir):
     return random_walks(g, length=8, seed_mod=7, salt=0)
 
 
+def q_skipgram_pairs(spark, sf_dir):
+    _, _, g = _graph(spark, sf_dir)
+    return skipgram_pairs(random_walks(g, length=8, seed_mod=7, salt=0), window=2)
+
+
 def q_neighbor_sample(spark, sf_dir):
     _, _, g = _graph(spark, sf_dir)
     return sample_neighbors(g, k=5, salt=0)
@@ -944,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_metrics": q_community_metrics,
         "jaccard_links": q_jaccard_links,
         "random_walks": q_random_walks,
+        "skipgram_pairs": q_skipgram_pairs,
         "neighbor_sample": q_neighbor_sample,
         "cc_full": q_cc_full,
         "cc_full_local": q_cc_full_local,
@@ -1253,7 +1260,9 @@ pr{i + 1} AS MATERIALIZED (
     )
 
 
-def _walks_sql(length: int = 8, seed_mod: int = 7, salt: int = 0) -> str:
+def _walks_sql(
+    length: int = 8, seed_mod: int = 7, salt: int = 0, pairs_window: int | None = None
+) -> str:
     """Unroll operators/walks.py::random_walks — per step the SAME
     portable arithmetic mixer picks neighbor number mix % deg in
     dst-sorted adjacency order; all intermediates < ~1e10 so the int64
@@ -1278,7 +1287,18 @@ def _walks_sql(length: int = 8, seed_mod: int = 7, salt: int = 0) -> str:
     union = "\nUNION ALL ".join(
         f"SELECT walk_id, step, vertex FROM w{s}" for s in range(length + 1)
     )
-    return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + "\n" + union
+    if pairs_window is None:
+        return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + "\n" + union
+    parts.append(f"corpus AS MATERIALIZED (\n{union})")
+    return (
+        f"{_GRAPH_CTE},\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT a.vertex AS center, b.vertex AS context, count(*) AS n_cooc
+FROM corpus a JOIN corpus b ON a.walk_id = b.walk_id
+WHERE b.step - a.step <> 0 AND abs(b.step - a.step) <= {pairs_window}
+GROUP BY 1, 2"""
+    )
 
 
 def _louvain_level0_sql(rounds: int, sym: str = "sym", deg: str = "deg", extra_cte: str = "") -> str:
@@ -1748,6 +1768,7 @@ FROM vol v LEFT JOIN intra i ON v.community = i.community
 """,
         "pagerank_personalized": _ppr_sql(iters=20, seed_mod=97),
         "random_walks": _walks_sql(length=8, seed_mod=7, salt=0),
+        "skipgram_pairs": _walks_sql(length=8, seed_mod=7, salt=0, pairs_window=2),
         "neighbor_sample": f"""
 {_GRAPH_CTE},
 cand AS (

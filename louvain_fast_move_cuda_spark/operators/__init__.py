@@ -1,6 +1,11 @@
 from .louvain import LouvainResult, louvain  # noqa: F401
 from .pagerank import pagerank, personalized_pagerank  # noqa: F401
-from .walks import index_neighbors, random_walks, sample_neighbors  # noqa: F401
+from .walks import (  # noqa: F401
+    index_neighbors,
+    random_walks,
+    sample_neighbors,
+    skipgram_pairs,
+)
 from .components import connected_components  # noqa: F401
 from .labelprop import label_propagation  # noqa: F401
 from .triangles import triangle_count, triangles_per_vertex  # noqa: F401

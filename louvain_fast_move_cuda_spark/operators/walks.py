@@ -124,6 +124,32 @@ def random_walks(
     return res
 
 
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context, n_cooc) — skip-gram training pairs from a walk
+    corpus (:func:`random_walks` output), the standard DeepWalk/node2vec
+    embedding input: every ordered pair of vertices co-occurring within
+    ``window`` steps on the same walk, counted across the corpus.
+
+    One self-join keyed on walk_id with a bounded step-distance
+    predicate + one groupBy — each walk contributes at most
+    (length+1)·2·window pairs, so the join output is linear in corpus
+    size, never quadratic in walk length. Directionless contexts
+    (DeepWalk's convention): both (u before v) and (v before u) count
+    toward (center=u, context=v).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    a = walks.select("walk_id", F.col("step").alias("sa"), F.col("vertex").alias("center"))
+    b = walks.select("walk_id", F.col("step").alias("sb"), F.col("vertex").alias("context"))
+    d = F.col("sb") - F.col("sa")
+    return (
+        a.join(b, "walk_id")
+        .filter((d != 0) & (F.abs(d) <= window))
+        .groupBy("center", "context")
+        .agg(F.count("*").alias("n_cooc"))
+    )
+
+
 def sample_neighbors(
     graph: GraphTables,
     k: int = 5,

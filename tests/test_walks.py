@@ -201,3 +201,29 @@ def test_personalized_pagerank_uniform_seeds_match_pagerank(spark):
     assert set(ppr) == set(pr)
     for v in pr:
         assert abs(ppr[v] - pr[v]) < 1e-12
+
+
+def test_skipgram_pairs_bruteforce(spark):
+    from louvain_fast_move_cuda_spark.operators.walks import skipgram_pairs
+
+    edges = powerlaw_graph(n=120, m_attach=2, seed=31)
+    nbrs = {v: sorted(ns) for v, ns in _adj(edges).items()}
+    g = _gt(spark, edges)
+    walks_df = random_walks(g, length=5, seed_mod=4, salt=2)
+    got = {(r.center, r.context): r.n_cooc
+           for r in skipgram_pairs(walks_df, window=2).collect()}
+    # replay the corpus in python, then count pairs the textbook way
+    corpus = []
+    for w in (v for v in nbrs if v % 4 == 0):
+        walk, cur = [w], w
+        for s in range(1, 6):
+            cur = nbrs[cur][_mix_py(cur, w, s, 2) % len(nbrs[cur])]
+            walk.append(cur)
+        corpus.append(walk)
+    want = defaultdict(int)
+    for walk in corpus:
+        for i, c in enumerate(walk):
+            for j in range(max(0, i - 2), min(len(walk), i + 3)):
+                if j != i:
+                    want[(c, walk[j])] += 1
+    assert got == dict(want)
