@@ -82,6 +82,7 @@ from louvain_fast_move_cuda_spark.operators.walks import (
     random_walks,
     sample_neighbors,
     skipgram_pairs,
+    weighted_random_walks,
 )
 from louvain_fast_move_cuda_spark.operators.temporal import sessionize, tumbling_rollup
 from louvain_fast_move_cuda_spark.operators.similarity import brute_force_topk, ivf_topk
@@ -756,6 +757,13 @@ def q_random_walks(spark, sf_dir):
     return random_walks(g, length=8, seed_mod=7, salt=0)
 
 
+def q_weighted_random_walks(spark, sf_dir):
+    """Weight-proportional walks over the S2 weighted-merge graph —
+    duplicate raw links raise their edge's sampling odds."""
+    g = _weighted_graph(spark, sf_dir)
+    return weighted_random_walks(g, length=8, seed_mod=7, salt=0)
+
+
 def q_skipgram_pairs(spark, sf_dir):
     _, _, g = _graph(spark, sf_dir)
     return skipgram_pairs(random_walks(g, length=8, seed_mod=7, salt=0), window=2)
@@ -950,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_metrics": q_community_metrics,
         "jaccard_links": q_jaccard_links,
         "random_walks": q_random_walks,
+        "weighted_random_walks": q_weighted_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
         "neighbor_sample": q_neighbor_sample,
         "cc_full": q_cc_full,
@@ -1299,6 +1308,38 @@ FROM corpus a JOIN corpus b ON a.walk_id = b.walk_id
 WHERE b.step - a.step <> 0 AND abs(b.step - a.step) <= {pairs_window}
 GROUP BY 1, 2"""
     )
+
+
+def _wwalks_sql(length: int = 8, seed_mod: int = 7, salt: int = 0) -> str:
+    """Unroll operators/walks.py::weighted_random_walks over the S2
+    weighted-merge graph: inverse-CDF sampling with the portable mixer —
+    target = mix % tot lands in exactly one neighbor's [cum, cum+w)
+    interval; all quantities integer, so both engines agree bit-for-bit."""
+    parts = [
+        """wnbr AS MATERIALIZED (
+  SELECT src, dst, CAST(weight AS BIGINT) AS w_int,
+         coalesce(sum(CAST(weight AS BIGINT)) OVER (
+            PARTITION BY src ORDER BY dst
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+         sum(CAST(weight AS BIGINT)) OVER (PARTITION BY src) AS tot
+  FROM wsym)""",
+        f"w0 AS MATERIALIZED (SELECT id AS walk_id, 0 AS step, id AS vertex FROM wdeg WHERE id % {seed_mod} = 0)",
+    ]
+    for s in range(1, length + 1):
+        mix = (
+            f"(((c.vertex % 1000003) * 10007 + (c.walk_id % 1000003) * 97"
+            f" + {s} * 31 + {salt}) % 999983)"
+        )
+        parts.append(
+            f"""w{s} AS MATERIALIZED (
+  SELECT c.walk_id, {s} AS step, n.dst AS vertex
+  FROM w{s - 1} c JOIN wnbr n ON n.src = c.vertex
+   AND {mix} % n.tot >= n.cum AND {mix} % n.tot < n.cum + n.w_int)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT walk_id, step, vertex FROM w{s}" for s in range(length + 1)
+    )
+    return f"{_GRAPH_CTE},{_WEIGHTED_GRAPH_CTE}\n" + ",\n".join(parts) + "\n" + union
 
 
 def _louvain_level0_sql(rounds: int, sym: str = "sym", deg: str = "deg", extra_cte: str = "") -> str:
@@ -1769,6 +1810,7 @@ FROM vol v LEFT JOIN intra i ON v.community = i.community
         "pagerank_personalized": _ppr_sql(iters=20, seed_mod=97),
         "random_walks": _walks_sql(length=8, seed_mod=7, salt=0),
         "skipgram_pairs": _walks_sql(length=8, seed_mod=7, salt=0, pairs_window=2),
+        "weighted_random_walks": _wwalks_sql(length=8, seed_mod=7, salt=0),
         "neighbor_sample": f"""
 {_GRAPH_CTE},
 cand AS (

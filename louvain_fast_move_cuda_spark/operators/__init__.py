@@ -2,9 +2,11 @@ from .louvain import LouvainResult, louvain  # noqa: F401
 from .pagerank import pagerank, personalized_pagerank  # noqa: F401
 from .walks import (  # noqa: F401
     index_neighbors,
+    index_weighted_neighbors,
     random_walks,
     sample_neighbors,
     skipgram_pairs,
+    weighted_random_walks,
 )
 from .components import connected_components  # noqa: F401
 from .labelprop import label_propagation  # noqa: F401

@@ -124,6 +124,88 @@ def random_walks(
     return res
 
 
+def index_weighted_neighbors(graph: GraphTables, check_integer: bool = True) -> DataFrame:
+    """(src, dst, w_int, cum, tot) — weighted adjacency prepared for
+    proportional sampling: w_int = integer edge weight, cum = exclusive
+    prefix sum of w_int in dst order, tot = Σ w_int over src's edges.
+
+    Weights must be integer-valued (they are link multiplicities by
+    construction — sources.edges.canonicalize_edges sums unit links);
+    integer arithmetic is what makes weight-proportional choices exact
+    in every engine (no float cumsum comparisons that could tie-break
+    differently at a boundary). ``check_integer`` runs one cheap
+    existence probe and raises on fractional weights rather than
+    silently truncating them.
+    """
+    if check_integer:
+        bad = graph.edges.filter(F.col("weight") != F.floor("weight")).limit(1)
+        if bad.count() > 0:
+            raise ValueError(
+                "index_weighted_neighbors needs integer-valued weights "
+                "(link multiplicities); found fractional weight"
+            )
+    w = Window.partitionBy("src").orderBy("dst")
+    return (
+        graph.edges.select("src", "dst", F.col("weight").cast("long").alias("w_int"))
+        .withColumn(
+            "cum",
+            F.coalesce(
+                F.sum("w_int").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn("tot", F.sum("w_int").over(Window.partitionBy("src")))
+        .localCheckpoint(eager=True)
+    )
+
+
+def weighted_random_walks(
+    graph: GraphTables,
+    length: int = 8,
+    seed_mod: int = 1,
+    salt: int = 0,
+    wnbrs: DataFrame | None = None,
+) -> DataFrame:
+    """(walk_id, step, vertex) — like :func:`random_walks`, but each
+    step samples a neighbor with probability PROPORTIONAL TO EDGE
+    WEIGHT (the node2vec/DeepWalk convention on multigraph-derived
+    weights): step s draws target = mix(v, w, s) % tot(v) and takes the
+    unique neighbor whose [cum, cum + w_int) interval contains it —
+    inverse-CDF sampling with the mixer as the uniform source, exact
+    because every quantity is an integer.
+
+    Same scale shape as the unweighted walk: one static indexed
+    adjacency, one frontier-sized equi-join per step.
+    """
+    if length < 1:
+        raise ValueError(f"length must be >= 1, got {length}")
+    if wnbrs is None:
+        wnbrs = index_weighted_neighbors(graph)
+    seeds = graph.vertices.select(F.col("id").alias("vertex")).filter(
+        F.col("id") % F.lit(seed_mod) == 0
+    )
+    cur = seeds.select(F.col("vertex").alias("walk_id"), F.lit(0).alias("step"), "vertex")
+    out = [cur]
+    for s in range(1, length + 1):
+        pick = _mix(F.col("vertex"), F.col("walk_id"), F.lit(s), salt)
+        cur = (
+            cur.select("walk_id", F.col("vertex").alias("src"), pick.alias("h"))
+            .join(wnbrs, "src")
+            .filter(
+                ((F.col("h") % F.col("tot")) >= F.col("cum"))
+                & ((F.col("h") % F.col("tot")) < F.col("cum") + F.col("w_int"))
+            )
+            .select("walk_id", F.lit(s).alias("step"), F.col("dst").alias("vertex"))
+        )
+        if s % 4 == 0:
+            cur = cur.localCheckpoint(eager=True)
+        out.append(cur)
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
 def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     """(center, context, n_cooc) — skip-gram training pairs from a walk
     corpus (:func:`random_walks` output), the standard DeepWalk/node2vec

@@ -227,3 +227,66 @@ def test_skipgram_pairs_bruteforce(spark):
                 if j != i:
                     want[(c, walk[j])] += 1
     assert got == dict(want)
+
+
+def test_weighted_random_walks_match_python_replay(spark):
+    """Weight-proportional steps: replay the inverse-CDF choice in
+    python over a multigraph (duplicate links merge into weight 2)."""
+    from louvain_fast_move_cuda_spark.operators.walks import weighted_random_walks
+    from louvain_fast_move_cuda_spark.sources.edges import (
+        canonicalize_edges,
+        symmetrize,
+        vertex_weights,
+    )
+    from louvain_fast_move_cuda_spark.sources.edges import GraphTables
+
+    base = powerlaw_graph(n=100, m_attach=2, seed=41)
+    dup = base + base[::3]  # every 3rd link doubled
+    raw = spark.createDataFrame(dup, "a long, b long").withColumn("w", F.lit(1.0))
+    edges = symmetrize(canonicalize_edges(raw, weight="w"))
+    verts = vertex_weights(edges)
+    m = edges.agg(F.sum("weight")).collect()[0][0] / 2.0
+    g = GraphTables(edges=edges, vertices=verts, m=m, n_nodes=verts.count())
+
+    got = weighted_random_walks(g, length=5, seed_mod=5, salt=3).collect()
+    walks = defaultdict(dict)
+    for r in got:
+        walks[r.walk_id][r.step] = r.vertex
+
+    # python adjacency with integer weights
+    wadj = defaultdict(dict)
+    for a, b in dup:
+        if a != b:
+            lo, hi = min(a, b), max(a, b)
+            wadj[lo][hi] = wadj[lo].get(hi, 0) + 1
+            wadj[hi][lo] = wadj[hi].get(lo, 0) + 1
+    for w in sorted(walks):
+        assert w % 5 == 0
+        cur = w
+        assert walks[w][0] == w
+        for s in range(1, 6):
+            ns = sorted(wadj[cur].items())
+            tot = sum(wt for _, wt in ns)
+            target = _mix_py(cur, w, s, 3) % tot
+            acc = 0
+            for d, wt in ns:
+                if acc <= target < acc + wt:
+                    cur = d
+                    break
+                acc += wt
+            assert walks[w][s] == cur, (w, s)
+
+
+def test_weighted_walks_reject_fractional_weights(spark):
+    import pytest as _pytest
+
+    from louvain_fast_move_cuda_spark.operators.walks import index_weighted_neighbors
+    from louvain_fast_move_cuda_spark.sources.edges import GraphTables
+
+    e = spark.createDataFrame(
+        [(0, 1, 0.5), (1, 0, 0.5)], "src long, dst long, weight double"
+    )
+    v = spark.createDataFrame([(0, 0.5), (1, 0.5)], "id long, k double")
+    g = GraphTables(edges=e, vertices=v, m=0.5, n_nodes=2)
+    with _pytest.raises(ValueError, match="integer-valued"):
+        index_weighted_neighbors(g)
