@@ -306,6 +306,8 @@ def test_walks_and_new_stats_plans_are_equi_join_shaped(spark):
     from louvain_fast_move_cuda_spark.operators.walks import (
         random_walks,
         sample_neighbors,
+        skipgram_pairs,
+        weighted_random_walks,
     )
     from louvain_fast_move_cuda_spark.sources.edges import build_graph
     from oracle import powerlaw_graph
@@ -317,6 +319,8 @@ def test_walks_and_new_stats_plans_are_equi_join_shaped(spark):
     labels = g.vertices.select("id", F.pmod("id", F.lit(5)).alias("community"))
     for df in (
         random_walks(g, length=3, seed_mod=2),
+        weighted_random_walks(g, length=3, seed_mod=2),
+        skipgram_pairs(random_walks(g, length=3, seed_mod=2), window=2),
         sample_neighbors(g, k=3),
         jaccard_similarity(g),
         community_metrics(g, labels),
