@@ -78,6 +78,10 @@ from louvain_fast_move_cuda_spark.operators.pagerank import (
     pagerank,
     personalized_pagerank,
 )
+from louvain_fast_move_cuda_spark.operators.distances import (
+    harmonic_centrality,
+    landmark_distances,
+)
 from louvain_fast_move_cuda_spark.operators.walks import (
     random_walks,
     sample_neighbors,
@@ -757,6 +761,16 @@ def q_random_walks(spark, sf_dir):
     return random_walks(g, length=8, seed_mod=7, salt=0)
 
 
+def q_landmark_distances(spark, sf_dir):
+    _, _, g = _graph(spark, sf_dir)
+    return landmark_distances(g, seed_mod=257, max_hops=5)
+
+
+def q_harmonic_centrality(spark, sf_dir):
+    _, _, g = _graph(spark, sf_dir)
+    return harmonic_centrality(g, seed_mod=257, max_hops=5)
+
+
 def q_weighted_random_walks(spark, sf_dir):
     """Weight-proportional walks over the S2 weighted-merge graph —
     duplicate raw links raise their edge's sampling odds."""
@@ -957,6 +971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training inputs (walk corpus / GNN neighbor sampling)
         "community_metrics": q_community_metrics,
         "jaccard_links": q_jaccard_links,
+        "landmark_distances": q_landmark_distances,
+        "harmonic_centrality": q_harmonic_centrality,
         "random_walks": q_random_walks,
         "weighted_random_walks": q_weighted_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
@@ -1308,6 +1324,45 @@ FROM corpus a JOIN corpus b ON a.walk_id = b.walk_id
 WHERE b.step - a.step <> 0 AND abs(b.step - a.step) <= {pairs_window}
 GROUP BY 1, 2"""
     )
+
+
+def _landmark_sql(max_hops: int = 5, seed_mod: int = 257, harmonic: bool = False) -> str:
+    """Unroll operators/distances.py::landmark_distances — per hop one
+    DISTINCT expand join + EXCEPT against the visited set (the engine's
+    anti-join). Bounded-radius semantics make the fixed-round unroll
+    identical to the early-stopping engine (expansion is monotone)."""
+    parts = [
+        f"""f0 AS MATERIALIZED (
+  SELECT id AS landmark, id AS vertex FROM deg WHERE id % {seed_mod} = 0)""",
+        "v0 AS MATERIALIZED (SELECT landmark, vertex FROM f0)",
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"""n{h} AS MATERIALIZED (
+  SELECT l.landmark, e.dst AS vertex FROM f{h - 1} l JOIN sym e ON e.src = l.vertex
+  GROUP BY 1, 2),
+f{h} AS MATERIALIZED (
+  SELECT landmark, vertex FROM n{h} EXCEPT SELECT landmark, vertex FROM v{h - 1}),
+v{h} AS MATERIALIZED (
+  SELECT landmark, vertex FROM v{h - 1} UNION ALL SELECT landmark, vertex FROM f{h})"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT landmark, vertex, {h} AS dist FROM f{h}" for h in range(max_hops + 1)
+    )
+    parts.append(f"dists AS MATERIALIZED (\n{union})")
+    if harmonic:
+        parts.append(
+            """sc AS (
+  SELECT vertex AS id, count(*) AS n_landmarks_reached,
+         round(sum(1.0 / CAST(dist AS DOUBLE)), 9) AS harmonic_r9
+  FROM dists WHERE dist > 0 GROUP BY vertex)"""
+        )
+        tail = """SELECT d.id, coalesce(sc.n_landmarks_reached, 0) AS n_landmarks_reached,
+       coalesce(sc.harmonic_r9, 0.0) AS harmonic_r9
+FROM deg d LEFT JOIN sc ON d.id = sc.id"""
+    else:
+        tail = "SELECT landmark, vertex, dist FROM dists"
+    return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + "\n" + tail
 
 
 def _wwalks_sql(length: int = 8, seed_mod: int = 7, salt: int = 0) -> str:
@@ -1811,6 +1866,8 @@ FROM vol v LEFT JOIN intra i ON v.community = i.community
         "random_walks": _walks_sql(length=8, seed_mod=7, salt=0),
         "skipgram_pairs": _walks_sql(length=8, seed_mod=7, salt=0, pairs_window=2),
         "weighted_random_walks": _wwalks_sql(length=8, seed_mod=7, salt=0),
+        "landmark_distances": _landmark_sql(max_hops=5, seed_mod=257),
+        "harmonic_centrality": _landmark_sql(max_hops=5, seed_mod=257, harmonic=True),
         "neighbor_sample": f"""
 {_GRAPH_CTE},
 cand AS (

@@ -1,5 +1,6 @@
 from .louvain import LouvainResult, louvain  # noqa: F401
 from .pagerank import pagerank, personalized_pagerank  # noqa: F401
+from .distances import harmonic_centrality, landmark_distances  # noqa: F401
 from .walks import (  # noqa: F401
     index_neighbors,
     index_weighted_neighbors,

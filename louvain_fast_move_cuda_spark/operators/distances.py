@@ -1,0 +1,107 @@
+"""Landmark BFS distances and harmonic-centrality estimates.
+
+Not in the CUDA reference (Louvain-only, /root/reference/main.cu);
+added §2.11-style analytics surface. Exact all-pairs centrality is
+O(n·m) and impossible at 10^12 edges; the standard scale technique is
+LANDMARKS (pivots): run multi-source BFS from a deterministic seed set
+and estimate per-vertex centrality from the landmark distances
+(Eppstein-Wang style estimator). Distances are integers, so every
+result is bit-reproducible across engines.
+
+Semantics are BOUNDED-RADIUS by contract: ``max_hops`` is part of the
+operator's meaning (pairs farther than max_hops are absent, exactly
+like the Adamic-Adar hub cap is part of its meaning), so a fixed-round
+oracle and an early-stopping engine always agree — frontier expansion
+is monotone and stalls only at the true fixpoint.
+
+Scale notes:
+* state is |landmarks| × (vertices within radius) rows — the caller
+  controls both knobs (seed_mod, max_hops); the classic trade
+  (hundreds of landmarks suffice for stable centrality ranks).
+* each hop is ONE equi-join of the frontier against the static edge
+  table + one anti-join against the visited state — frontier-sized
+  work, never graph-sized re-scans.
+* lineage: visited/frontier localCheckpoint per hop; the frontier
+  count doubles as the convergence action (one action per hop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.edges import GraphTables
+
+
+def landmark_distances(
+    graph: GraphTables, seed_mod: int = 101, max_hops: int = 6
+) -> DataFrame:
+    """(landmark, vertex, dist) — BFS distance from every landmark
+    (vid % seed_mod == 0) to every vertex within ``max_hops`` hops
+    (unweighted; dist 0 = the landmark itself). Pairs farther than
+    max_hops are absent by contract (bounded-radius semantics)."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    edges = graph.edges.select("src", "dst")
+    seeds = (
+        graph.vertices.select(F.col("id").alias("landmark"))
+        .filter(F.col("landmark") % F.lit(seed_mod) == 0)
+        .select("landmark", F.col("landmark").alias("vertex"), F.lit(0).alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    visited = seeds
+    frontier = seeds
+    out = [seeds]
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["vertex"] == edges["src"])
+            .select("landmark", F.col("dst").alias("vertex"))
+            .distinct()
+            .join(visited.select("landmark", "vertex"), ["landmark", "vertex"], "left_anti")
+            .select("landmark", "vertex", F.lit(h).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break  # true fixpoint: further hops are identity
+        out.append(nxt)
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def harmonic_centrality(
+    graph: GraphTables, seed_mod: int = 101, max_hops: int = 6
+) -> DataFrame:
+    """(id, n_landmarks_reached, harmonic_r9) — per-vertex harmonic
+    centrality estimated from the landmark sample: Σ_l 1/dist(l, v)
+    over landmarks within ``max_hops`` (dist 0 excluded — a landmark
+    does not score itself). Vertices reaching no landmark get 0.0
+    (explicit row, so downstream joins see every vertex).
+
+    1/dist for integer dist is one IEEE division per term and the sum
+    has ≤ |landmarks| terms; r9 rounding absorbs the association-order
+    noise of the float sum across engines.
+    """
+    d = landmark_distances(graph, seed_mod=seed_mod, max_hops=max_hops)
+    scores = (
+        d.filter(F.col("dist") > 0)
+        .groupBy(F.col("vertex").alias("id"))
+        .agg(
+            F.count("*").alias("n_landmarks_reached"),
+            F.round(F.sum(F.lit(1.0) / F.col("dist").cast("double")), 9).alias(
+                "harmonic_r9"
+            ),
+        )
+    )
+    return (
+        graph.vertices.select("id")
+        .join(scores, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_landmarks_reached", F.lit(0)).alias("n_landmarks_reached"),
+            F.coalesce("harmonic_r9", F.lit(0.0)).alias("harmonic_r9"),
+        )
+    )

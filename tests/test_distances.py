@@ -1,0 +1,78 @@
+"""Landmark BFS distances / harmonic centrality vs brute-force BFS."""
+
+from collections import defaultdict, deque
+
+from louvain_fast_move_cuda_spark.operators.distances import (
+    harmonic_centrality,
+    landmark_distances,
+)
+from louvain_fast_move_cuda_spark.sources.edges import build_graph
+
+from oracle import powerlaw_graph
+
+
+def _adj(edges):
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    return nbrs
+
+
+def _gt(spark, edges):
+    return build_graph(spark.createDataFrame(edges, "a long, b long"), relabel=False)
+
+
+def _bfs(nbrs, s, cap):
+    dist = {s: 0}
+    q = deque([s])
+    while q:
+        v = q.popleft()
+        if dist[v] == cap:
+            continue
+        for w in nbrs[v]:
+            if w not in dist:
+                dist[w] = dist[v] + 1
+                q.append(w)
+    return dist
+
+
+def test_landmark_distances_match_bfs(spark):
+    edges = powerlaw_graph(n=150, m_attach=2, seed=23)
+    nbrs = _adj(edges)
+    cap = 3
+    got = defaultdict(dict)
+    for r in landmark_distances(_gt(spark, edges), seed_mod=10, max_hops=cap).collect():
+        got[r.landmark][r.vertex] = r.dist
+    lms = [v for v in nbrs if v % 10 == 0]
+    assert sorted(got.keys()) == sorted(lms)
+    for lm in lms:
+        assert got[lm] == _bfs(nbrs, lm, cap)
+
+
+def test_landmark_distances_early_stop_equals_large_cap(spark):
+    """A path graph of diameter 4: max_hops=10 early-stops at the true
+    fixpoint and equals the exact BFS (bounded-radius cap inert)."""
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    nbrs = _adj(edges)
+    got = {(r.landmark, r.vertex): r.dist
+           for r in landmark_distances(_gt(spark, edges), seed_mod=4, max_hops=10).collect()}
+    want = {}
+    for lm in (0, 4):
+        for v, d in _bfs(nbrs, lm, 10).items():
+            want[(lm, v)] = d
+    assert got == want
+
+
+def test_harmonic_centrality_matches_bfs_sum(spark):
+    edges = powerlaw_graph(n=120, m_attach=2, seed=29)
+    nbrs = _adj(edges)
+    cap = 4
+    got = {r.id: (r.n_landmarks_reached, r.harmonic_r9)
+           for r in harmonic_centrality(_gt(spark, edges), seed_mod=9, max_hops=cap).collect()}
+    lms = [v for v in nbrs if v % 9 == 0]
+    dists = {lm: _bfs(nbrs, lm, cap) for lm in lms}
+    for v in nbrs:
+        terms = [1.0 / dists[lm][v] for lm in lms if v in dists[lm] and dists[lm][v] > 0]
+        assert got[v][0] == len(terms)
+        assert abs(got[v][1] - sum(terms)) < 1e-8

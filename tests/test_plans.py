@@ -303,6 +303,7 @@ def test_walks_and_new_stats_plans_are_equi_join_shaped(spark):
         community_metrics,
         jaccard_similarity,
     )
+    from louvain_fast_move_cuda_spark.operators.distances import landmark_distances
     from louvain_fast_move_cuda_spark.operators.walks import (
         random_walks,
         sample_neighbors,
@@ -321,6 +322,7 @@ def test_walks_and_new_stats_plans_are_equi_join_shaped(spark):
         random_walks(g, length=3, seed_mod=2),
         weighted_random_walks(g, length=3, seed_mod=2),
         skipgram_pairs(random_walks(g, length=3, seed_mod=2), window=2),
+        landmark_distances(g, seed_mod=10, max_hops=2),
         sample_neighbors(g, k=3),
         jaccard_similarity(g),
         community_metrics(g, labels),
