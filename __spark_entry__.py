@@ -94,7 +94,9 @@ from louvain_fast_move_cuda_spark.operators.textstats import (
     fingerprint_from_hashes,
     language_id,
     quality_scores,
+    rarity_scores,
     token_stats,
+    top_terms,
     word_hashes,
     _LANG_MARKERS,
     _STOPWORDS,
@@ -829,6 +831,14 @@ def q_language_id(spark, sf_dir):
     return language_id(_docs(spark, sf_dir))
 
 
+def q_top_terms(spark, sf_dir):
+    return top_terms(_docs(spark, sf_dir), k=3)
+
+
+def q_rarity_scores(spark, sf_dir):
+    return rarity_scores(_docs(spark, sf_dir))
+
+
 def q_fingerprint(spark, sf_dir):
     wh = _materialize_for_oracle(word_hashes(_docs(spark, sf_dir)), "fingerprint_word_hashes")
     return fingerprint_from_hashes(wh)
@@ -992,6 +1002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
+        "top_terms": q_top_terms,
+        "rarity_scores": q_rarity_scores,
         # training-data pipeline: multimodal binary columns
         "media_metadata": q_media_metadata,
         "media_features": q_media_features,
@@ -2028,6 +2040,63 @@ FROM documents
 """,
         "quality_scores": _quality_sql(),
         "language_id": _lang_sql(),
+        # per-doc keyword extraction: ranking is the all-integer triple
+        # (tf DESC, df ASC, term ASC) so the oracle never orders by a
+        # float; the smoothed tf*idf is emitted r9-rounded with the
+        # exact same double expression tree as the Spark query
+        "top_terms": r"""
+WITH terms AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+         round(CAST(tf.tf AS DOUBLE)
+               * (ln((n.n_docs + 1.0) / (CAST(dfx.df AS DOUBLE) + 1.0)) + 1.0),
+               9) AS tfidf_r9,
+         CAST(row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, dfx.df ASC, tf.term ASC
+         ) AS INTEGER) AS term_rank
+  FROM tf JOIN dfx USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf_r9, term_rank
+FROM ranked WHERE term_rank <= 3
+""",
+        # mean negative log corpus frequency; each token's nll is rounded
+        # to integer micro-nats (one double expression, bit-identical
+        # across engines), the per-doc sum is an exact integer aggregate
+        # — so the result cannot drift with summation order
+        "rarity_scores": r"""
+WITH terms AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS term
+  FROM documents
+),
+freq AS (SELECT term, count(*) AS c_tok FROM terms GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM terms),
+scored AS (
+  SELECT t.doc_id, count(*) AS n_terms,
+         sum(CAST(round(-ln(CAST(f.c_tok AS DOUBLE) / tot.total) * 1000000.0)
+                  AS BIGINT)) AS micro_sum
+  FROM terms t JOIN freq f USING (term) CROSS JOIN tot
+  GROUP BY t.doc_id
+),
+final AS (
+  SELECT doc_id, n_terms,
+         round(CAST(micro_sum AS DOUBLE)
+               / (CAST(n_terms AS DOUBLE) * 1000000.0), 9) AS rarity_r9
+  FROM scored
+)
+SELECT d.doc_id,
+       coalesce(f.n_terms, 0) AS n_terms,
+       coalesce(f.rarity_r9, 0.0) AS rarity_r9
+FROM documents d LEFT JOIN final f USING (doc_id)
+""",
         # xxhash64-bridged oracles: the Spark query materializes its hash
         # table first; everything downstream is exact ANSI SQL
         "simhash": _simhash_sql(),

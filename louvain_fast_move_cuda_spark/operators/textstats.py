@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"]
 
@@ -128,3 +129,102 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     Equal normalized texts produce equal fingerprints; word order matters.
     """
     return fingerprint_from_hashes(word_hashes(docs, text_col, id_col), id_col)
+
+
+def corpus_terms(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, term) — one row per token occurrence, using the same
+    BPE-ish pre-tokenizer as token_stats (RE2-compatible, so the DuckDB
+    oracle mirrors it verbatim). The shared input of the corpus-level
+    statistics below."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), F.lit(0)
+    )
+    return docs.select(F.col(id_col), F.explode(toks).alias("term"))
+
+
+def top_terms(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, term, tf, df, tfidf_r9, term_rank) — per-document
+    keyword extraction: the top-``k`` terms ranked by the EXACT integer
+    triple (tf DESC, df ASC, term ASC) — highest in-document count,
+    rarest across the corpus, lexicographic tie-break. The ranking
+    deliberately avoids ordering by the float tf·idf score (1-ulp libm
+    divergence across engines could flip a near-tie and change which
+    terms are selected); smoothed tf·idf = tf · (ln((N+1)/(df+1)) + 1)
+    is still emitted, r9-rounded, as the informative score. The integer
+    ranking agrees with tf·idf whenever one term dominates the other in
+    (tf, -df); it differs only on mixed trade-offs, where it is the
+    better-defined contract.
+
+    Scale: one explode + two groupBys + one term-keyed join (the df
+    table is vocabulary-sized) + one per-doc window bounded by the
+    document's distinct terms.
+    """
+    terms = corpus_terms(docs, text_col, id_col)
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.count()
+    idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df").cast("double") + F.lit(1.0))) + F.lit(1.0)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df, "term")
+        .withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf").cast("double") * idf, 9).alias("tfidf_r9"),
+            "term_rank",
+        )
+    )
+
+
+def rarity_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_terms, rarity_r9) — mean negative log corpus
+    frequency of the document's tokens (the cheap stand-in for CCNet's
+    LM-perplexity corpus filter): rarity = (1/n) Σ_tok −ln(c_tok / C),
+    where c_tok = corpus occurrences of the token and C = total corpus
+    tokens. To keep the result independent of partition/summation
+    order (a raw float avg drifts with shuffle order), each token's nll
+    is rounded to integer micro-nats first (one per-token double
+    expression, bit-identical across engines), the per-doc sum is then
+    an EXACT integer aggregate, and a single final divide produces the
+    r9 score. High = unusual vocabulary; low = boilerplate. Empty docs
+    get 0.0.
+
+    Scale: explode + vocabulary-sized frequency table + one term-keyed
+    join + per-doc integer sum — no per-pair work anywhere.
+    """
+    terms = corpus_terms(docs, text_col, id_col)
+    freq = terms.groupBy("term").agg(F.count("*").alias("c_tok"))
+    total = terms.count()
+    nll_micro = F.round(
+        -F.log(F.col("c_tok").cast("double") / F.lit(float(total))) * F.lit(1000000.0),
+        0,
+    ).cast("long")
+    scored = (
+        terms.join(freq, "term")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_terms"), F.sum(nll_micro).alias("micro_sum"))
+        .select(
+            id_col,
+            "n_terms",
+            F.round(
+                F.col("micro_sum").cast("double")
+                / (F.col("n_terms").cast("double") * F.lit(1000000.0)),
+                9,
+            ).alias("rarity_r9"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_terms", F.lit(0)).alias("n_terms"),
+            F.coalesce("rarity_r9", F.lit(0.0)).alias("rarity_r9"),
+        )
+    )

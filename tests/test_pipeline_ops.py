@@ -22,7 +22,9 @@ from louvain_fast_move_cuda_spark.operators.textstats import (
     fingerprint,
     language_id,
     quality_scores,
+    rarity_scores,
     token_stats,
+    top_terms,
 )
 
 DOCS = [
@@ -105,6 +107,43 @@ def test_language_id_markers(spark):
     got = {r.doc_id: r.lang_pred for r in language_id(_docs_df(spark)).collect()}
     assert got[0] == "en"
     assert got[4] == "de"
+
+
+def test_top_terms_integer_ranking_and_tfidf(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "apple apple banana cherry"),
+            (1, "banana banana banana date"),
+            (2, "apple date date"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.term_rank] = r
+    # doc 0: apple tf=2 wins; among tf=1 terms cherry (df=1) beats banana (df=2)
+    assert by_doc[0][1].term == "apple" and by_doc[0][2].term == "cherry"
+    assert by_doc[1][1].term == "banana"
+    # smoothed tf*idf with N=3: apple tf=2, df=2 -> 2*(ln(4/3)+1)
+    expect = round(2.0 * (math.log(4.0 / 3.0) + 1.0), 9)
+    assert by_doc[0][1].tfidf_r9 == expect
+    # exactly k rows per doc
+    assert all(len(v) == 2 for v in by_doc.values())
+
+
+def test_rarity_scores_rare_tokens_score_higher(spark):
+    df = spark.createDataFrame(
+        [(0, "x x x x"), (1, "zebra"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in rarity_scores(df).collect()}
+    # C=5 corpus tokens; micro-nat rounding then one divide
+    assert got[0].rarity_r9 == round(round(-math.log(4 / 5) * 1e6) / 1e6, 9)
+    assert got[1].rarity_r9 == round(round(-math.log(1 / 5) * 1e6) / 1e6, 9)
+    assert got[1].rarity_r9 > got[0].rarity_r9
+    # empty doc keeps a row with zeros (left join back to documents)
+    assert got[2].n_terms == 0 and got[2].rarity_r9 == 0.0
 
 
 def _emb_df(spark, vecs):
