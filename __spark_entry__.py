@@ -101,6 +101,14 @@ from louvain_fast_move_cuda_spark.operators.textstats import (
     _LANG_MARKERS,
     _STOPWORDS,
 )
+from louvain_fast_move_cuda_spark.operators.curation import (
+    decontaminate,
+    doc_content_hash,
+    dup_spans,
+    lang_confusion,
+    source_quality_rollup,
+    split_from_hashes,
+)
 from louvain_fast_move_cuda_spark.operators.triangles import (
     triangle_count,
     triangles_per_vertex,
@@ -839,6 +847,27 @@ def q_rarity_scores(spark, sf_dir):
     return rarity_scores(_docs(spark, sf_dir))
 
 
+def q_decontaminate(spark, sf_dir):
+    return decontaminate(_docs(spark, sf_dir), eval_mod=100, n=4)
+
+
+def q_dup_spans(spark, sf_dir):
+    return dup_spans(_docs(spark, sf_dir), n=6)
+
+
+def q_hash_split(spark, sf_dir):
+    hs = _materialize_for_oracle(doc_content_hash(_docs(spark, sf_dir)), "split_hashes")
+    return split_from_hashes(hs, val_pct=5, test_pct=5)
+
+
+def q_source_rollup(spark, sf_dir):
+    return source_quality_rollup(_docs(spark, sf_dir))
+
+
+def q_lang_confusion(spark, sf_dir):
+    return lang_confusion(_docs(spark, sf_dir))
+
+
 def q_fingerprint(spark, sf_dir):
     wh = _materialize_for_oracle(word_hashes(_docs(spark, sf_dir)), "fingerprint_word_hashes")
     return fingerprint_from_hashes(wh)
@@ -1004,6 +1033,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "top_terms": q_top_terms,
         "rarity_scores": q_rarity_scores,
+        # training-data pipeline: corpus curation
+        "decontaminate": q_decontaminate,
+        "dup_spans": q_dup_spans,
+        "hash_split": q_hash_split,
+        "source_rollup": q_source_rollup,
+        "lang_confusion": q_lang_confusion,
         # training-data pipeline: multimodal binary columns
         "media_metadata": q_media_metadata,
         "media_features": q_media_features,
@@ -1121,6 +1156,24 @@ SELECT doc_id, len_score, punct_ratio, stopword_ratio, alpha_ratio,
          + least(stopword_ratio * 5.0, 1.0) * 0.25 + alpha_ratio * 0.25 AS quality
 FROM r
 """
+
+
+def _grams_sql(n: int) -> str:
+    """CTE body mirroring operators/curation.py::doc_ngrams — same
+    tokenizer regex, 0-based positions, space-joined n-token spans,
+    short docs emit nothing (DuckDB range() is end-exclusive, hence
+    len(ts) - {n-1})."""
+    return rf"""
+toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+         array_to_string(list_slice(ts, u.i + 1, u.i + {n}), ' ') AS gram
+  FROM toks, LATERAL unnest(
+    CASE WHEN len(ts) >= {n} THEN range(0, len(ts) - {n - 1}) ELSE [] END) AS u(i)
+)"""
 
 
 def _simhash_sql(bits: int = 64) -> str:
@@ -2096,6 +2149,77 @@ SELECT d.doc_id,
        coalesce(f.n_terms, 0) AS n_terms,
        coalesce(f.rarity_r9, 0.0) AS rarity_r9
 FROM documents d LEFT JOIN final f USING (doc_id)
+""",
+        # corpus curation: all-integer checks over the shared n-gram CTE
+        "decontaminate": f"""
+WITH {_grams_sql(4)},
+ev AS (SELECT DISTINCT gram, doc_id AS eval_doc FROM grams WHERE doc_id % 100 = 0),
+train AS (SELECT * FROM grams WHERE doc_id % 100 <> 0),
+hits AS (
+  SELECT t.doc_id,
+         count(DISTINCT t.pos) AS n_hit_positions,
+         count(DISTINCT t.gram) AS n_hit_grams,
+         count(DISTINCT e.eval_doc) AS n_eval_docs
+  FROM train t JOIN ev e USING (gram)
+  GROUP BY 1
+),
+totals AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(tt.n_grams, 0) AS n_grams,
+       coalesce(h.n_hit_positions, 0) AS n_hit_positions,
+       coalesce(h.n_hit_grams, 0) AS n_hit_grams,
+       coalesce(h.n_eval_docs, 0) AS n_eval_docs,
+       CASE WHEN coalesce(h.n_hit_positions, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM documents d
+LEFT JOIN totals tt USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 100 <> 0
+""",
+        "dup_spans": f"""
+WITH {_grams_sql(6)},
+shared AS (
+  SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd FROM grams GROUP BY 1)
+  WHERE nd > 1
+),
+dup AS (
+  SELECT g.doc_id, count(*) AS n_dup_spans, count(DISTINCT g.gram) AS n_dup_grams
+  FROM grams g JOIN shared s USING (gram)
+  GROUP BY 1
+),
+totals AS (SELECT doc_id, count(*) AS n_spans FROM grams GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(t.n_spans, 0) AS n_spans,
+       coalesce(dp.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(dp.n_dup_grams, 0) AS n_dup_grams,
+       round(CAST(coalesce(dp.n_dup_spans, 0) AS DOUBLE)
+             / CAST(greatest(coalesce(t.n_spans, 0), 1) AS DOUBLE), 9) AS dup_frac_r9
+FROM documents d
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN dup dp USING (doc_id)
+""",
+        # xxhash64-bridged (like simhash): split logic is exact SQL over
+        # the Spark-materialized content hashes
+        "hash_split": f"""
+SELECT doc_id,
+       CAST(((h % 100) + 100) % 100 AS INTEGER) AS bucket,
+       CASE WHEN ((h % 100) + 100) % 100 < 5 THEN 'val'
+            WHEN ((h % 100) + 100) % 100 < 10 THEN 'test'
+            ELSE 'train' END AS split
+FROM read_parquet('{_ORACLE_MAT_DIR}/split_hashes.parquet/*.parquet')
+""",
+        "source_rollup": f"""
+WITH q AS ({_quality_sql()})
+SELECT d.source, d.lang, count(*) AS n_docs, sum(d.n_chars) AS total_chars,
+       round(CAST(sum(CAST(round(q.quality * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 1000000.0), 9) AS mean_quality_r9
+FROM documents d JOIN q USING (doc_id)
+GROUP BY 1, 2
+""",
+        "lang_confusion": f"""
+WITH p AS ({_lang_sql()})
+SELECT d.lang, p.lang_pred, count(*) AS n_docs
+FROM documents d JOIN p USING (doc_id)
+GROUP BY 1, 2
 """,
         # xxhash64-bridged oracles: the Spark query materializes its hash
         # table first; everything downstream is exact ANSI SQL

@@ -1,0 +1,225 @@
+"""Corpus-curation operators: decontamination, duplicated spans,
+deterministic splits, per-source reporting.
+
+No CUDA-reference counterpart (the reference is a Louvain engine,
+louvain.cu); these are the corpus-hygiene passes a large-scale
+training-data pipeline runs beside dedup/quality (build brief). All
+pure DataFrame ops — no UDFs, no collect — so every one of them rides
+whole-stage codegen and scales by partitioning alone.
+
+Shared machinery: `doc_ngrams` tokenizes with the SAME RE2-compatible
+BPE-ish pre-tokenizer as textstats (so the DuckDB oracles mirror it
+verbatim) and emits one row per (doc, position, n-gram).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import language_id, quality_scores
+
+_TOK_PATTERN = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+def doc_ngrams(
+    docs: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, pos, gram) — every ``n``-token span, space-joined, with
+    its 0-based start position. Docs shorter than ``n`` tokens emit no
+    rows (the guard matters: F.sequence(0, negative) would DESCEND).
+
+    Scale: tokenize + explode only — output is |tokens| rows per doc,
+    never quadratic.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(_TOK_PATTERN), F.lit(0)
+    )
+    base = docs.select(F.col(id_col), toks.alias("ts"))
+    idx = F.when(
+        F.size("ts") >= n, F.sequence(F.lit(0), F.size("ts") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    pg = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.array_join(F.slice("ts", i + 1, n), " ").alias("gram"),
+        ),
+    )
+    return base.select(id_col, F.explode(pg).alias("pg")).select(
+        id_col, F.col("pg.pos").alias("pos"), F.col("pg.gram").alias("gram")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_mod: int = 100,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination by n-gram overlap (the GPT-3/Pile
+    recipe: drop training docs sharing any n-gram with the eval set).
+
+    The "eval set" here is the deterministic slice doc_id % eval_mod == 0
+    (stand-in for a real benchmark table — swap in any (doc_id, text)
+    DataFrame). Returns one row per TRAINING doc:
+    (doc_id, n_grams, n_hit_positions, n_hit_grams, n_eval_docs,
+    contaminated) — all integers, so the check is exact.
+
+    Scale: the eval side is benchmark-sized (fixed, small) regardless of
+    corpus size, so its distinct gram table is broadcast — the 100 TB
+    train side is tokenized and filtered in ONE pass with a broadcast
+    hash join; no shuffle of the corpus at all.
+    """
+    grams = doc_ngrams(docs, n, text_col, id_col)
+    is_eval = (F.col(id_col) % eval_mod) == 0
+    ev_grams = (
+        grams.filter(is_eval)
+        .select("gram", F.col(id_col).alias("eval_doc"))
+        .distinct()
+    )
+    train = grams.filter(~is_eval)
+    hits = train.join(F.broadcast(ev_grams), "gram").groupBy(id_col).agg(
+        F.countDistinct("pos").alias("n_hit_positions"),
+        F.countDistinct("gram").alias("n_hit_grams"),
+        F.countDistinct("eval_doc").alias("n_eval_docs"),
+    )
+    totals = (
+        docs.filter(~is_eval)
+        .select(id_col)
+        .join(train.groupBy(id_col).agg(F.count("*").alias("n_grams")), id_col, "left")
+    )
+    return totals.join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_hit_positions", F.lit(0)).alias("n_hit_positions"),
+        F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
+        F.coalesce("n_eval_docs", F.lit(0)).alias("n_eval_docs"),
+        (F.coalesce("n_hit_positions", F.lit(0)) > 0).cast("int").alias("contaminated"),
+    )
+
+
+def dup_spans(
+    docs: DataFrame, n: int = 6, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Substring-level duplication profile (the signal behind
+    "deduplicate repeated spans, not just whole documents"): for each
+    doc, how many of its n-token spans also appear in at least one
+    OTHER doc. Returns (doc_id, n_spans, n_dup_spans, n_dup_grams,
+    dup_frac_r9) for every doc; dup_frac is a single divide of two
+    exact integers, r9-rounded.
+
+    Scale: one groupBy computes per-gram distinct-doc counts (the
+    vocabulary-of-spans table), one join marks duplicated positions,
+    one per-doc aggregate — all linear in corpus tokens; no doc-pair
+    blowup ever materializes.
+    """
+    grams = doc_ngrams(docs, n, text_col, id_col)
+    shared = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    dup = grams.join(shared, "gram").groupBy(id_col).agg(
+        F.count("*").alias("n_dup_spans"),
+        F.countDistinct("gram").alias("n_dup_grams"),
+    )
+    totals = docs.select(id_col).join(
+        grams.groupBy(id_col).agg(F.count("*").alias("n_spans")), id_col, "left"
+    )
+    n_spans = F.coalesce("n_spans", F.lit(0))
+    n_dup = F.coalesce("n_dup_spans", F.lit(0))
+    return totals.join(dup, id_col, "left").select(
+        id_col,
+        n_spans.alias("n_spans"),
+        n_dup.alias("n_dup_spans"),
+        F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+        F.round(
+            n_dup.cast("double")
+            / F.greatest(n_spans, F.lit(1)).cast("double"),
+            9,
+        ).alias("dup_frac_r9"),
+    )
+
+
+def doc_content_hash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, h) — xxhash64 of the raw text. The materialize-for-
+    oracle seam for `split_from_hashes` (xxhash64 has no DuckDB twin)."""
+    return docs.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("h"))
+
+
+def split_from_hashes(
+    hashes: DataFrame, val_pct: int = 5, test_pct: int = 5
+) -> DataFrame:
+    """(doc_id, bucket, split) — deterministic content-hash train/val/
+    test assignment: bucket = pmod(h, 100); val = [0, val_pct),
+    test = [val_pct, val_pct+test_pct), train = rest.
+
+    Hashing the TEXT (not the id) means byte-identical duplicates land
+    in the same split — the standard guard against train/eval leakage
+    through dups. Pure projection: no shuffle, no state; re-running on
+    a grown corpus never reassigns an existing doc.
+    """
+    b = F.pmod(F.col("h"), F.lit(100))
+    split = (
+        F.when(b < val_pct, F.lit("val"))
+        .when(b < val_pct + test_pct, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return hashes.select(
+        "doc_id", b.cast("int").alias("bucket"), split.alias("split")
+    )
+
+
+def source_quality_rollup(docs: DataFrame) -> DataFrame:
+    """(source, lang, n_docs, total_chars, mean_quality_r9) — the
+    per-source curation report card (which crawl slices to keep /
+    reweight). The mean is order-independent house-style: each doc's
+    quality is rounded to integer micro-units first, the per-group sum
+    is an exact integer aggregate, one final divide produces r9.
+
+    Scale: per-doc quality is whole-stage codegen (textstats), then one
+    groupBy on a low-cardinality key — partial aggregation makes the
+    shuffle O(|sources × langs|), not O(docs).
+    """
+    q = quality_scores(docs)
+    j = docs.select("doc_id", "source", "lang", "n_chars").join(q, "doc_id")
+    micro = F.round(F.col("quality") * 1000000.0, 0).cast("long")
+    return (
+        j.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(micro).alias("micro_sum"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "total_chars",
+            F.round(
+                F.col("micro_sum").cast("double")
+                / (F.col("n_docs").cast("double") * 1000000.0),
+                9,
+            ).alias("mean_quality_r9"),
+        )
+    )
+
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """(lang, lang_pred, n_docs) — confusion matrix of the heuristic
+    language-ID against the table's labeled `lang` column: the
+    evaluation loop that tells a pipeline operator whether the cheap
+    classifier is good enough to route on. Integer counts only.
+    """
+    preds = language_id(docs)
+    return (
+        docs.select("doc_id", "lang")
+        .join(preds, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -1,0 +1,140 @@
+"""Corpus-curation operators: decontamination, duplicated spans,
+deterministic splits, reporting rollups (operators/curation.py).
+
+No CUDA-reference counterpart; oracles are hand-computed on tiny
+corpora (the driver gate re-checks every operator against DuckDB SQL
+at sf0.01)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from louvain_fast_move_cuda_spark.operators.curation import (
+    decontaminate,
+    doc_content_hash,
+    doc_ngrams,
+    dup_spans,
+    lang_confusion,
+    source_quality_rollup,
+    split_from_hashes,
+)
+from louvain_fast_move_cuda_spark.operators.textstats import quality_scores
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_doc_ngrams_positions_and_short_doc_guard(spark):
+    df = _docs(spark, [(0, "a b c d e"), (1, "x y")])
+    got = sorted((r.doc_id, r.pos, r.gram) for r in doc_ngrams(df, 3).collect())
+    # doc 0: 5 tokens -> 3 trigrams at positions 0,1,2; doc 1 too short -> nothing
+    assert got == [(0, 0, "a b c"), (0, 1, "b c d"), (0, 2, "c d e")]
+
+
+def test_decontaminate_counts_by_hand(spark):
+    # doc 100 is eval (id % 100 == 0); doc 1 repeats one of its 2-grams
+    # twice, doc 2 shares nothing
+    df = _docs(
+        spark,
+        [
+            (100, "alpha beta gamma"),
+            (1, "alpha beta x alpha beta"),
+            (2, "delta epsilon zeta"),
+        ],
+    )
+    got = {r.doc_id: r for r in decontaminate(df, eval_mod=100, n=2).collect()}
+    assert set(got) == {1, 2}  # eval doc excluded from the output
+    r1 = got[1]
+    # doc 1 grams: 'alpha beta','beta x','x alpha','alpha beta' -> hits at pos 0 and 3
+    assert r1.n_grams == 4
+    assert r1.n_hit_positions == 2
+    assert r1.n_hit_grams == 1
+    assert r1.n_eval_docs == 1
+    assert r1.contaminated == 1
+    r2 = got[2]
+    assert (r2.n_hit_positions, r2.n_eval_docs, r2.contaminated) == (0, 0, 0)
+
+
+def test_decontaminate_eval_gram_join_is_broadcast(spark):
+    df = _docs(spark, [(0, "a b c"), (1, "a b d"), (2, "c d e")])
+    plan = decontaminate(df, eval_mod=100, n=2)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    # the benchmark-sized eval gram table must broadcast: the 100 TB
+    # train side is never shuffled by the contamination join
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dup_spans_shared_span_detected(spark):
+    shared = "one two three four five six"
+    df = _docs(
+        spark,
+        [
+            (0, shared + " tail0"),
+            (1, "head1 " + shared),
+            (2, "nothing in common here at all"),
+        ],
+    )
+    got = {r.doc_id: r for r in dup_spans(df, n=6).collect()}
+    # docs 0 and 1 each contain the shared 6-gram exactly once
+    assert got[0].n_dup_spans == 1 and got[0].n_dup_grams == 1
+    assert got[1].n_dup_spans == 1 and got[1].n_dup_grams == 1
+    assert got[2].n_dup_spans == 0 and got[2].dup_frac_r9 == 0.0
+    assert got[0].n_spans == 2  # 7 tokens -> 2 six-grams
+    assert got[0].dup_frac_r9 == 0.5
+
+
+def test_split_from_hashes_buckets_and_negative_pmod(spark):
+    hs = spark.createDataFrame(
+        [(0, 3), (1, 7), (2, 55), (3, -1)], "doc_id long, h long"
+    )
+    got = {r.doc_id: (r.bucket, r.split) for r in split_from_hashes(hs).collect()}
+    assert got[0] == (3, "val")
+    assert got[1] == (7, "test")
+    assert got[2] == (55, "train")
+    assert got[3] == (99, "train")  # pmod, not C-style remainder
+
+
+def test_hash_split_is_content_keyed(spark):
+    # byte-identical texts land in the same split regardless of doc_id
+    df = _docs(spark, [(0, "same text"), (777, "same text"), (1, "other")])
+    hs = doc_content_hash(df)
+    got = {r.doc_id: r.split for r in split_from_hashes(hs).collect()}
+    assert got[0] == got[777]
+
+
+def test_source_quality_rollup_micro_mean(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox", "en", "s0", 19),
+            (1, "a lazy dog sleeps here", "en", "s0", 22),
+            (2, "der hund", "de", "s1", 8),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    q = {r.doc_id: r.quality for r in quality_scores(df).collect()}
+    expect_s0 = round(
+        (round(q[0] * 1e6) + round(q[1] * 1e6)) / (2 * 1e6), 9
+    )
+    got = {(r.source, r.lang): r for r in source_quality_rollup(df).collect()}
+    r0 = got[("s0", "en")]
+    assert r0.n_docs == 2 and r0.total_chars == 41
+    assert math.isclose(r0.mean_quality_r9, expect_s0, abs_tol=1e-12)
+    assert got[("s1", "de")].n_docs == 1
+
+
+def test_lang_confusion_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog is here", "en"),
+            (1, "der hund und die katze ist hier", "de"),
+            (2, "der mann und die frau sind da", "en"),  # mislabeled on purpose
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {(r.lang, r.lang_pred): r.n_docs for r in lang_confusion(df).collect()}
+    assert got[("en", "en")] == 1
+    assert got[("de", "de")] == 1
+    assert got[("en", "de")] == 1  # the mislabeled row shows up off-diagonal
