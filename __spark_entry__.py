@@ -937,6 +937,17 @@ def q_ann_ivf(spark, sf_dir):
     return res.select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
 
 
+def q_knn_label_eval(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.similarity import knn_label_predict
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    )
+    return knn_label_predict(emb, emb.filter(F.col("vec_id") < 50), k=10)
+
+
 def q_embedding_near_dupes(spark, sf_dir):
     from louvain_fast_move_cuda_spark.operators.dedup import (
         embedding_signatures,
@@ -1045,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_counts": q_media_frame_counts,
         # similarity search
         "ann_topk": q_ann_topk,
+        "knn_label_eval": q_knn_label_eval,
         "ann_ivf": q_ann_ivf,
         "embedding_near_dupes": q_embedding_near_dupes,
     }
@@ -2343,5 +2355,41 @@ SELECT query_id, neighbor_id, rnk FROM (
   FROM scored
 )
 WHERE rnk <= 5
+""",
+        # same cosine expression tree as ann_topk; everything past the
+        # top-k set (votes, argmax, correctness) is all-integer
+        "knn_label_eval": """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+q AS (SELECT vec_id, e, label FROM v WHERE vec_id < 50),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(q.e) + 1), i -> q.e[i] * c.e[i]))
+           / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+              * sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS cosine
+  FROM v c, q
+  WHERE c.vec_id <> q.vec_id
+),
+topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= 10
+),
+votes AS (
+  SELECT t.query_id, v.label AS nb_label, count(*) AS n_votes
+  FROM topk t JOIN v ON v.vec_id = t.neighbor_id
+  GROUP BY 1, 2
+),
+pred AS (
+  SELECT query_id, nb_label AS pred_label, n_votes FROM (
+    SELECT query_id, nb_label, n_votes,
+           row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, nb_label ASC) AS rn
+    FROM votes
+  ) WHERE rn = 1
+)
+SELECT q.vec_id AS query_id, q.label AS true_label, p.pred_label, p.n_votes,
+       CASE WHEN p.pred_label = q.label THEN 1 ELSE 0 END AS correct
+FROM q JOIN pred p ON p.query_id = q.vec_id
 """,
     }

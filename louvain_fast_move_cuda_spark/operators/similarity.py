@@ -264,3 +264,53 @@ def ivf_topk(
         )
     probes = ivf_probes(cents, queries, nprobe, id_col, vec_col)
     return topk_within_cells(assigned, probes, k)
+
+
+def knn_label_predict(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(query_id, true_label, pred_label, n_votes, correct) — k-NN
+    majority-vote classification of each query against the labeled
+    corpus: the standard embedding-quality probe (kNN accuracy) run
+    directly inside the engine. Prediction = most common label among
+    the k nearest-by-cosine neighbors (self excluded), ties broken by
+    lowest label; every output column is an integer, so the driver
+    check is exact.
+
+    Scale: rides brute_force_topk's broadcast-queries/streamed-corpus
+    plan — keep |Q| bounded (it is the evaluation sample, not the
+    corpus); swap in ivf_topk's candidate set for corpus-sized query
+    loads.
+    """
+    nb = brute_force_topk(corpus, queries, k, id_col, vec_col)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nb_label")
+    )
+    votes = (
+        nb.join(labels, "neighbor_id")
+        .groupBy("query_id", "nb_label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("nb_label")
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("nb_label").alias("pred_label"), "n_votes")
+    )
+    truth = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return truth.join(pred, "query_id").select(
+        "query_id",
+        "true_label",
+        "pred_label",
+        "n_votes",
+        (F.col("pred_label") == F.col("true_label")).cast("int").alias("correct"),
+    )

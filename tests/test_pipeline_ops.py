@@ -17,7 +17,11 @@ from louvain_fast_move_cuda_spark.operators.dedup import (
     shingles,
     simhash,
 )
-from louvain_fast_move_cuda_spark.operators.similarity import brute_force_topk, ivf_topk
+from louvain_fast_move_cuda_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    knn_label_predict,
+)
 from louvain_fast_move_cuda_spark.operators.textstats import (
     fingerprint,
     language_id,
@@ -277,3 +281,27 @@ def test_ivf_farthest_first_plus_kmeans_balances_cells_and_keeps_recall(spark):
               for r in ivf_topk(df, queries, k=5, n_centroids=8, nprobe=1,
                                 kmeans_iters=2).collect()}
         assert len(ex & ap) / len(ex) >= 0.9, seed
+
+
+def test_knn_label_predict_clustered_majority(spark):
+    # three tight clusters around orthogonal axes; labels follow clusters
+    rng = np.random.RandomState(7)
+    rows = []
+    for lab, axis in [(0, 0), (1, 3), (2, 6)]:
+        base = np.zeros(8)
+        base[axis] = 1.0
+        for i in range(8):
+            v = base + rng.randn(8) * 0.01
+            rows.append((lab * 8 + i, [float(x) for x in v], lab))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        r.query_id: r
+        for r in knn_label_predict(df, df.filter(F.col("vec_id") < 3), k=5).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    for qid, r in got.items():
+        # all 5 nearest neighbors come from the query's own cluster
+        assert r.pred_label == r.true_label == 0
+        assert r.n_votes == 5 and r.correct == 1
