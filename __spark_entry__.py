@@ -106,6 +106,7 @@ from louvain_fast_move_cuda_spark.operators.curation import (
     doc_content_hash,
     dup_spans,
     lang_confusion,
+    sequence_pack,
     source_quality_rollup,
     split_from_hashes,
 )
@@ -868,6 +869,10 @@ def q_lang_confusion(spark, sf_dir):
     return lang_confusion(_docs(spark, sf_dir))
 
 
+def q_sequence_pack(spark, sf_dir):
+    return sequence_pack(_docs(spark, sf_dir), seq_len=512)
+
+
 def q_fingerprint(spark, sf_dir):
     wh = _materialize_for_oracle(word_hashes(_docs(spark, sf_dir)), "fingerprint_word_hashes")
     return fingerprint_from_hashes(wh)
@@ -1050,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "source_rollup": q_source_rollup,
         "lang_confusion": q_lang_confusion,
+        "sequence_pack": q_sequence_pack,
         # training-data pipeline: multimodal binary columns
         "media_metadata": q_media_metadata,
         "media_features": q_media_features,
@@ -2232,6 +2238,28 @@ WITH p AS ({_lang_sql()})
 SELECT d.lang, p.lang_pred, count(*) AS n_docs
 FROM documents d JOIN p USING (doc_id)
 GROUP BY 1, 2
+""",
+        # distributed exclusive scan (thrust::exclusive_scan's cluster
+        # twin) vs DuckDB's single-node window scan — same integers
+        "sequence_pack": r"""
+WITH s AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS cum_before
+  FROM s
+)
+SELECT doc_id, n_tokens, cum_before,
+       CAST(cum_before // 512 AS BIGINT) AS start_pack,
+       CAST(cum_before % 512 AS BIGINT) AS start_off,
+       CAST(CASE WHEN n_tokens > 0 THEN (cum_before + n_tokens - 1) // 512
+                 ELSE cum_before // 512 END AS BIGINT) AS end_pack
+FROM c
 """,
         # xxhash64-bridged oracles: the Spark query materializes its hash
         # table first; everything downstream is exact ANSI SQL

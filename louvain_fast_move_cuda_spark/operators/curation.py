@@ -223,3 +223,46 @@ def lang_confusion(docs: DataFrame) -> DataFrame:
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def sequence_pack(
+    docs: DataFrame,
+    seq_len: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, cum_before, start_pack, start_off, end_pack)
+    — boundary-agnostic sequence packing, the standard pretraining
+    layout: concatenate all docs in doc_id order and cut fixed
+    ``seq_len``-token windows; each doc records which pack its first
+    token lands in (start_pack/start_off) and which pack holds its
+    last token (end_pack — docs crossing a boundary span several).
+    Tokens are the BPE-ish pre-tokenizer counts (textstats). Every
+    output column is an integer, so the check is exact; empty docs
+    keep end_pack == start_pack.
+
+    Scale: the only non-local step is the exclusive prefix sum of doc
+    lengths, which runs as the two-level distributed scan
+    (operators/scan.py — thrust::exclusive_scan's cluster twin,
+    graph.cuh:87); pack arithmetic is then a pure projection.
+    """
+    from .scan import prefix_sum
+
+    n_tok = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_TOK_PATTERN), F.lit(0))
+    )
+    stats = docs.select(F.col(id_col), n_tok.alias("n_tokens"))
+    cum = prefix_sum(stats, id_col, "n_tokens")
+    start_pack = F.expr(f"cum_before DIV {seq_len}")
+    end_pack = F.when(
+        F.col("n_tokens") > 0,
+        F.expr(f"(cum_before + n_tokens - 1) DIV {seq_len}"),
+    ).otherwise(start_pack)
+    return cum.select(
+        id_col,
+        "n_tokens",
+        "cum_before",
+        start_pack.cast("long").alias("start_pack"),
+        (F.col("cum_before") % seq_len).cast("long").alias("start_off"),
+        end_pack.cast("long").alias("end_pack"),
+    )

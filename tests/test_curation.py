@@ -15,6 +15,7 @@ from louvain_fast_move_cuda_spark.operators.curation import (
     doc_ngrams,
     dup_spans,
     lang_confusion,
+    sequence_pack,
     source_quality_rollup,
     split_from_hashes,
 )
@@ -138,3 +139,34 @@ def test_lang_confusion_counts(spark):
     assert got[("en", "en")] == 1
     assert got[("de", "de")] == 1
     assert got[("en", "de")] == 1  # the mislabeled row shows up off-diagonal
+
+
+def test_prefix_sum_matches_serial_scan_across_partitions(spark):
+    from louvain_fast_move_cuda_spark.operators.scan import prefix_sum
+
+    vals = [(i, (i * 7 + 3) % 11) for i in range(200)]
+    df = spark.createDataFrame(vals, "k long, v long")
+    # force many range partitions so the offset machinery actually runs
+    got = {r.k: r.cum_before for r in prefix_sum(df, "k", "v", num_partitions=16).collect()}
+    acc = 0
+    for k, v in vals:
+        assert got[k] == acc, (k, got[k], acc)
+        acc += v
+
+
+def test_sequence_pack_boundaries_and_empty_doc(spark):
+    df = _docs(
+        spark,
+        [
+            (0, "a b c"),        # 3 tokens -> pack 0, off 0..2
+            (1, "d e f g"),      # 4 tokens, cum 3 -> starts pack 0 off 3, ends pack 1
+            (2, ""),             # empty: start == end pack
+            (3, "h i"),          # cum 7 -> pack 1
+        ],
+    )
+    got = {r.doc_id: r for r in sequence_pack(df, seq_len=5).collect()}
+    assert (got[0].start_pack, got[0].start_off, got[0].end_pack) == (0, 0, 0)
+    assert (got[1].start_pack, got[1].start_off, got[1].end_pack) == (0, 3, 1)
+    assert got[2].n_tokens == 0 and got[2].start_pack == got[2].end_pack == 1
+    assert (got[3].start_pack, got[3].start_off, got[3].end_pack) == (1, 2, 1)
+    assert got[3].cum_before == 7

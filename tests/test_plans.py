@@ -352,3 +352,37 @@ def test_neighbor_sample_single_window_shuffle(spark):
     plan = _plan(sample_neighbors(g, k=3), mode="simple")  # one line per node
     assert plan.count("Exchange") == 1
     assert plan.count("WindowGroupLimit") == 2  # partial (pre-shuffle) + final
+
+
+def test_curation_and_corpus_stats_plans_jvm_only_equi_joins(spark):
+    """The round-4 corpus operators (top-terms, rarity, curation, kNN
+    eval) must stay JVM-side (no Python eval of any kind) and
+    equi-join shaped — with the one deliberate exception: kNN label
+    eval rides brute_force_topk's bounded broadcast cross join, which
+    must appear as BroadcastNestedLoopJoin over the SMALL query set
+    only, never CartesianProduct."""
+    from louvain_fast_move_cuda_spark.operators.curation import (
+        decontaminate,
+        dup_spans,
+        lang_confusion,
+        source_quality_rollup,
+    )
+    from louvain_fast_move_cuda_spark.operators.textstats import (
+        rarity_scores,
+        top_terms,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for df in (
+        top_terms(docs, k=3),
+        rarity_scores(docs),
+        decontaminate(docs, eval_mod=100, n=4),
+        dup_spans(docs, n=6),
+        source_quality_rollup(docs),
+        lang_confusion(docs),
+    ):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
