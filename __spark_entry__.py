@@ -584,6 +584,60 @@ def _write_time_ordered_chunks(turns: DataFrame, in_dir: str, n_chunks: int = 4)
             os.utime(dst, (1_700_000_000 + c, 1_700_000_000 + c))
 
 
+def _write_doc_ordered_chunks(docs: DataFrame, in_dir: str, n_chunks: int = 4):
+    """Same trick as _write_time_ordered_chunks for (doc_id, text)
+    corpora: chunk files in strict doc_id order with increasing mtimes,
+    so maxFilesPerTrigger=1 replays them as ordered micro-batches and
+    stream order == doc_id order (the dedup oracle's window order)."""
+    import os
+    import shutil
+
+    os.makedirs(in_dir, exist_ok=True)
+    base = os.path.dirname(in_dir)
+    w = Window.orderBy("doc_id")
+    chunked = docs.select("doc_id", "text").withColumn("_c", F.ntile(n_chunks).over(w))
+    for c in range(1, n_chunks + 1):
+        stage = f"{base}/docstage{c}"
+        chunked.filter(F.col("_c") == c).drop("_c").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        parts = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        for i, f_name in enumerate(parts):
+            dst = f"{in_dir}/{c:03d}_{i:03d}.parquet"
+            shutil.move(f"{stage}/{f_name}", dst)
+            os.utime(dst, (1_700_000_000 + c, 1_700_000_000 + c))
+
+
+def q_streaming_dedup(spark, sf_dir):
+    """Stateful streaming dedup under the driver oracle: the corpus
+    (plus a deterministic re-idded duplicate slice — sf docs carry no
+    exact dups of their own) is replayed as 4 doc_id-ordered
+    micro-batches; the applyInPandasWithState operator must carry each
+    content's (first_doc, n_seen) across batch boundaries so a dup
+    arriving three batches after its original is still flagged. The
+    oracle is the batch window (row_number over normalized-content
+    groups in doc_id order) — exact integers."""
+    import tempfile
+
+    from louvain_fast_move_cuda_spark.streaming.dedup_stream import run_dedup_ingest
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    allq = docs.unionByName(dups)
+    base = tempfile.mkdtemp(prefix="spark_graft_dedupstream_")
+    in_dir = f"{base}/in"
+    _write_doc_ordered_chunks(allq, in_dir, n_chunks=4)
+    run_dedup_ingest(
+        spark, in_dir, f"{base}/out", f"{base}/ck",
+        available_now=True, max_files_per_trigger=1,
+    )
+    return spark.read.parquet(f"{base}/out").select(
+        "doc_id", "is_first", "seen_before"
+    )
+
+
 def q_streaming_edges(spark, sf_dir):
     """Structured Streaming ingest end-to-end under the driver oracle
     (round-4 upgrade: streaming/ingest.py was pytest-only).
@@ -994,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # watermarked windowed aggregation
         "streaming_edges": q_streaming_edges,
         "streaming_turn_rates": q_streaming_turn_rates,
+        "streaming_dedup": q_streaming_dedup,
         # descriptive graph statistics (graphstats.py)
         "clustering_coefficient": q_clustering_coefficient,
         "assortativity": q_assortativity,
@@ -1785,6 +1840,24 @@ WITH {_T.strip()}
 SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, conv_id,
        count(*) AS n_turns
 FROM transcripts GROUP BY 1, 2
+""",
+        # streaming first-seen dedup == batch window over content
+        # groups in doc_id order (stream order by construction)
+        "streaming_dedup": r"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+norm AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM all_docs
+)
+SELECT doc_id,
+       CASE WHEN row_number() OVER (PARTITION BY t ORDER BY doc_id) = 1
+            THEN 1 ELSE 0 END AS is_first,
+       CAST(row_number() OVER (PARTITION BY t ORDER BY doc_id) - 1 AS BIGINT) AS seen_before
+FROM norm
 """,
         "triangle_count": f"""
 {_GRAPH_CTE}

@@ -94,3 +94,32 @@ def test_turn_rates_window_counts(spark, transcripts):
     }
     assert got == want
     assert sum(got.values()) == transcripts.count()
+
+
+def test_streaming_dedup_state_survives_restart(spark, tmp_path_factory):
+    """First-seen dedup across TWO separate stream runs sharing one
+    checkpoint: a dup landing in run 2 of content first seen in run 1
+    must be flagged from the state store, not re-counted as first."""
+    from louvain_fast_move_cuda_spark.streaming.dedup_stream import run_dedup_ingest
+
+    tmp = tmp_path_factory.mktemp("dedupstream")
+    in_dir, out_dir, ck_dir = str(tmp / "in"), str(tmp / "out"), str(tmp / "ck")
+
+    batch1 = [(0, "alpha beta"), (1, "gamma delta"), (2, "ALPHA   beta")]
+    batch2 = [(3, "gamma delta"), (4, "fresh content"), (5, "alpha beta")]
+    spark.createDataFrame(batch1, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_dedup_ingest(spark, in_dir, out_dir, ck_dir)
+    spark.createDataFrame(batch2, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run_dedup_ingest(spark, in_dir, out_dir, ck_dir)
+
+    got = {r.doc_id: (r.is_first, r.seen_before) for r in spark.read.parquet(out_dir).collect()}
+    assert got[0] == (1, 0)
+    assert got[1] == (1, 0)
+    assert got[2] == (0, 1)  # normalization: case + whitespace collapse
+    assert got[3] == (0, 1)  # cross-run dup, recovered from the state store
+    assert got[4] == (1, 0)
+    assert got[5] == (0, 2)  # third sighting of 'alpha beta' across runs
