@@ -996,6 +996,18 @@ def q_ann_ivf(spark, sf_dir):
     return res.select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.dedup import (
+        winnow_fingerprints_from_hashes,
+        winnow_hashes,
+    )
+
+    wh = _materialize_for_oracle(
+        winnow_hashes(_docs(spark, sf_dir), k=4), "winnow_hashes"
+    )
+    return winnow_fingerprints_from_hashes(wh, w=4)
+
+
 def q_knn_label_eval(spark, sf_dir):
     from louvain_fast_move_cuda_spark.operators.similarity import knn_label_predict
 
@@ -1097,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "fingerprint": q_fingerprint,
         # training-data pipeline: text analysis
         "token_stats": q_token_stats,
@@ -2333,6 +2346,25 @@ SELECT doc_id, n_tokens, cum_before,
        CAST(CASE WHEN n_tokens > 0 THEN (cum_before + n_tokens - 1) // 512
                  ELSE cum_before // 512 END AS BIGINT) AS end_pack
 FROM c
+""",
+        # winnowing (MOSS): window struct-min over the materialized
+        # k-gram hashes — rightmost-min tie-break via (h, -pos)
+        "winnow_fingerprints": f"""
+WITH h AS (
+  SELECT doc_id, pos, h
+  FROM read_parquet('{_ORACLE_MAT_DIR}/winnow_hashes.parquet/*.parquet')
+),
+sel AS (
+  SELECT doc_id, pos,
+         min({{'mh': h, 'np': -pos}}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM h
+)
+SELECT DISTINCT doc_id, s.mh AS fp_hash, CAST(-s.np AS INTEGER) AS fp_pos
+FROM sel
+WHERE pos <= greatest(n - 4, 0)
 """,
         # xxhash64-bridged oracles: the Spark query materializes its hash
         # table first; everything downstream is exact ANSI SQL

@@ -10,7 +10,7 @@ skew handling is needed beyond AQE.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -347,4 +347,70 @@ def dedup_clusters(
                 "is_canonical"
             ),
         )
+    )
+
+
+def winnow_hashes(
+    docs: DataFrame, k: int = 4, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, pos, h) — xxhash64 of every k-token span with its
+    position: the input of winnowing, and the materialize-for-oracle
+    seam (xxhash64 has no DuckDB twin; everything past the hashes is
+    exact SQL)."""
+    from .curation import doc_ngrams
+
+    g = doc_ngrams(docs, k, text_col, id_col)
+    return g.select(id_col, "pos", F.xxhash64("gram").alias("h"))
+
+
+def winnow_fingerprints_from_hashes(
+    hashed: DataFrame, w: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, fp_hash, fp_pos) — winnowing fingerprints
+    (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS algorithm): from
+    every window of ``w`` consecutive k-gram hashes keep the minimum,
+    rightmost on ties; distinct selections are the document's
+    fingerprint set. Guarantee: two docs sharing any token run of
+    length >= w + k - 1 share at least one fingerprint, while only
+    ~2/(w+1) of all grams are kept — the density/recall dial of
+    large-scale substring dedup.
+
+    Scale: ONE shuffle on doc_id serves both windows (per-doc gram
+    count + the ordered w-frame struct-min); selection is a JVM
+    lexicographic min of (h, -pos), then a distinct bounded by the
+    fingerprint density. No pairwise work; matching docs later is a
+    groupBy/join on fp_hash (same shape as the LSH bucket join).
+    """
+    frame = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    )
+    whole = Window.partitionBy(id_col)
+    sel = F.min(
+        F.struct(F.col("h").alias("mh"), (-F.col("pos")).alias("np"))
+    ).over(frame)
+    # only full windows select (start <= n-w); docs with fewer than w
+    # grams winnow their single truncated window at start 0
+    return (
+        hashed.withColumn("_sel", sel)
+        .withColumn("_n", F.count("*").over(whole))
+        .filter(F.col("pos") <= F.greatest(F.col("_n") - w, F.lit(0)))
+        .select(
+            id_col,
+            F.col("_sel.mh").alias("fp_hash"),
+            (-F.col("_sel.np")).cast("int").alias("fp_pos"),
+        )
+        .distinct()
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Convenience: winnow_hashes |> winnow_fingerprints_from_hashes."""
+    return winnow_fingerprints_from_hashes(
+        winnow_hashes(docs, k, text_col, id_col), w, id_col
     )

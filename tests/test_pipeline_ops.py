@@ -305,3 +305,31 @@ def test_knn_label_predict_clustered_majority(spark):
         # all 5 nearest neighbors come from the query's own cluster
         assert r.pred_label == r.true_label == 0
         assert r.n_votes == 5 and r.correct == 1
+
+
+def test_winnow_guarantee_and_rightmost_tiebreak(spark):
+    from louvain_fast_move_cuda_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens = w+k-1
+    df = spark.createDataFrame(
+        [
+            (0, "lead in words " + shared),
+            (1, shared + " trailing other words"),
+            (2, "completely unrelated content with no overlap at all"),
+            (3, "x x x x x x"),  # all k-grams identical -> one fp, rightmost pos
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=4, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add((r.fp_hash, r.fp_pos))
+    # SWA'03 guarantee: a shared token run of length >= w+k-1 shares a hash
+    h0 = {h for h, _ in by_doc[0]}
+    h1 = {h for h, _ in by_doc[1]}
+    h2 = {h for h, _ in by_doc[2]}
+    assert h0 & h1
+    assert not (h0 & h2) and not (h1 & h2)
+    # doc 3: 6 tokens -> 3 identical grams, fewer than w -> single
+    # truncated window, rightmost-min tie-break selects pos 2
+    assert by_doc[3] == {(next(iter(by_doc[3]))[0], 2)}
