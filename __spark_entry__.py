@@ -95,8 +95,10 @@ from louvain_fast_move_cuda_spark.operators.textstats import (
     language_id,
     quality_scores,
     rarity_scores,
+    repetition_scores,
     token_stats,
     top_terms,
+    vocab_coverage,
     word_hashes,
     _LANG_MARKERS,
     _STOPWORDS,
@@ -106,6 +108,8 @@ from louvain_fast_move_cuda_spark.operators.curation import (
     doc_content_hash,
     dup_spans,
     lang_confusion,
+    sample_buckets,
+    sample_from_buckets,
     sequence_pack,
     source_quality_rollup,
     split_from_hashes,
@@ -927,6 +931,29 @@ def q_sequence_pack(spark, sf_dir):
     return sequence_pack(_docs(spark, sf_dir), seq_len=512)
 
 
+def q_repetition_scores(spark, sf_dir):
+    return repetition_scores(_docs(spark, sf_dir))
+
+
+def q_vocab_coverage(spark, sf_dir):
+    return vocab_coverage(_docs(spark, sf_dir), top_v=50)
+
+
+def q_stratified_sample(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    # per-source keep rates derived by pure integer arithmetic so the
+    # oracle recomputes them verbatim; the xxhash64 content buckets are
+    # the materialized seam (same bridge as hash_split)
+    rates = docs.select("source").distinct().select(
+        "source",
+        F.pmod(F.length("source") * 271 + 89, F.lit(1000))
+        .cast("int")
+        .alias("keep_permille"),
+    )
+    buckets = _materialize_for_oracle(sample_buckets(docs, seed=7), "sample_buckets")
+    return sample_from_buckets(buckets, rates)
+
+
 def q_fingerprint(spark, sf_dir):
     wh = _materialize_for_oracle(word_hashes(_docs(spark, sf_dir)), "fingerprint_word_hashes")
     return fingerprint_from_hashes(wh)
@@ -1124,6 +1151,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_rollup": q_source_rollup,
         "lang_confusion": q_lang_confusion,
         "sequence_pack": q_sequence_pack,
+        "repetition_scores": q_repetition_scores,
+        "vocab_coverage": q_vocab_coverage,
+        "stratified_sample": q_stratified_sample,
         # training-data pipeline: multimodal binary columns
         "media_metadata": q_media_metadata,
         "media_features": q_media_features,
@@ -2346,6 +2376,88 @@ SELECT doc_id, n_tokens, cum_before,
        CAST(CASE WHEN n_tokens > 0 THEN (cum_before + n_tokens - 1) // 512
                  ELSE cum_before // 512 END AS BIGINT) AS end_pack
 FROM c
+""",
+        # within-doc repetition (Gopher-style): all-integer dup-position
+        # counts per n in {2, 3}, one r9 divide per fraction
+        "repetition_scores": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]') AS ts
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, array_to_string(list_slice(ts, u.i + 1, u.i + 2), ' ') AS gram
+  FROM toks, LATERAL unnest(
+    CASE WHEN len(ts) >= 2 THEN range(0, len(ts) - 1) ELSE [] END) AS u(i)
+),
+g3 AS (
+  SELECT doc_id, array_to_string(list_slice(ts, u.i + 1, u.i + 3), ' ') AS gram
+  FROM toks, LATERAL unnest(
+    CASE WHEN len(ts) >= 3 THEN range(0, len(ts) - 2) ELSE [] END) AS u(i)
+),
+p2 AS (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY 1, 2),
+a2 AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams2,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_pos2
+  FROM p2 GROUP BY 1
+),
+p3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+a3 AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams3,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_pos3
+  FROM p3 GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(a2.n_grams2, 0) AS n_grams2,
+       coalesce(a2.n_dup_pos2, 0) AS n_dup_pos2,
+       round(CAST(coalesce(a2.n_dup_pos2, 0) AS DOUBLE)
+             / CAST(greatest(coalesce(a2.n_grams2, 0), 1) AS DOUBLE), 9) AS rep2_r9,
+       coalesce(a3.n_grams3, 0) AS n_grams3,
+       coalesce(a3.n_dup_pos3, 0) AS n_dup_pos3,
+       round(CAST(coalesce(a3.n_dup_pos3, 0) AS DOUBLE)
+             / CAST(greatest(coalesce(a3.n_grams3, 0), 1) AS DOUBLE), 9) AS rep3_r9
+FROM documents d
+LEFT JOIN a2 USING (doc_id)
+LEFT JOIN a3 USING (doc_id)
+""",
+        # tokenizer-budget curve: top-V by (cnt DESC, term ASC), exact
+        # integer running sum, one r9 divide against the corpus total
+        "vocab_coverage": r"""
+WITH terms AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS term
+  FROM documents
+),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM terms),
+top AS (
+  SELECT term, count(*) AS cnt FROM terms GROUP BY 1
+  ORDER BY cnt DESC, term ASC LIMIT 50
+),
+r AS (
+  SELECT term, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) AS INTEGER) AS term_rank,
+         CAST(sum(cnt) OVER (
+           ORDER BY cnt DESC, term ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt
+  FROM top
+)
+SELECT term, cnt, term_rank, cum_cnt,
+       round(CAST(cum_cnt AS DOUBLE) / tot.total, 9) AS coverage_r9
+FROM r CROSS JOIN tot
+""",
+        # xxhash64-bridged (like hash_split): the content buckets are
+        # Spark-materialized; rates + verdict are pure integer SQL
+        "stratified_sample": f"""
+WITH rates AS (
+  SELECT DISTINCT source,
+         CAST((length(source) * 271 + 89) % 1000 AS INTEGER) AS keep_permille
+  FROM documents
+),
+b AS (
+  SELECT doc_id, source, bucket
+  FROM read_parquet('{_ORACLE_MAT_DIR}/sample_buckets.parquet/*.parquet')
+)
+SELECT b.doc_id, b.source, b.bucket, r.keep_permille,
+       CASE WHEN b.bucket < r.keep_permille THEN 1 ELSE 0 END AS kept
+FROM b JOIN rates r USING (source)
 """,
         # winnowing (MOSS): window struct-min over the materialized
         # k-gram hashes — rightmost-min tie-break via (h, -pos)

@@ -266,3 +266,60 @@ def sequence_pack(
         (F.col("cum_before") % seq_len).cast("long").alias("start_off"),
         end_pack.cast("long").alias("end_pack"),
     )
+
+
+def sample_buckets(
+    docs: DataFrame,
+    seed: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, source, bucket) — pmod(xxhash64(text, seed), 1000) per
+    doc. The materialize-for-oracle seam for `sample_from_buckets`
+    (xxhash64 has no DuckDB twin — same split as hash_split)."""
+    h = F.xxhash64(F.col(text_col), F.lit(seed))
+    return docs.select(
+        F.col(id_col), "source", F.pmod(h, F.lit(1000)).cast("int").alias("bucket")
+    )
+
+
+def sample_from_buckets(buckets: DataFrame, rates: DataFrame) -> DataFrame:
+    """(doc_id, source, bucket, keep_permille, kept) — join each doc's
+    content bucket against its source's keep rate; kept = 1 iff
+    bucket < keep_permille. Every doc is emitted with its verdict so
+    acceptance is auditable per stratum; filter kept == 1 for the
+    sampled corpus.
+
+    Scale: the rates table is strata-sized — broadcast; the corpus is
+    touched once, no shuffle at all.
+    """
+    return buckets.join(F.broadcast(rates), "source").select(
+        "doc_id",
+        "source",
+        "bucket",
+        "keep_permille",
+        (F.col("bucket") < F.col("keep_permille")).cast("int").alias("kept"),
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: DataFrame,
+    seed: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, source, bucket, keep_permille, kept) — deterministic
+    per-source downsampling (source reweighting, the knob behind "crawl
+    slice X is over-represented, keep 20% of it"): a doc survives iff
+    pmod(xxhash64(text, seed), 1000) < its source's keep_permille.
+    Content-keyed like hash_split, so byte-identical dups get one
+    verdict; re-running on a grown corpus never flips an existing doc.
+    `rates` is (source, keep_permille:int in [0, 1000]).
+
+    Composition of `sample_buckets` (the xxhash64 stage) and
+    `sample_from_buckets` (pure relational verdict).
+    """
+    return sample_from_buckets(
+        sample_buckets(docs, seed=seed, text_col=text_col, id_col=id_col), rates
+    )

@@ -228,3 +228,97 @@ def rarity_scores(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
             F.coalesce("rarity_r9", F.lit(0.0)).alias("rarity_r9"),
         )
     )
+
+
+def repetition_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_grams2, n_dup_pos2, rep2_r9, n_grams3, n_dup_pos3,
+    rep3_r9) — within-document repetition profile (the Gopher /
+    MassiveText repetition filters, token-level): for n in {2, 3}, the
+    fraction of n-gram positions whose n-gram occurs more than once in
+    the SAME document. Boilerplate and degenerate generations score
+    high; all counts are integers and each fraction is one r9 divide,
+    so the check is exact.
+
+    Scale: tokenization + two self-contained aggregations per n — a
+    per-(doc, gram) count then a per-doc sum, shuffling only on doc_id
+    (the gram never leaves its document, unlike curation.dup_spans).
+    """
+    from .curation import doc_ngrams
+
+    out = docs.select(id_col)
+    for n in (2, 3):
+        grams = doc_ngrams(docs, n, text_col, id_col)
+        per = (
+            grams.groupBy(id_col, "gram")
+            .agg(F.count("*").alias("c"))
+            .groupBy(id_col)
+            .agg(
+                F.sum("c").alias(f"n_grams{n}"),
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias(
+                    f"n_dup_pos{n}"
+                ),
+            )
+        )
+        out = out.join(per, id_col, "left")
+    cols = [F.col(id_col)]
+    for n in (2, 3):
+        ng = F.coalesce(f"n_grams{n}", F.lit(0))
+        nd = F.coalesce(f"n_dup_pos{n}", F.lit(0))
+        cols += [
+            ng.alias(f"n_grams{n}"),
+            nd.alias(f"n_dup_pos{n}"),
+            F.round(
+                nd.cast("double") / F.greatest(ng, F.lit(1)).cast("double"), 9
+            ).alias(f"rep{n}_r9"),
+        ]
+    return out.select(*cols)
+
+
+def vocab_coverage(
+    docs: DataFrame, top_v: int = 100, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(term, cnt, term_rank, cum_cnt, coverage_r9) — the top-``top_v``
+    corpus vocabulary by occurrence count (ties broken lexicographically)
+    with each prefix's cumulative share of all corpus tokens: the
+    tokenizer-budget curve ("how much of the corpus do V types cover").
+    cum_cnt is an exact integer running sum; coverage is one r9 divide
+    per row.
+
+    Scale: the global top-V runs as a distributed
+    TakeOrderedAndProject (never a full sort); only the V surviving
+    rows pass through the single-partition ranking window, so the
+    window input is bounded by ``top_v`` regardless of corpus size.
+    """
+    terms = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), F.lit(0)
+            )
+        ).alias("term")
+    )
+    total = terms.count()
+    top = (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(top_v)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    return (
+        top.withColumn("term_rank", F.row_number().over(w))
+        .withColumn(
+            "cum_cnt",
+            F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select(
+            "term",
+            "cnt",
+            "term_rank",
+            "cum_cnt",
+            F.round(
+                F.col("cum_cnt").cast("double") / F.lit(float(total)), 9
+            ).alias("coverage_r9"),
+        )
+    )

@@ -170,3 +170,33 @@ def test_sequence_pack_boundaries_and_empty_doc(spark):
     assert got[2].n_tokens == 0 and got[2].start_pack == got[2].end_pack == 1
     assert (got[3].start_pack, got[3].start_off, got[3].end_pack) == (1, 2, 1)
     assert got[3].cum_before == 7
+
+
+def test_stratified_sample_thresholds_and_content_keying(spark):
+    from louvain_fast_move_cuda_spark.operators.curation import stratified_sample
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma", "web"),
+            (1, "alpha beta gamma", "books"),  # byte-identical text, other source
+            (2, "delta epsilon", "web"),
+            (3, "zeta eta theta", "books"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rates = spark.createDataFrame(
+        [("web", 1000), ("books", 0)], "source string, keep_permille int"
+    )
+    got = {r.doc_id: r for r in stratified_sample(df, rates).collect()}
+    # keep_permille=1000 keeps every bucket; 0 keeps none
+    assert got[0].kept == 1 and got[2].kept == 1
+    assert got[1].kept == 0 and got[3].kept == 0
+    # content-keyed: identical text -> identical bucket across sources
+    assert got[0].bucket == got[1].bucket
+    assert 0 <= got[0].bucket < 1000
+    # verdict changes with the rate, not the doc: swap rates, doc 1 flips
+    rates2 = spark.createDataFrame(
+        [("web", 0), ("books", 1000)], "source string, keep_permille int"
+    )
+    got2 = {r.doc_id: r for r in stratified_sample(df, rates2).collect()}
+    assert got2[1].kept == 1 and got2[0].kept == 0

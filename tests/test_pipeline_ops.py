@@ -333,3 +333,39 @@ def test_winnow_guarantee_and_rightmost_tiebreak(spark):
     # doc 3: 6 tokens -> 3 identical grams, fewer than w -> single
     # truncated window, rightmost-min tie-break selects pos 2
     assert by_doc[3] == {(next(iter(by_doc[3]))[0], 2)}
+
+
+def test_repetition_scores_counts_by_hand(spark):
+    from louvain_fast_move_cuda_spark.operators.textstats import repetition_scores
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a"),  # bigrams: ab,ba,ab,ba -> all 4 positions dup
+            (1, "a b c d"),    # all unique
+            (2, ""),           # empty doc keeps a zero row
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_scores(df).collect()}
+    assert (got[0].n_grams2, got[0].n_dup_pos2, got[0].rep2_r9) == (4, 4, 1.0)
+    # trigrams of doc 0: aba,bab,aba -> 2 of 3 positions dup
+    assert (got[0].n_grams3, got[0].n_dup_pos3) == (3, 2)
+    assert got[0].rep3_r9 == round(2 / 3, 9)
+    assert got[1].n_dup_pos2 == 0 and got[1].rep2_r9 == 0.0
+    assert got[2].n_grams2 == 0 and got[2].rep2_r9 == 0.0
+
+
+def test_vocab_coverage_ranking_and_running_share(spark):
+    from louvain_fast_move_cuda_spark.operators.textstats import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(0, "a a a b b c"), (1, "a b z")],
+        "doc_id long, text string",
+    )
+    rows = vocab_coverage(df, top_v=3).collect()
+    assert [r.term for r in rows] == ["a", "b", "c"]  # cnt desc, term asc ties
+    assert [r.cnt for r in rows] == [4, 3, 1]
+    assert [r.term_rank for r in rows] == [1, 2, 3]
+    assert [r.cum_cnt for r in rows] == [4, 7, 8]
+    # 9 corpus tokens total (z counts toward the denominator)
+    assert rows[-1].coverage_r9 == round(8 / 9, 9)
