@@ -61,6 +61,7 @@ from louvain_fast_move_cuda_spark.operators.graphstats import (
     degree_histogram,
     jaccard_similarity,
     k_core,
+    k_truss,
 )
 from louvain_fast_move_cuda_spark.operators.labelprop import label_propagation
 from louvain_fast_move_cuda_spark.operators.louvain import (
@@ -88,7 +89,11 @@ from louvain_fast_move_cuda_spark.operators.walks import (
     skipgram_pairs,
     weighted_random_walks,
 )
-from louvain_fast_move_cuda_spark.operators.temporal import sessionize, tumbling_rollup
+from louvain_fast_move_cuda_spark.operators.temporal import (
+    sessionize,
+    tool_transitions,
+    tumbling_rollup,
+)
 from louvain_fast_move_cuda_spark.operators.similarity import brute_force_topk, ivf_topk
 from louvain_fast_move_cuda_spark.operators.textstats import (
     fingerprint_from_hashes,
@@ -281,6 +286,21 @@ def q_weighted_edge_list(spark, sf_dir):
 def q_degrees(spark, sf_dir):
     _, _, g = _graph(spark, sf_dir)
     return g.vertices.select("id", "k")
+
+
+def q_reciprocity(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.graphstats import reciprocity
+    from louvain_fast_move_cuda_spark.sources.edges import (
+        derive_edges_from_transcripts,
+    )
+
+    t, _, _ = _graph(spark, sf_dir)
+    return reciprocity(derive_edges_from_transcripts(t))
+
+
+def q_tool_transitions(spark, sf_dir):
+    t, _, _ = _graph(spark, sf_dir)
+    return tool_transitions(t)
 
 
 def q_triangle_count(spark, sf_dir):
@@ -791,6 +811,16 @@ def q_k_core(spark, sf_dir):
     return k_core(g, k=2, max_rounds=20, on_truncate="ignore")
 
 
+def q_k_truss(spark, sf_dir):
+    # same contract as q_k_core: max_rounds mirrors the oracle's
+    # unrolled round count, so "ignore" is safe here (library callers
+    # keep the raise-on-truncation default). k=3 — the smallest truss —
+    # because the sparse transcript graph has no 4-truss at sf<=0.01,
+    # and a 0-row check would be vacuous.
+    _, _, g = _graph(spark, sf_dir)
+    return k_truss(g, k=3, max_rounds=10, on_truncate="ignore")
+
+
 def q_adamic_adar(spark, sf_dir):
     _, _, g = _graph(spark, sf_dir)
     return adamic_adar(g, max_apex_degree=64)
@@ -1093,6 +1123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "degree_histogram": q_degree_histogram,
         "k_core": q_k_core,
+        "k_truss": q_k_truss,
+        "reciprocity": q_reciprocity,
+        "tool_transitions": q_tool_transitions,
         "adamic_adar": q_adamic_adar,
         "cc_reply": q_cc_reply,
         "coarsen_by_conv": q_coarsen_by_conv,
@@ -1781,6 +1814,43 @@ def _k_core_sql(k: int, rounds: int) -> str:
     )
 
 
+def _k_truss_sql(k: int, rounds: int) -> str:
+    """Unrolled support-peel rounds (operators/graphstats.py::k_truss).
+
+    Per round: enumerate triangles u<v<w over the canonical survivor
+    set (each triangle once — no orientation needed in SQL since
+    src < dst already totally orders the pair), explode each into its
+    three edges, count per-edge support, drop edges below k-2. Monotone
+    and idempotent at the fixpoint, so this equals the early-stopped
+    Spark loop under the same round cap; the final round recomputes
+    support on the surviving set exactly like the Spark tail."""
+    parts = ["e0 AS MATERIALIZED (SELECT src, dst FROM canon)"]
+    for i in range(rounds + 1):
+        parts.append(
+            f"tri{i} AS MATERIALIZED (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w "
+            f"FROM e{i} e1 JOIN e{i} e2 ON e1.dst = e2.src "
+            f"JOIN e{i} e3 ON e3.src = e1.src AND e3.dst = e2.dst)"
+        )
+        parts.append(
+            f"sup{i} AS MATERIALIZED (SELECT src, dst, count(*) AS s FROM ("
+            f"SELECT u AS src, v AS dst FROM tri{i} "
+            f"UNION ALL SELECT v, w FROM tri{i} "
+            f"UNION ALL SELECT u, w FROM tri{i}) GROUP BY 1, 2)"
+        )
+        if i < rounds:
+            parts.append(
+                f"e{i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{i} e "
+                f"JOIN sup{i} s USING (src, dst) WHERE s.s >= {k - 2})"
+            )
+    body = ",\n".join(parts)
+    return (
+        f"{_GRAPH_CTE},\n{body}\n"
+        f"SELECT e.src, e.dst, CAST(s.s AS BIGINT) AS support "
+        f"FROM e{rounds} e JOIN sup{rounds} s USING (src, dst) "
+        f"WHERE s.s >= {k - 2}"
+    )
+
+
 _WEIGHTED_GRAPH_CTE = """
 wcanon AS MATERIALIZED (
   SELECT least(a, b) AS src, greatest(a, b) AS dst,
@@ -1998,6 +2068,33 @@ alld AS (SELECT coalesce(c.degree, 0) AS degree FROM deg d LEFT JOIN cdeg c ON d
 SELECT degree, count(*) AS n_vertices FROM alld GROUP BY degree
 """,
         "k_core": _k_core_sql(k=2, rounds=20),
+        "k_truss": _k_truss_sql(k=3, rounds=10),
+        # directed-pair reciprocity over rawpairs (pre-canonicalization)
+        "reciprocity": f"""
+{_GRAPH_CTE},
+d AS (SELECT DISTINCT a, b FROM rawpairs WHERE a <> b),
+m AS (
+  SELECT d.a, d.b, CASE WHEN r.a IS NOT NULL THEN 1 END AS has_rev
+  FROM d LEFT JOIN d r ON d.a = r.b AND d.b = r.a
+)
+SELECT count(*) AS n_directed,
+       CAST(coalesce(sum(has_rev), 0) AS BIGINT) AS n_reciprocated,
+       round(CAST(coalesce(sum(has_rev), 0) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 9) AS reciprocity_r9
+FROM m
+""",
+        # Markov hop counts between consecutive tool turns per conv
+        "tool_transitions": f"""
+WITH {_T.strip()},
+hops AS (
+  SELECT tool,
+         lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_tool
+  FROM transcripts WHERE tool IS NOT NULL
+)
+SELECT tool, next_tool, count(*) AS n_transitions
+FROM hops WHERE next_tool IS NOT NULL
+GROUP BY 1, 2
+""",
         # hub cap (dw <= 64) is part of the operator's semantics and is
         # mirrored here; ln() may differ by 1 ulp across libms -> r9
         "adamic_adar": f"""

@@ -327,3 +327,152 @@ def adamic_adar_excluded_hubs(
     qualify the scores."""
     deg = graph.edges.groupBy(F.col("src").alias("w")).agg(F.count("*").alias("dw"))
     return deg.filter(F.col("dw") > max_apex_degree)
+
+
+def edge_support(edges: DataFrame) -> DataFrame:
+    """(src, dst, support: long) — per-edge triangle support over a
+    canonical (src < dst) edge table. Edges in no triangle emit no row.
+
+    Same degree-ordered orientation as triangles.py::_oriented (out-
+    degree O(sqrt(m)) per vertex, hub-safe), but keeps the wedge's three
+    vertex ids so each closed wedge can be exploded back into its three
+    canonical edges and counted — one triangle contributes exactly one
+    wedge row (the orientation is a DAG: the wedge sits at the lowest-
+    ranked vertex), hence exactly +1 support to each of its edges.
+    """
+    deg = (
+        edges.select(F.col("src").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    e = edges.join(
+        deg.select(F.col("v").alias("src"), F.col("deg").alias("ds")), "src"
+    ).join(deg.select(F.col("v").alias("dst"), F.col("deg").alias("dd")), "dst")
+    lo = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    o = (
+        e.filter(lo)
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(
+            e.filter(~lo).select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        )
+    )
+    wedges = (
+        o.alias("e1")
+        .join(o.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("apex"),
+            F.col("e2.b").alias("y"),
+        )
+    )
+    closing = o.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        o.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    tri = wedges.join(closing, ["x", "y"], "left_semi")
+    pairs = (
+        tri.select(F.least("x", "apex").alias("src"), F.greatest("x", "apex").alias("dst"))
+        .unionByName(
+            tri.select(F.least("apex", "y").alias("src"), F.greatest("apex", "y").alias("dst"))
+        )
+        .unionByName(
+            tri.select(F.least("x", "y").alias("src"), F.greatest("x", "y").alias("dst"))
+        )
+    )
+    return pairs.groupBy("src", "dst").agg(F.count("*").alias("support"))
+
+
+def k_truss(
+    graph: GraphTables,
+    k: int = 4,
+    max_rounds: int = 20,
+    on_truncate: str = "raise",
+) -> DataFrame:
+    """(src, dst, support: long) — edges of the k-truss (the maximal
+    subgraph where every edge sits in >= k-2 triangles WITHIN the
+    subgraph), with each surviving edge's in-truss support.
+
+    Iterative support peel (the edge analogue of :func:`k_core`):
+    recompute per-edge support over the survivor set, drop edges below
+    k-2, repeat to a fixpoint or ``max_rounds``. Peeling is monotone —
+    identity once the fixpoint is reached — so a fixed-round unrolled
+    SQL oracle equals any early-stopped run that converged within the
+    cap. ``on_truncate`` follows k_core: "raise" (default) refuses to
+    return a superset of the truss; "ignore" returns the truncated peel
+    (for callers that mirror the same fixed round count).
+
+    Scale: each round is one degree-oriented triangle enumeration over
+    the SHRINKING edge set — the dominant first round is exactly the
+    triangle-count plan (wedge join bounded O(sqrt(m)) per vertex);
+    localCheckpoint truncates lineage per round.
+    """
+    if k < 3:
+        raise ValueError(f"k must be >= 3, got {k}")
+    if on_truncate not in ("raise", "ignore"):
+        raise ValueError(f"on_truncate must be 'raise' or 'ignore', got {on_truncate!r}")
+    edges = (
+        graph.edges.filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    prev_n = None
+    for _ in range(max_rounds):
+        sup = edge_support(edges).localCheckpoint(eager=True)
+        keep = sup.filter(F.col("support") >= k - 2)
+        n = keep.count()
+        if prev_n is not None and n == prev_n:
+            # keep is a subset of edges (== previous keep); equal counts
+            # mean the last filter removed nothing -> edges was already
+            # the fixpoint and sup is its in-truss support
+            return keep
+        prev_n = n
+        edges = keep.select("src", "dst").localCheckpoint(eager=True)
+    # cap exhausted: recompute support on the FINAL edge set (the loop's
+    # sup describes the pre-filter set) and apply one more filter — if
+    # nothing would drop, the peel hit its fixpoint exactly at
+    # max_rounds (k_core's truncation guard); otherwise the result is a
+    # truncated peel, identical to an unrolled oracle of the same depth
+    final = edge_support(edges).filter(F.col("support") >= k - 2).localCheckpoint(
+        eager=True
+    )
+    if on_truncate == "raise" and final.count() != prev_n:
+        raise RuntimeError(
+            f"k_truss did not reach its fixpoint within max_rounds={max_rounds}; "
+            "the result would be a superset of the k-truss. Raise max_rounds, or "
+            "pass on_truncate='ignore' to accept the truncated peel."
+        )
+    return final
+
+
+def reciprocity(raw_pairs: DataFrame) -> DataFrame:
+    """One row (n_directed, n_reciprocated, reciprocity_r9) — over the
+    DIRECTED link table (before canonicalization): of the distinct
+    ordered pairs a -> b (a != b), how many have the reverse b -> a?
+    The standard directed-graph reciprocity statistic; on the
+    transcript graph it measures how often two turns link both ways
+    (e.g. a reply chain later revisited through a tool chain).
+
+    Plan: distinct (one shuffle), then a self-join on the reversed key
+    and one fused aggregate — counts are exact integers, the final
+    divide is one r9-rounded expression.
+    """
+    d = (
+        raw_pairs.select(F.col("a"), F.col("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    rev = d.select(
+        F.col("b").alias("a"), F.col("a").alias("b"), F.lit(1).alias("has_rev")
+    )
+    marked = d.join(rev, ["a", "b"], "left")
+    return marked.agg(
+        F.count("*").alias("n_directed"),
+        F.coalesce(F.sum("has_rev"), F.lit(0)).cast("long").alias("n_reciprocated"),
+        F.round(
+            F.coalesce(F.sum("has_rev"), F.lit(0)).cast("double")
+            / F.count("*").cast("double"),
+            9,
+        ).alias("reciprocity_r9"),
+    )

@@ -79,3 +79,28 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
         .select("user_id", "session_id", "n_events", "session_start", "session_end")
     )
+
+
+def tool_transitions(transcripts: DataFrame) -> DataFrame:
+    """(tool, next_tool, n_transitions) — first-order Markov transition
+    counts between consecutive tool-using turns WITHIN a conversation:
+    for each conv, order the tool turns by turn_idx and count each
+    (tool -> next tool) hop. The transcript-native view of agent
+    behavior ("which tool follows which"), and the input to any
+    tool-sequence model.
+
+    Plan: one filter, one lead() window over (conv_id, turn_idx), one
+    groupBy — a single sort shuffle on conv_id (conversations are
+    bounded, so no partition skew), then a partial-aggregated count on
+    the tiny (tool, next_tool) key space.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    hops = (
+        transcripts.filter(F.col("tool").isNotNull())
+        .select("conv_id", "turn_idx", "tool")
+        .withColumn("next_tool", F.lead("tool").over(w))
+        .filter(F.col("next_tool").isNotNull())
+    )
+    return hops.groupBy("tool", "next_tool").agg(
+        F.count("*").alias("n_transitions")
+    )

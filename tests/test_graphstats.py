@@ -190,3 +190,70 @@ def test_k_core_fixpoint_exactly_at_max_rounds_is_not_truncation(spark):
     assert k_core(g, k=2, max_rounds=4).count() == 0  # exact, no raise
     with pytest.raises(RuntimeError, match="fixpoint"):
         k_core(g, k=2, max_rounds=3)  # genuinely truncated still raises
+
+
+def test_k_truss_peels_pendant_triangles_and_keeps_k4(spark):
+    from louvain_fast_move_cuda_spark.operators.graphstats import edge_support, k_truss
+
+    # K4 on {0,1,2,3} + triangle {3,4,5} + pendant edge (5,6)
+    k4 = [(a, b) for a, b in combinations(range(4), 2)]
+    edges = k4 + [(3, 4), (3, 5), (4, 5), (5, 6)]
+    g = _gt(spark, edges)
+
+    sup = {(r.src, r.dst): r.support for r in edge_support(
+        g.edges.filter("src < dst").select("src", "dst")).collect()}
+    # every K4 edge closes 2 triangles; the pendant triangle's own edge
+    # (4,5) closes 1; (3,4)/(3,5) close 1; (5,6) closes none (no row)
+    assert sup[(0, 1)] == sup[(2, 3)] == 2
+    assert sup[(4, 5)] == 1 and (5, 6) not in sup
+
+    t3 = {(r.src, r.dst): r.support for r in k_truss(g, k=3).collect()}
+    assert set(t3) == set(k4) | {(3, 4), (3, 5), (4, 5)}  # pendant edge gone
+    assert t3[(4, 5)] == 1 and t3[(0, 1)] == 2
+
+    # 4-truss: the {3,4,5} triangle peels away (support 1 < 2), and the
+    # K4 survives with every edge still in 2 triangles after the peel
+    t4 = {(r.src, r.dst): r.support for r in k_truss(g, k=4).collect()}
+    assert set(t4) == set(k4)
+    assert all(s == 2 for s in t4.values())
+
+    # 5-truss of this graph is empty, and an empty result is well-formed
+    assert k_truss(g, k=5).count() == 0
+
+
+def test_k_truss_truncation_guard_raises_on_deep_peel(spark):
+    import pytest
+
+    from louvain_fast_move_cuda_spark.operators.graphstats import k_truss
+
+    # triangle strip (edges (i,i+1) and (i,i+2)) needs 2 peel rounds at
+    # k=4: round 1 drops the support-1 chords and boundary edges, round
+    # 2 drops the now-triangle-free path. Capped at 1 round the guard
+    # must refuse; a disjoint K4 shows "ignore" still returns the
+    # correctly-peeled survivors of the truncated run.
+    n = 12
+    strip = [(i, i + 1) for i in range(n - 1)] + [(i, i + 2) for i in range(n - 2)]
+    k4 = [(a, b) for a, b in combinations(range(100, 104), 2)]
+    g = _gt(spark, strip + k4)
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        k_truss(g, k=4, max_rounds=1)
+    got = {(r.src, r.dst) for r in
+           k_truss(g, k=4, max_rounds=1, on_truncate="ignore").collect()}
+    assert got == set(k4)
+    # with enough rounds the same peel converges without the guard
+    full = {(r.src, r.dst) for r in k_truss(g, k=4, max_rounds=5).collect()}
+    assert full == set(k4)
+
+
+def test_reciprocity_counts_mutual_pairs(spark):
+    from louvain_fast_move_cuda_spark.operators.graphstats import reciprocity
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 3), (3, 2), (3, 2), (4, 4)],
+        "a long, b long",
+    )
+    # distinct directed non-loop pairs: (0,1),(1,0),(1,2),(2,3),(3,2) -> 5
+    # reciprocated: (0,1),(1,0),(2,3),(3,2) -> 4
+    r = reciprocity(pairs).collect()[0]
+    assert (r.n_directed, r.n_reciprocated) == (5, 4)
+    assert r.reciprocity_r9 == 0.8

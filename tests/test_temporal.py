@@ -76,3 +76,22 @@ def test_sessionize_random_vs_bruteforce(spark):
     got = {(r.user_id, r.session_id): r.n_events
            for r in sessionize(_mk_events(spark, rows), gap_minutes=30).collect()}
     assert got == want
+
+
+def test_tool_transitions_per_conversation_hops(spark):
+    from louvain_fast_move_cuda_spark.operators.temporal import tool_transitions
+
+    t = spark.createDataFrame(
+        [
+            # conv A: grep -> edit -> grep (two hops), non-tool turn ignored
+            ("A", 0, "user", "x", "grep"),
+            ("A", 1, "assistant", "y", None),
+            ("A", 2, "tool", "z", "edit"),
+            ("A", 3, "tool", "w", "grep"),
+            # conv B: single tool turn -> no hop; hops never cross convs
+            ("B", 0, "tool", "q", "edit"),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    got = {(r.tool, r.next_tool): r.n_transitions for r in tool_transitions(t).collect()}
+    assert got == {("grep", "edit"): 1, ("edit", "grep"): 1}
