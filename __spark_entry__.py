@@ -969,6 +969,18 @@ def q_vocab_coverage(spark, sf_dir):
     return vocab_coverage(_docs(spark, sf_dir), top_v=50)
 
 
+def q_bigram_lm_scores(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.textstats import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf_dir))
+
+
+def q_length_quantiles(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.textstats import length_quantiles
+
+    return length_quantiles(_docs(spark, sf_dir))
+
+
 def q_stratified_sample(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     # per-source keep rates derived by pure integer arithmetic so the
@@ -1187,6 +1199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_scores": q_repetition_scores,
         "vocab_coverage": q_vocab_coverage,
         "stratified_sample": q_stratified_sample,
+        "bigram_lm_scores": q_bigram_lm_scores,
+        "length_quantiles": q_length_quantiles,
         # training-data pipeline: multimodal binary columns
         "media_metadata": q_media_metadata,
         "media_features": q_media_features,
@@ -2539,6 +2553,65 @@ r AS (
 SELECT term, cnt, term_rank, cum_cnt,
        round(CAST(cum_cnt AS DOUBLE) / tot.total, 9) AS coverage_r9
 FROM r CROSS JOIN tot
+""",
+        # add-one bigram LM: same micro-nat integer-rounding discipline
+        # as rarity_scores, so summation order cannot drift the mean
+        "bigram_lm_scores": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]') AS ts
+  FROM documents
+),
+big AS (
+  SELECT doc_id, ts[u.i + 1] AS w1, ts[u.i + 2] AS w2
+  FROM toks, LATERAL unnest(
+    CASE WHEN len(ts) >= 2 THEN range(0, len(ts) - 1) ELSE [] END) AS u(i)
+),
+v AS (
+  SELECT CAST(count(DISTINCT t) AS BIGINT) AS vocab
+  FROM (SELECT unnest(ts) AS t FROM toks)
+),
+cbt AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2),
+cut AS (SELECT w1, count(*) AS cu FROM big GROUP BY 1),
+scored AS (
+  SELECT b.doc_id, count(*) AS n_bigrams,
+         sum(CAST(round(-ln(CAST(cbt.cb + 1 AS DOUBLE)
+                            / CAST(cut.cu + v.vocab AS DOUBLE)) * 1000000.0)
+                  AS BIGINT)) AS micro_sum
+  FROM big b JOIN cbt USING (w1, w2) JOIN cut USING (w1) CROSS JOIN v
+  GROUP BY 1
+),
+f AS (
+  SELECT doc_id, n_bigrams,
+         round(CAST(micro_sum AS DOUBLE)
+               / (CAST(n_bigrams AS DOUBLE) * 1000000.0), 9) AS nll_r9
+  FROM scored
+)
+SELECT d.doc_id, coalesce(f.n_bigrams, 0) AS n_bigrams,
+       coalesce(f.nll_r9, 0.0) AS nll_r9
+FROM documents d LEFT JOIN f USING (doc_id)
+""",
+        # exact type-1 discrete quantiles over the bounded distinct-
+        # length key space (never percentile_approx — sketch error is
+        # engine-specific)
+        "length_quantiles": r"""
+WITH lens AS (
+  SELECT CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))
+              AS BIGINT) AS value
+  FROM documents
+),
+n AS (SELECT count(*) AS n FROM lens),
+counts AS (SELECT value, count(*) AS c FROM lens GROUP BY 1),
+cum AS (
+  SELECT value, CAST(sum(c) OVER (
+    ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS cum FROM counts
+),
+qs AS (SELECT * FROM (VALUES (25), (50), (75), (90), (99)) AS t(q)),
+tg AS (SELECT q, CAST((q * n.n + 99) // 100 AS BIGINT) AS target, n.n AS n
+       FROM qs CROSS JOIN n)
+SELECT tg.q, CAST(tg.n AS BIGINT) AS n_docs, min(c.value) AS value
+FROM tg JOIN cum c ON c.cum >= tg.target
+GROUP BY tg.q, tg.n
 """,
         # xxhash64-bridged (like hash_split): the content buckets are
         # Spark-materialized; rates + verdict are pure integer SQL

@@ -322,3 +322,128 @@ def vocab_coverage(
             ).alias("coverage_r9"),
         )
     )
+
+
+def bigram_lm_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_bigrams, nll_r9) — mean add-one-smoothed bigram
+    negative log-likelihood of each doc under a language model trained
+    on the corpus itself: nll = -ln((c(w1,w2)+1) / (c(w1·)+V)) averaged
+    over the doc's bigram positions (V = corpus vocabulary size,
+    c(w1·) = occurrences of w1 as a bigram history). The classic
+    cheap fluency / perplexity proxy — word salad and shuffled text
+    score high, natural repeated phrasing scores low; exp(nll_r9) is
+    the per-doc perplexity.
+
+    Determinism follows rarity_scores: each position's nll is rounded
+    to integer micro-nats (one double expression, bit-identical across
+    engines), the per-doc sum is an exact integer aggregate, and one
+    final divide yields the r9 mean — no float accumulation order
+    anywhere.
+
+    Scale: one bigram explode (linear in corpus tokens), two
+    aggregations to build the model tables, two bigram-keyed joins to
+    score, one per-doc integer sum. The model tables are corpus-level
+    but vocabulary-sized; everything shuffles on token keys with
+    map-side partial aggregation — no per-pair or per-doc^2 work.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), F.lit(0)
+    )
+    base = docs.select(F.col(id_col), toks.alias("ts"))
+    idx = F.when(
+        F.size("ts") >= 2, F.sequence(F.lit(0), F.size("ts") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at("ts", i + 1).alias("w1"),
+            F.element_at("ts", i + 2).alias("w2"),
+        ),
+    )
+    big = base.select(id_col, F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    vocab = int(
+        docs.select(F.explode(toks).alias("t")).agg(
+            F.countDistinct("t").alias("v")
+        ).collect()[0]["v"]
+    )
+    cb = big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    cu = big.groupBy("w1").agg(F.count("*").alias("cu"))
+    nll_micro = F.round(
+        -F.log(
+            (F.col("cb") + F.lit(1)).cast("double")
+            / (F.col("cu") + F.lit(vocab)).cast("double")
+        )
+        * F.lit(1000000.0),
+        0,
+    ).cast("long")
+    scored = (
+        big.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bigrams"), F.sum(nll_micro).alias("micro_sum"))
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(
+                F.col("micro_sum").cast("double")
+                / (F.col("n_bigrams").cast("double") * F.lit(1000000.0)),
+                9,
+            ).alias("nll_r9"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("nll_r9", F.lit(0.0)).alias("nll_r9"),
+        )
+    )
+
+
+def length_quantiles(
+    docs: DataFrame,
+    quantiles: tuple = (25, 50, 75, 90, 99),
+    text_col: str = "text",
+) -> DataFrame:
+    """(q, n_docs, value) — EXACT length quantiles of the BPE-ish token
+    count distribution: for each q, the smallest length whose cumulative
+    doc count reaches ceil(q/100 * N) (i.e. the lower / type-1 discrete
+    quantile). Exact, not approximate — percentile_approx's sketch
+    error is engine-specific and would never oracle-match.
+
+    Plan: per-doc length (no shuffle), one groupBy on the length VALUE
+    (bounded distinct key space — lengths, not docs), then a running
+    sum over the distinct lengths. The single-partition window is safe
+    for the same reason vocab_coverage's is: its input is one row per
+    DISTINCT length, thousands at most, regardless of corpus size.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), F.lit(0)
+    )
+    lens = docs.select(F.size(toks).cast("long").alias("value"))
+    n = lens.count()
+    counts = lens.groupBy("value").agg(F.count("*").alias("c"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select("value", F.sum("c").over(w).alias("cum"))
+    qdf = cum.sparkSession.createDataFrame(
+        [(int(q),) for q in quantiles], "q int"
+    ).withColumn(
+        # ceil(q*N/100) in pure integer arithmetic
+        "target",
+        F.floor(
+            (F.col("q").cast("long") * F.lit(int(n)).cast("long") + F.lit(99))
+            / F.lit(100)
+        ).cast("long"),
+    )
+    return (
+        qdf.join(cum, F.col("cum") >= F.col("target"))
+        .groupBy("q", "target")
+        .agg(F.min("value").alias("value"))
+        .select("q", F.lit(n).cast("long").alias("n_docs"), "value")
+    )

@@ -369,3 +369,46 @@ def test_vocab_coverage_ranking_and_running_share(spark):
     assert [r.cum_cnt for r in rows] == [4, 7, 8]
     # 9 corpus tokens total (z counts toward the denominator)
     assert rows[-1].coverage_r9 == round(8 / 9, 9)
+
+
+def test_bigram_lm_scores_hand_model(spark):
+    from louvain_fast_move_cuda_spark.operators.textstats import bigram_lm_scores
+
+    # corpus: V = 3 types {a, b, c}; bigrams: (a,b)x2, (b,a)x1, (b,c)x1
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, "a b c"), (2, "b"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_lm_scores(df).collect()}
+
+    def nll(cb, cu, v=3):
+        return round(round(-math.log((cb + 1) / (cu + v)) * 1e6))
+
+    # doc 0: (a,b) cb=2 cu(a)=2 ; (b,a) cb=1 cu(b)=2
+    micro0 = nll(2, 2) + nll(1, 2)
+    assert got[0].n_bigrams == 2
+    assert got[0].nll_r9 == round(micro0 / (2 * 1e6), 9)
+    # doc 1: (a,b) + (b,c) cb=1 cu(b)=2
+    micro1 = nll(2, 2) + nll(1, 2)
+    assert got[1].nll_r9 == round(micro1 / (2 * 1e6), 9)
+    # short and empty docs keep zero rows
+    assert got[2].n_bigrams == 0 and got[2].nll_r9 == 0.0
+    assert got[3].n_bigrams == 0
+
+    # word salad scores above natural repetition: doc 0 reuses the
+    # corpus-frequent (a,b) twice, so it must not score higher than the
+    # doc introducing the rare (b,c) hop
+    assert got[0].nll_r9 <= got[1].nll_r9
+
+
+def test_length_quantiles_exact_order_statistics(spark):
+    from louvain_fast_move_cuda_spark.operators.textstats import length_quantiles
+
+    # token counts: 1, 2, 3, ..., 10 (one doc each)
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * i)) for i in range(1, 11)],
+        "doc_id long, text string",
+    )
+    got = {r.q: (r.n_docs, r.value) for r in length_quantiles(df).collect()}
+    # target = ceil(q/100 * 10): q25->3rd value=3, q50->5, q75->8, q90->9, q99->10
+    assert got == {25: (10, 3), 50: (10, 5), 75: (10, 8), 90: (10, 9), 99: (10, 10)}
