@@ -386,3 +386,57 @@ def test_curation_and_corpus_stats_plans_jvm_only_equi_joins(spark):
         assert "ArrowEvalPython" not in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round4_late_operators_plans_jvm_only(spark):
+    """The late-round-4 operators must stay JVM-side with no cartesian
+    blowups: repetition/bigram-LM/vocab/quantiles/stratified-sample over
+    documents, tool transitions over transcripts, edge support over the
+    graph. Known bounded exceptions: length_quantiles joins 5 quantile
+    rows against the bounded distinct-length table (broadcast NLJ over
+    a 5-row side is the intended plan), and its window input — like
+    vocab_coverage's — is one row per DISTINCT length, so the single
+    partition is not a scale hazard."""
+    from louvain_fast_move_cuda_spark.operators.curation import stratified_sample
+    from louvain_fast_move_cuda_spark.operators.graphstats import edge_support
+    from louvain_fast_move_cuda_spark.operators.temporal import tool_transitions
+    from louvain_fast_move_cuda_spark.operators.textstats import (
+        bigram_lm_scores,
+        repetition_scores,
+        vocab_coverage,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rates = docs.select("source").distinct().withColumn(
+        "keep_permille", F.lit(500)
+    )
+    t = spark.createDataFrame(
+        [("c", 0, "user", "x", "grep"), ("c", 1, "tool", "y", "edit")],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "src long, dst long"
+    )
+    for df in (
+        repetition_scores(docs),
+        vocab_coverage(docs, top_v=10),
+        bigram_lm_scores(docs),
+        stratified_sample(docs, rates),
+        tool_transitions(t),
+        edge_support(edges),
+    ):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    # stratified_sample must broadcast the strata-sized rates table
+    assert "BroadcastHashJoin" in _plan(stratified_sample(docs, rates))
+
+    # length_quantiles: the only NLJ is the 5-row quantile-target side
+    from louvain_fast_move_cuda_spark.operators.textstats import length_quantiles
+
+    qplan = _plan(length_quantiles(docs))
+    assert "CartesianProduct" not in qplan
+    assert "BatchEvalPython" not in qplan
