@@ -76,6 +76,7 @@ from louvain_fast_move_cuda_spark.operators.multimodal import (
     synthesize_media,
 )
 from louvain_fast_move_cuda_spark.operators.pagerank import (
+    directed_pagerank,
     pagerank,
     personalized_pagerank,
 )
@@ -543,6 +544,18 @@ def q_pagerank(spark, sf_dir):
     _, _, g = _graph(spark, sf_dir)
     pr = pagerank(g, max_iter=60, tol=1e-4)
     return pr.select("id", F.round("rank", 9).alias("rank_r9"))
+
+
+def q_pagerank_directed(spark, sf_dir):
+    """20 fixed supersteps over the directed raw link graph with
+    dangling-mass redistribution; same end-only r9 rounding contract
+    as pagerank_fixed20."""
+    from louvain_fast_move_cuda_spark.sources.edges import (
+        derive_edges_from_transcripts,
+    )
+
+    t, _, _ = _graph(spark, sf_dir)
+    return directed_pagerank(derive_edges_from_transcripts(t), max_iter=20)
 
 
 def q_pagerank_fixed20(spark, sf_dir):
@@ -1160,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "louvain_communities_weighted": q_louvain_weighted,
         "pagerank": q_pagerank,
         "pagerank_fixed20": q_pagerank_fixed20,
+        "pagerank_directed": q_pagerank_directed,
         "pagerank_personalized": q_pagerank_personalized,
         # partition-quality diagnostics + link prediction + embedding-
         # training inputs (walk corpus / GNN neighbor sampling)
@@ -1473,6 +1487,44 @@ def _pagerank_sql(iters: int = 20) -> str:
 pr{i + 1} AS MATERIALIZED (
   SELECT d.id, (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c.insum, 0.0) AS rank
   FROM deg d LEFT JOIN c{i} c ON d.id = c.id)"""
+        )
+    return (
+        f"{_GRAPH_CTE},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT id, round(rank, 9) AS rank_r9 FROM pr{iters}"
+    )
+
+
+def _dpr_sql(iters: int = 20) -> str:
+    """Unroll operators/pagerank.py::directed_pagerank's supersteps over
+    the DIRECTED distinct rawpairs graph: share = 1/outdeg, per-round
+    dangling mass (Σ rank over od=0) redistributed uniformly. Same
+    end-only r9 rounding as the uniform oracle; the dangling scalar is
+    a per-round subquery mirroring the Spark loop's collected literal."""
+    parts = [
+        "dd AS MATERIALIZED (SELECT DISTINCT a, b FROM rawpairs WHERE a <> b)",
+        """vs AS MATERIALIZED (
+  SELECT v.id, coalesce(o.od, 0) AS od
+  FROM (SELECT a AS id FROM dd UNION SELECT b FROM dd) v
+  LEFT JOIN (SELECT a AS id, count(*) AS od FROM dd GROUP BY 1) o USING (id))""",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM vs)",
+        """sh AS MATERIALIZED (
+  SELECT dd.a, dd.b, 1.0 / CAST(v.od AS DOUBLE) AS share FROM dd JOIN vs v ON dd.a = v.id)""",
+        "pr0 AS MATERIALIZED (SELECT id, od, 1.0 / (SELECT n FROM nn) AS rank FROM vs)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""dg{i} AS MATERIALIZED (
+  SELECT coalesce(sum(rank), 0.0) AS dang FROM pr{i} WHERE od = 0),
+c{i} AS MATERIALIZED (
+  SELECT sh.b AS id, sum(sh.share * p.rank) AS insum
+  FROM sh JOIN pr{i} p ON sh.a = p.id GROUP BY sh.b),
+pr{i + 1} AS MATERIALIZED (
+  SELECT v.id, v.od,
+         (1.0 - 0.85) / (SELECT n FROM nn)
+         + 0.85 * (coalesce(c.insum, 0.0)
+                   + (SELECT dang FROM dg{i}) / (SELECT n FROM nn)) AS rank
+  FROM vs v LEFT JOIN c{i} c USING (id))"""
         )
     return (
         f"{_GRAPH_CTE},\n"
@@ -2235,6 +2287,7 @@ wdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS k FROM wsym GROUP BY src)
         "label_propagation": _lpa_sql(rounds=5),
         "label_propagation_local": _lpa_sql(rounds=5),
         "pagerank_fixed20": _pagerank_sql(iters=20),
+        "pagerank_directed": _dpr_sql(iters=20),
         "pagerank": _pagerank_converge_sql(max_iters=60, tol=1e-4),
         "cc_reply": f"""
 WITH {_T.strip()}, {_IDS.strip()}

@@ -201,3 +201,83 @@ def pagerank(
         if l1 is not None and float(l1) < tol:
             break
     return ranks
+
+
+def directed_pagerank(
+    raw_pairs: DataFrame, alpha: float = 0.85, max_iter: int = 20
+) -> DataFrame:
+    """(id, rank_r9) — PageRank over the DIRECTED distinct link graph
+    (pre-canonicalization raw pairs ``a -> b``), with dangling-vertex
+    mass redistributed uniformly each superstep — the web-graph
+    formulation, complementing :func:`pagerank`'s symmetric form (which
+    has no dangling vertices by construction). On the transcript graph
+    direction matters: conv-final turns with no outgoing link are
+    genuine dangling vertices.
+
+    Fixed-iteration contract (tol-free) so the cross-engine unrolled
+    oracle pins every superstep; ranks are rounded r9 at the END only,
+    like pagerank_fixed20 (summation-order noise ~1e-16/round).
+
+    Scale: the share table (1/outdeg per distinct link) is built once;
+    each superstep is ONE shuffle join + groupBy plus a single scalar
+    action that doubles as the round's materialization point: the
+    dangling-mass sum over the od=0 slice of the freshly built ranks
+    (lazy localCheckpoint, the personalized_pagerank discipline).
+    Vertices are link endpoints; isolated turns never enter the graph.
+    """
+    d = (
+        raw_pairs.select("a", "b")
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        d.select(F.col("a").alias("id"))
+        .unionByName(d.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    outdeg = d.groupBy(F.col("a").alias("id")).agg(F.count("*").alias("od"))
+    vstate = (
+        verts.join(outdeg, "id", "left")
+        .select("id", F.coalesce("od", F.lit(0)).alias("od"))
+        .localCheckpoint(eager=True)
+    )
+    n = vstate.count()
+    nf = float(n)
+    shares = (
+        d.join(vstate.select(F.col("id").alias("a"), "od"), "a")
+        .select("a", "b", (F.lit(1.0) / F.col("od").cast("double")).alias("share"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = vstate.select(
+        "id", "od", (F.lit(1.0) / F.lit(nf)).alias("rank")
+    ).localCheckpoint(eager=True)
+    # dangling mass summed (not multiplied out) so the oracle's SQL sum
+    # sees the same accumulation semantics from round 0 onward
+    dang = ranks.filter(F.col("od") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
+    for _ in range(max_iter):
+        contribs = (
+            shares.join(ranks.select(F.col("id").alias("a"), "rank"), "a")
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.sum(F.col("share") * F.col("rank")).alias("insum"))
+        )
+        ranks = (
+            vstate.join(contribs, "id", "left")
+            .select(
+                "id",
+                "od",
+                (
+                    F.lit(1.0 - alpha) / F.lit(nf)
+                    + F.lit(alpha)
+                    * (
+                        F.coalesce("insum", F.lit(0.0))
+                        + F.lit(float(dang)) / F.lit(nf)
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        # ONE action per round: materializes the new ranks and yields
+        # the next round's dangling scalar
+        dang = ranks.filter(F.col("od") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
+    return ranks.select("id", F.round("rank", 9).alias("rank_r9"))

@@ -124,3 +124,40 @@ def test_triangles_per_vertex_sums_to_3x_total(spark):
     g = _graph(spark, pl)
     per = {r.id: r.triangles for r in triangles_per_vertex(g).collect()}
     assert sum(per.values()) == 3 * _brute_triangles(pl)
+
+
+def test_directed_pagerank_matches_numpy_with_dangling_mass(spark):
+    import numpy as np
+
+    from louvain_fast_move_cuda_spark.operators.pagerank import directed_pagerank
+
+    # directed graph with a dangling sink (3) and an unreferenced-source
+    # cycle; duplicates and self-loops must be ignored
+    pairs = [(0, 1), (0, 1), (1, 2), (2, 0), (2, 3), (4, 0), (3, 3)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {r.id: r.rank_r9 for r in directed_pagerank(df, max_iter=40).collect()}
+
+    links = sorted({(a, b) for a, b in pairs if a != b})
+    ids = sorted({v for e in links for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    od = np.zeros(n)
+    for a, _ in links:
+        od[idx[a]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(40):
+        nxt = np.full(n, 0.15 / n)
+        dang = r[od == 0].sum()
+        nxt += 0.85 * dang / n
+        for a, b in links:
+            nxt[idx[b]] += 0.85 * r[idx[a]] / od[idx[a]]
+        r = nxt
+    assert set(got) == set(ids)
+    for v in ids:
+        assert math.isclose(got[v], r[idx[v]], abs_tol=1e-8), (v, got[v], r[idx[v]])
+    # dangling redistribution keeps total mass at exactly 1
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-7)
+    # the sink (3) must accumulate more than its cycle-internal feeders'
+    # uniform share would suggest... and the never-referenced source (4)
+    # holds exactly the restart + dangling floor
+    assert got[4] == min(got.values())
