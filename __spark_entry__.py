@@ -982,6 +982,19 @@ def q_vocab_coverage(spark, sf_dir):
     return vocab_coverage(_docs(spark, sf_dir), top_v=50)
 
 
+def q_pii_scan(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.curation import pii_scan
+
+    return pii_scan(_docs(spark, sf_dir))
+
+
+def q_role_transitions(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.temporal import role_transitions
+
+    t, _, _ = _graph(spark, sf_dir)
+    return role_transitions(t)
+
+
 def q_bigram_lm_scores(spark, sf_dir):
     from louvain_fast_move_cuda_spark.operators.textstats import bigram_lm_scores
 
@@ -1151,6 +1164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_truss": q_k_truss,
         "reciprocity": q_reciprocity,
         "tool_transitions": q_tool_transitions,
+        "role_transitions": q_role_transitions,
+        "pii_scan": q_pii_scan,
         "adamic_adar": q_adamic_adar,
         "cc_reply": q_cc_reply,
         "coarsen_by_conv": q_coarsen_by_conv,
@@ -2148,6 +2163,34 @@ SELECT count(*) AS n_directed,
        round(CAST(coalesce(sum(has_rev), 0) AS DOUBLE)
              / CAST(count(*) AS DOUBLE), 9) AS reciprocity_r9
 FROM m
+""",
+        # per-doc scrub-surface counts; the patterns are RE2-safe so
+        # DuckDB runs them verbatim (leftmost non-overlapping counts
+        # are engine-independent integers)
+        "pii_scan": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(lower(text), '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INTEGER) AS n_ipv4,
+       CAST(len(regexp_extract_all(lower(text), '\+?[0-9][0-9() .-]{7,}[0-9]')) AS INTEGER) AS n_phones,
+       CAST(len(regexp_extract_all(lower(text), '[0-9]{9,}')) AS INTEGER) AS n_long_digit_runs,
+       CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+                 + len(regexp_extract_all(lower(text), '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+                 + len(regexp_extract_all(lower(text), '\+?[0-9][0-9() .-]{7,}[0-9]'))
+                 + len(regexp_extract_all(lower(text), '[0-9]{9,}')) > 0
+            THEN 1 ELSE 0 END AS has_pii
+FROM documents
+""",
+        # role mixing over reply links (lead window, no tool filter)
+        "role_transitions": f"""
+WITH {_T.strip()},
+hops AS (
+  SELECT role,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role
+  FROM transcripts
+)
+SELECT role, next_role, count(*) AS n_links
+FROM hops WHERE next_role IS NOT NULL
+GROUP BY 1, 2
 """,
         # Markov hop counts between consecutive tool turns per conv
         "tool_transitions": f"""

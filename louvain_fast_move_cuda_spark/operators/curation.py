@@ -323,3 +323,40 @@ def stratified_sample(
     return sample_from_buckets(
         sample_buckets(docs, seed=seed, text_col=text_col, id_col=id_col), rates
     )
+
+
+# RE2-compatible (and Java-regex-identical) patterns: both engines use
+# leftmost non-overlapping matching, so the COUNTS are exact integers.
+_PII_PATTERNS = {
+    "n_emails": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "n_ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "n_phones": r"\+?[0-9][0-9() .-]{7,}[0-9]",
+    "n_long_digit_runs": r"[0-9]{9,}",
+}
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_emails, n_ipv4, n_phones, n_long_digit_runs, has_pii)
+    — per-doc counts of the standard scrub-before-training surface
+    patterns (emails, IPv4 literals, phone-shaped digit runs, long bare
+    digit runs: account/card-number shaped). Counting, not redaction:
+    the downstream policy decision (drop / mask / keep) needs the
+    numbers, and a redactor built on the same patterns is one
+    regexp_replace per column.
+
+    Scale: pure per-row projection over lowered text — no shuffle, no
+    UDF, whole-stage codegen; all four patterns are RE2-safe so the
+    DuckDB oracle runs them verbatim.
+    """
+    low = F.lower(F.col(text_col))
+    counts = [
+        F.size(F.regexp_extract_all(low, F.lit(p), F.lit(0))).alias(name)
+        for name, p in _PII_PATTERNS.items()
+    ]
+    out = docs.select(F.col(id_col), *counts)
+    total = None
+    for name in _PII_PATTERNS:
+        total = F.col(name) if total is None else total + F.col(name)
+    return out.select(
+        id_col, *_PII_PATTERNS, (total > 0).cast("int").alias("has_pii")
+    )

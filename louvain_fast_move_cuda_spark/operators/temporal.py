@@ -104,3 +104,21 @@ def tool_transitions(transcripts: DataFrame) -> DataFrame:
     return hops.groupBy("tool", "next_tool").agg(
         F.count("*").alias("n_transitions")
     )
+
+
+def role_transitions(transcripts: DataFrame) -> DataFrame:
+    """(role, next_role, n_links) — role mixing over the reply links:
+    for consecutive turns within a conversation, count each
+    (role -> next role) hop. The transcript twin of degree
+    assortativity: it shows whether the reply chain alternates roles
+    (user->assistant->user) or stalls (assistant->assistant tool
+    cascades). Same single-window plan as tool_transitions, without
+    the tool filter.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    hops = (
+        transcripts.select("conv_id", "turn_idx", "role")
+        .withColumn("next_role", F.lead("role").over(w))
+        .filter(F.col("next_role").isNotNull())
+    )
+    return hops.groupBy("role", "next_role").agg(F.count("*").alias("n_links"))

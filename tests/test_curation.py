@@ -200,3 +200,25 @@ def test_stratified_sample_thresholds_and_content_keying(spark):
     )
     got2 = {r.doc_id: r for r in stratified_sample(df, rates2).collect()}
     assert got2[1].kept == 1 and got2[0].kept == 0
+
+
+def test_pii_scan_pattern_counts_by_hand(spark):
+    from louvain_fast_move_cuda_spark.operators.curation import pii_scan
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at A.User+tag@Example.co.uk or bob@x.io"),
+            (1, "server 10.0.0.1 and 192.168.001.255 up"),
+            (2, "call +1 (555) 123-4567 today"),
+            (3, "card 4111111111111111 leaked"),
+            (4, "clean prose with no identifiers at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_scan(df).collect()}
+    assert (got[0].n_emails, got[0].has_pii) == (2, 1)
+    assert (got[1].n_ipv4, got[1].has_pii) == (2, 1)
+    assert (got[2].n_phones, got[2].has_pii) == (1, 1)
+    # 16-digit card: one phone-shaped run AND one long digit run
+    assert (got[3].n_long_digit_runs, got[3].n_phones, got[3].has_pii) == (1, 1, 1)
+    assert tuple(got[4])[1:] == (0, 0, 0, 0, 0)

@@ -95,3 +95,28 @@ def test_tool_transitions_per_conversation_hops(spark):
     )
     got = {(r.tool, r.next_tool): r.n_transitions for r in tool_transitions(t).collect()}
     assert got == {("grep", "edit"): 1, ("edit", "grep"): 1}
+
+
+def test_role_transitions_counts_all_hops(spark):
+    from louvain_fast_move_cuda_spark.operators.temporal import role_transitions
+
+    t = spark.createDataFrame(
+        [
+            # conv A: user -> assistant -> tool -> assistant (3 hops)
+            ("A", 0, "user", "x", None),
+            ("A", 1, "assistant", "y", None),
+            ("A", 2, "tool", "z", "grep"),
+            ("A", 3, "assistant", "w", None),
+            # conv B: user -> assistant; single-turn conv C has no hop
+            ("B", 0, "user", "q", None),
+            ("B", 1, "assistant", "r", None),
+            ("C", 0, "user", "s", None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    got = {(r.role, r.next_role): r.n_links for r in role_transitions(t).collect()}
+    assert got == {
+        ("user", "assistant"): 2,
+        ("assistant", "tool"): 1,
+        ("tool", "assistant"): 1,
+    }
