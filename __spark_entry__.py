@@ -995,6 +995,76 @@ def q_role_transitions(spark, sf_dir):
     return role_transitions(t)
 
 
+def q_hits(spark, sf_dir):
+    """8 fixed HITS iterations (L1-normalized) over the directed raw
+    link graph; end-only r9 rounding like pagerank_directed."""
+    from louvain_fast_move_cuda_spark.operators.hits import hits
+    from louvain_fast_move_cuda_spark.sources.edges import (
+        derive_edges_from_transcripts,
+    )
+
+    t, _, _ = _graph(spark, sf_dir)
+    return hits(derive_edges_from_transcripts(t), max_iter=8)
+
+
+def _events_us(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.to_utc_timestamp("ts", "UTC")).alias("ts_us"),
+    )
+
+
+def q_asof_purchase(spark, sf_dir):
+    """As-of join: each click event joined to the latest same-user
+    purchase at-or-before it (union-and-running-last plan — one
+    shuffle, no range predicate). Unmatched clicks carried with nulls;
+    gap is an exact integer; purchase value is a raw parquet double
+    passed through untouched, so the compare is bit-exact."""
+    from louvain_fast_move_cuda_spark.operators.joins import asof_join
+
+    ev = _events_us(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", "event_id", "value"
+    )
+    out = asof_join(
+        clicks, purchases, on="user_id", ts="ts_us", seq="event_id",
+        payload=["value"], prefix="m_",
+    )
+    return out.select(
+        "event_id",
+        F.col("m_event_id").alias("purchase_event_id"),
+        (F.col("ts_us") - F.col("m_ts_us")).alias("gap_micros"),
+        F.col("m_value").alias("purchase_value"),
+    )
+
+
+def q_error_bursts(spark, sf_dir):
+    """Interval (range) join via bucket decomposition: each non-error
+    event counted against every +/-5 min window around an error event.
+    The bucket equi-join replaces the inequality join Spark would
+    otherwise run as a nested-loop product."""
+    from louvain_fast_move_cuda_spark.operators.joins import interval_join
+
+    ev = _events_us(spark, sf_dir)
+    half = 300_000_000  # 5 min in micros
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        (F.col("ts_us") - F.lit(half)).alias("w_start"),
+        (F.col("ts_us") + F.lit(half)).alias("w_end"),
+    )
+    facts = ev.filter(F.col("event_type") != "error").select("event_id", "ts_us")
+    pairs = interval_join(
+        facts, errors, fact_ts="ts_us", start="w_start", end="w_end", bucket=half
+    )
+    return pairs.groupBy("event_id").agg(F.count("*").alias("n_nearby_errors"))
+
+
 def q_bigram_lm_scores(spark, sf_dir):
     from louvain_fast_move_cuda_spark.operators.textstats import bigram_lm_scores
 
@@ -1166,6 +1236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_transitions": q_tool_transitions,
         "role_transitions": q_role_transitions,
         "pii_scan": q_pii_scan,
+        "hits": q_hits,
+        "asof_purchase": q_asof_purchase,
+        "error_bursts": q_error_bursts,
         "adamic_adar": q_adamic_adar,
         "cc_reply": q_cc_reply,
         "coarsen_by_conv": q_coarsen_by_conv,
@@ -1545,6 +1618,39 @@ pr{i + 1} AS MATERIALIZED (
         f"{_GRAPH_CTE},\n"
         + ",\n".join(parts)
         + f"\nSELECT id, round(rank, 9) AS rank_r9 FROM pr{iters}"
+    )
+
+
+def _hits_sql(iters: int = 8) -> str:
+    """Unroll operators/hits.py::hits — L1-normalized mutual recursion
+    over the DISTINCT directed rawpairs graph. Each half-step's norm is
+    a scalar subquery mirroring the Spark loop's collected literal;
+    no-in-link vertices get auth exactly 0.0 via the same
+    divide-then-coalesce tree; r9 rounding at the END only."""
+    parts = [
+        "dd AS MATERIALIZED (SELECT DISTINCT a, b FROM rawpairs WHERE a <> b)",
+        "vs AS MATERIALIZED (SELECT a AS id FROM dd UNION SELECT b FROM dd)",
+        "h0 AS MATERIALIZED (SELECT id, 1.0 AS hub FROM vs)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT dd.b AS id, sum(h.hub) AS raw FROM dd JOIN h{i} h ON dd.a = h.id GROUP BY dd.b),
+a{i} AS MATERIALIZED (
+  SELECT v.id, coalesce(r.raw / (SELECT sum(raw) FROM ar{i}), 0.0) AS auth
+  FROM vs v LEFT JOIN ar{i} r USING (id)),
+hr{i} AS MATERIALIZED (
+  SELECT dd.a AS id, sum(a.auth) AS raw FROM dd JOIN a{i} a ON dd.b = a.id GROUP BY dd.a),
+h{i + 1} AS MATERIALIZED (
+  SELECT v.id, coalesce(r.raw / (SELECT sum(raw) FROM hr{i}), 0.0) AS hub
+  FROM vs v LEFT JOIN hr{i} r USING (id))"""
+        )
+    return (
+        f"{_GRAPH_CTE},\n"
+        + ",\n".join(parts)
+        + f"""
+SELECT h.id, round(h.hub, 9) AS hub_r9, round(a.auth, 9) AS auth_r9
+FROM h{iters} h JOIN a{iters - 1} a USING (id)"""
     )
 
 
@@ -2331,6 +2437,45 @@ wdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS k FROM wsym GROUP BY src)
         "label_propagation_local": _lpa_sql(rounds=5),
         "pagerank_fixed20": _pagerank_sql(iters=20),
         "pagerank_directed": _dpr_sql(iters=20),
+        "hits": _hits_sql(iters=8),
+        # as-of join: the same union-and-running-last plan in ANSI SQL;
+        # the (tsu, tag, seq) sort key is a total order, so per-column
+        # running-last picks the same source row in both engines
+        "asof_purchase": """
+WITH ev AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events),
+u AS (
+  SELECT user_id, ts_us AS tsu, 0 AS tag, event_id AS seq,
+         event_id AS p_eid, value AS p_val,
+         CAST(NULL AS BIGINT) AS l_eid, CAST(NULL AS BIGINT) AS l_ts
+  FROM ev WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts_us, 1, event_id, NULL, NULL, event_id, ts_us
+  FROM ev WHERE event_type = 'click'
+),
+w AS (
+  SELECT *,
+    last_value(CASE WHEN tag = 0 THEN p_eid END IGNORE NULLS) OVER win AS m_eid,
+    last_value(CASE WHEN tag = 0 THEN tsu END IGNORE NULLS) OVER win AS m_ts,
+    last_value(CASE WHEN tag = 0 THEN p_val END IGNORE NULLS) OVER win AS m_val
+  FROM u
+  WINDOW win AS (PARTITION BY user_id ORDER BY tsu, tag, seq
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT l_eid AS event_id, m_eid AS purchase_event_id,
+       l_ts - m_ts AS gap_micros, m_val AS purchase_value
+FROM w WHERE tag = 1
+""",
+        # interval join: DuckDB runs the naive inequality join (IEJoin);
+        # the Spark side proves the bucket-decomposed equi-join computes
+        # the identical pair set
+        "error_bursts": """
+WITH ev AS (SELECT event_id, event_type, epoch_us(ts) AS ts_us FROM events)
+SELECT f.event_id, count(*) AS n_nearby_errors
+FROM ev f JOIN ev e
+  ON e.event_type = 'error' AND f.event_type <> 'error'
+ AND f.ts_us BETWEEN e.ts_us - 300000000 AND e.ts_us + 300000000
+GROUP BY 1
+""",
         "pagerank": _pagerank_converge_sql(max_iters=60, tol=1e-4),
         "cc_reply": f"""
 WITH {_T.strip()}, {_IDS.strip()}

@@ -161,3 +161,40 @@ def test_directed_pagerank_matches_numpy_with_dangling_mass(spark):
     # uniform share would suggest... and the never-referenced source (4)
     # holds exactly the restart + dangling floor
     assert got[4] == min(got.values())
+
+
+def test_hits_matches_numpy_l1_normalized(spark):
+    import numpy as np
+
+    from louvain_fast_move_cuda_spark.operators.hits import hits
+
+    # hub-shaped directed graph: 0 links to everything, 3 is a pure
+    # authority, 4->0 gives 0 some authority too; dupes/self-loops dropped
+    pairs = [(0, 1), (0, 2), (0, 3), (1, 3), (2, 3), (4, 0), (0, 1), (2, 2)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = {r.id: (r.hub_r9, r.auth_r9) for r in hits(df, max_iter=8).collect()}
+
+    links = sorted({(a, b) for a, b in pairs if a != b})
+    ids = sorted({v for e in links for v in e})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    hub = np.ones(n)
+    for _ in range(8):
+        auth = np.zeros(n)
+        for a, b in links:
+            auth[idx[b]] += hub[idx[a]]
+        auth /= auth.sum()
+        hub = np.zeros(n)
+        for a, b in links:
+            hub[idx[a]] += auth[idx[b]]
+        hub /= hub.sum()
+    assert set(got) == set(ids)
+    for v in ids:
+        assert math.isclose(got[v][0], hub[idx[v]], abs_tol=1e-8), (v, got[v])
+        assert math.isclose(got[v][1], auth[idx[v]], abs_tol=1e-8), (v, got[v])
+    # pure hub: 0 has the top hub score; pure authority: 3 tops auth
+    assert got[0][0] == max(h for h, _ in got.values())
+    assert got[3][1] == max(a for _, a in got.values())
+    # L1 invariant: each column sums to 1
+    assert math.isclose(sum(h for h, _ in got.values()), 1.0, abs_tol=1e-7)
+    assert math.isclose(sum(a for _, a in got.values()), 1.0, abs_tol=1e-7)
