@@ -1065,6 +1065,34 @@ def q_error_bursts(spark, sf_dir):
     return pairs.groupBy("event_id").agg(F.count("*").alias("n_nearby_errors"))
 
 
+def q_simhash_near_dupes(spark, sf_dir):
+    """Banded exact-Hamming search over simhashes: materialize the
+    simhash table (xxhash bridge), then band-bucket self-join + XOR
+    popcount filter — recall exactly 1 for hamming < bands."""
+    from louvain_fast_move_cuda_spark.operators.dedup import (
+        simhash,
+        simhash_near_dupes,
+    )
+
+    sims = _materialize_for_oracle(
+        simhash(_docs(spark, sf_dir)), "snd_simhash"
+    )
+    return simhash_near_dupes(sims, bands=8, max_hamming=3)
+
+
+def q_conv_stats(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.temporal import conv_stats
+
+    t, _, _ = _graph(spark, sf_dir)
+    return conv_stats(t)
+
+
+def q_curation_verdicts(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.curation import curation_verdicts
+
+    return curation_verdicts(_docs(spark, sf_dir))
+
+
 def q_bigram_lm_scores(spark, sf_dir):
     from louvain_fast_move_cuda_spark.operators.textstats import bigram_lm_scores
 
@@ -1239,6 +1267,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "asof_purchase": q_asof_purchase,
         "error_bursts": q_error_bursts,
+        "conv_stats": q_conv_stats,
+        "simhash_near_dupes": q_simhash_near_dupes,
+        "curation_verdicts": q_curation_verdicts,
         "adamic_adar": q_adamic_adar,
         "cc_reply": q_cc_reply,
         "coarsen_by_conv": q_coarsen_by_conv,
@@ -1439,6 +1470,87 @@ grams AS (
   FROM toks, LATERAL unnest(
     CASE WHEN len(ts) >= {n} THEN range(0, len(ts) - {n - 1}) ELSE [] END) AS u(i)
 )"""
+
+
+def _snd_sql(bands: int = 8, bits: int = 64, max_hamming: int = 3) -> str:
+    """Mirror operators/dedup.py::simhash_near_dupes over the
+    materialized simhash table: same signed band masks (plain AND on
+    two's complement), same within-bucket self-join, same XOR popcount
+    filter — everything downstream of the xxhash bridge is exact."""
+    w = bits // bands
+    selects = []
+    for j in range(bands):
+        mask = ((1 << w) - 1) << (j * w)
+        if mask >= 1 << 63:
+            mask -= 1 << 64
+        selects.append(
+            f"SELECT id, {j} AS band, simhash & CAST({mask} AS BIGINT) AS bucket FROM s"
+        )
+    union = "\n  UNION ALL ".join(selects)
+    return f"""
+WITH s AS (SELECT id, simhash
+           FROM read_parquet('{_ORACLE_MAT_DIR}/snd_simhash.parquet/*.parquet')),
+b AS (
+  {union}
+),
+p AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM b x JOIN b y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+)
+SELECT p.id_a, p.id_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+FROM p JOIN s sa ON p.id_a = sa.id JOIN s sb ON p.id_b = sb.id
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+"""
+
+
+# per-doc PII flag, shared by the pii_scan and curation_verdicts oracles
+# (plain string: the regex quantifier braces must not meet an f-string)
+_PII_FLAG_CTE = r"""
+pii AS (
+  SELECT doc_id,
+         CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+                 + len(regexp_extract_all(lower(text), '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b'))
+                 + len(regexp_extract_all(lower(text), '\+?[0-9][0-9() .-]{7,}[0-9]'))
+                 + len(regexp_extract_all(lower(text), '[0-9]{9,}')) > 0
+              THEN 1 ELSE 0 END AS has_pii
+  FROM documents
+)"""
+
+
+def _verdicts_sql(quality_min: float = 0.5, keep_lang: str = "en") -> str:
+    """Compose the exact-dup / quality / PII / language oracles into the
+    same first-failing-gate verdict as curation_verdicts. The quality
+    threshold compares a double that is bit-identical in both engines
+    (same IEEE tree as the quality_scores oracle), so the boundary
+    decision is deterministic."""
+    return f"""
+WITH q AS (SELECT doc_id, quality FROM ({_quality_sql()})),
+l AS (SELECT doc_id, lang_pred FROM ({_lang_sql()})),
+d AS (SELECT doc_id, {_NORM_TEXT} AS t FROM documents),
+rep AS (SELECT t, min(doc_id) AS rep_id FROM d GROUP BY t),
+{_PII_FLAG_CTE.strip()},
+v AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id = rep.rep_id THEN 1 ELSE 0 END AS is_rep,
+         CASE WHEN q.quality >= {quality_min} THEN 1 ELSE 0 END AS quality_ok,
+         pii.has_pii,
+         l.lang_pred,
+         CASE WHEN d.doc_id <> rep.rep_id THEN 'duplicate'
+              WHEN q.quality < {quality_min} THEN 'low_quality'
+              WHEN pii.has_pii = 1 THEN 'pii'
+              WHEN l.lang_pred <> '{keep_lang}' THEN 'lang'
+              ELSE 'keep' END AS verdict
+  FROM d
+  JOIN rep USING (t)
+  JOIN q ON d.doc_id = q.doc_id
+  JOIN l ON d.doc_id = l.doc_id
+  JOIN pii ON d.doc_id = pii.doc_id
+)
+SELECT doc_id, is_rep, quality_ok, has_pii, lang_pred, verdict,
+       CASE WHEN verdict = 'keep' THEN 1 ELSE 0 END AS keep
+FROM v
+"""
 
 
 def _simhash_sql(bits: int = 64) -> str:
@@ -2438,6 +2550,16 @@ wdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS k FROM wsym GROUP BY src)
         "pagerank_fixed20": _pagerank_sql(iters=20),
         "pagerank_directed": _dpr_sql(iters=20),
         "hits": _hits_sql(iters=8),
+        "simhash_near_dupes": _snd_sql(bands=8, max_hamming=3),
+        "curation_verdicts": _verdicts_sql(),
+        # per-conversation shape profile — exact integers only
+        "conv_stats": f"""
+WITH {_T.strip()}
+SELECT conv_id, count(*) AS n_turns, count(tool) AS n_tool_turns,
+       count(DISTINCT role) AS n_roles,
+       max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+FROM transcripts GROUP BY conv_id
+""",
         # as-of join: the same union-and-running-last plan in ANSI SQL;
         # the (tsu, tag, seq) sort key is a total order, so per-column
         # running-last picks the same source row in both engines

@@ -360,3 +360,58 @@ def pii_scan(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     return out.select(
         id_col, *_PII_PATTERNS, (total > 0).cast("int").alias("has_pii")
     )
+
+
+def curation_verdicts(
+    docs: DataFrame,
+    quality_min: float = 0.5,
+    keep_langs: tuple = ("en",),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, is_rep, quality_ok, has_pii, lang_pred, verdict, keep) —
+    the end-to-end keep/drop decision table composing the pipeline's
+    per-doc signals: exact-dup representative (min id per normalized
+    text), quality threshold, PII presence, language allow-list. The
+    verdict names the FIRST failing gate in a fixed order
+    (duplicate -> low_quality -> pii -> lang), mirroring how a real
+    curation pipeline reports drop reasons.
+
+    Scale: four independent per-doc projections joined on the id — the
+    only shuffle beyond the joins is the exact-dup groupBy on
+    normalized content. The quality threshold compares doubles that are
+    bit-identical across engines (same IEEE tree as quality_scores), so
+    the boundary decision is deterministic.
+    """
+    from .dedup import _normalized
+    from .textstats import language_id, quality_scores
+
+    norm = docs.select(F.col(id_col), _normalized(F.col(text_col)).alias("_t"))
+    rep = norm.groupBy("_t").agg(F.min(id_col).alias("_rep"))
+    is_rep = norm.join(rep, "_t").select(
+        id_col, (F.col(id_col) == F.col("_rep")).cast("int").alias("is_rep")
+    )
+    q = quality_scores(docs, text_col=text_col, id_col=id_col).select(
+        id_col, (F.col("quality") >= F.lit(quality_min)).cast("int").alias("quality_ok")
+    )
+    lang = language_id(docs, text_col=text_col, id_col=id_col).select(
+        id_col, "lang_pred"
+    )
+    p = pii_scan(docs, text_col=text_col, id_col=id_col).select(id_col, "has_pii")
+    out = is_rep.join(q, id_col).join(lang, id_col).join(p, id_col)
+    verdict = (
+        F.when(F.col("is_rep") == 0, F.lit("duplicate"))
+        .when(F.col("quality_ok") == 0, F.lit("low_quality"))
+        .when(F.col("has_pii") == 1, F.lit("pii"))
+        .when(~F.col("lang_pred").isin(*keep_langs), F.lit("lang"))
+        .otherwise(F.lit("keep"))
+    )
+    return out.select(
+        id_col,
+        "is_rep",
+        "quality_ok",
+        "has_pii",
+        "lang_pred",
+        verdict.alias("verdict"),
+        (verdict == F.lit("keep")).cast("int").alias("keep"),
+    )

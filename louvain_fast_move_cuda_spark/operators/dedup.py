@@ -414,3 +414,51 @@ def winnow_fingerprints(
     return winnow_fingerprints_from_hashes(
         winnow_hashes(docs, k, text_col, id_col), w, id_col
     )
+
+
+def simhash_bands(sims: DataFrame, bands: int = 8, bits: int = 64) -> DataFrame:
+    """(id, band, bucket) — the simhash split into ``bands`` contiguous
+    bit-bands; bucket = ``simhash & band_mask`` (a plain AND on the
+    signed two's-complement value — portable to any engine, no unsigned
+    shifts needed)."""
+    w = bits // bands
+    assert w * bands == bits
+    cols = []
+    for j in range(bands):
+        mask = ((1 << w) - 1) << (j * w)
+        if mask >= 1 << 63:
+            mask -= 1 << 64  # signed 64-bit literal
+        cols.append(F.col("simhash").bitwiseAND(F.lit(mask)).alias(f"b{j}"))
+    return sims.select("id", F.posexplode(F.array(*cols)).alias("band", "bucket"))
+
+
+def simhash_near_dupes(
+    sims: DataFrame, bands: int = 8, bits: int = 64, max_hamming: int = 3
+) -> DataFrame:
+    """(id_a, id_b, hamming) — pairs of docs whose simhashes differ in at
+    most ``max_hamming`` bits, found WITHOUT an all-pairs join.
+
+    Banded exact-Hamming search, not an approximation: a pair at
+    distance d touches at most d bands, so for d <= bands - 1 at least
+    one band is untouched (pigeonhole) and the pair collides in that
+    band's bucket — recall is exactly 1 for ``max_hamming < bands``.
+    Cost is the within-bucket self-join only; simhash buckets are
+    content-hash-distributed, so bucket sizes concentrate near
+    N / 2**(bits/bands) per band.
+    """
+    assert max_hamming < bands, "pigeonhole guarantee needs max_hamming < bands"
+    pairs = lsh_pairs_from_buckets(simhash_bands(sims, bands, bits))
+    a = sims.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sims.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

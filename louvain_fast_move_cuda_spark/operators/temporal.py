@@ -122,3 +122,18 @@ def role_transitions(transcripts: DataFrame) -> DataFrame:
         .filter(F.col("next_role").isNotNull())
     )
     return hops.groupBy("role", "next_role").agg(F.count("*").alias("n_links"))
+
+
+def conv_stats(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, n_turns, n_tool_turns, n_roles, duration_us) — the
+    per-conversation shape profile: depth, tool usage, role variety and
+    wall-clock span. One groupBy on conv_id; count(tool) skips null
+    (non-tool) turns, duration is exact integer micros.
+    """
+    us = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+    return transcripts.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.count("tool").alias("n_tool_turns"),
+        F.countDistinct("role").alias("n_roles"),
+        (F.max(us) - F.min(us)).alias("duration_us"),
+    )

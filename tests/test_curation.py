@@ -222,3 +222,34 @@ def test_pii_scan_pattern_counts_by_hand(spark):
     # 16-digit card: one phone-shaped run AND one long digit run
     assert (got[3].n_long_digit_runs, got[3].n_phones, got[3].has_pii) == (1, 1, 1)
     assert tuple(got[4])[1:] == (0, 0, 0, 0, 0)
+
+
+def test_curation_verdicts_first_failing_gate(spark):
+    from louvain_fast_move_cuda_spark.operators.curation import curation_verdicts
+
+    good = (
+        "the cat and the dog went to the park and the sun was shining "
+        "over the green field and the children were playing during the "
+        "long warm afternoon while the birds were singing in the trees "
+        "and the wind was moving the leaves of the old oak standing to "
+        "the side of the path going down to the river and the meadow "
+        "near the bridge and the mill and the garden of the cottage and "
+        "the orchard full of apples and the lane going to the village"
+    )
+    df = spark.createDataFrame(
+        [
+            (0, good),                          # keep
+            (1, good),                          # byte-identical dup of 0
+            (2, "!!! ??? ###"),                 # garbage -> low_quality
+            (3, good + " mail me at a@b.io"),   # PII (passes quality first)
+            (4, " el que de los una " * 60),    # Spanish -> lang
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in curation_verdicts(df).collect()}
+    assert (got[0].verdict, got[0].keep) == ("keep", 1)
+    assert (got[1].verdict, got[1].is_rep) == ("duplicate", 0)
+    assert got[2].verdict == "low_quality"
+    assert (got[3].verdict, got[3].has_pii) == ("pii", 1)
+    assert (got[4].verdict, got[4].lang_pred) == ("lang", "es")
+    assert sum(r.keep for r in got.values()) == 1

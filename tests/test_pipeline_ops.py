@@ -412,3 +412,27 @@ def test_length_quantiles_exact_order_statistics(spark):
     got = {r.q: (r.n_docs, r.value) for r in length_quantiles(df).collect()}
     # target = ceil(q/100 * 10): q25->3rd value=3, q50->5, q75->8, q90->9, q99->10
     assert got == {25: (10, 3), 50: (10, 5), 75: (10, 8), 90: (10, 9), 99: (10, 10)}
+
+
+def test_simhash_near_dupes_banded_exact_hamming(spark):
+    import pytest
+
+    from louvain_fast_move_cuda_spark.operators.dedup import simhash_near_dupes
+
+    sims = spark.createDataFrame(
+        [
+            (0, 0),
+            (1, 0b111),                       # 3 bits, one band
+            (2, 1 | (1 << 8) | (1 << 16)),    # 3 bits across 3 DIFFERENT bands
+            (3, -1),                          # all 64 bits set
+        ],
+        "id long, simhash long",
+    )
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_near_dupes(sims, bands=8, max_hamming=3).collect()}
+    # pigeonhole recall: (0,2) differs in 3 distinct bands yet still
+    # collides in the 5 untouched ones; (1,2) is a candidate (shared
+    # high bands) but hamming 4 > 3; 3 shares no band with anyone
+    assert got == {(0, 1): 3, (0, 2): 3}
+    with pytest.raises(AssertionError, match="pigeonhole"):
+        simhash_near_dupes(sims, bands=4, max_hamming=4)

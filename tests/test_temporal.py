@@ -120,3 +120,24 @@ def test_role_transitions_counts_all_hops(spark):
         ("assistant", "tool"): 1,
         ("tool", "assistant"): 1,
     }
+
+
+def test_conv_stats_by_hand(spark):
+    import datetime as dt
+
+    from louvain_fast_move_cuda_spark.operators.temporal import conv_stats
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    t = spark.createDataFrame(
+        [
+            ("A", 0, "user", "x", None, t0),
+            ("A", 1, "assistant", "y", "grep", t0 + dt.timedelta(seconds=90)),
+            ("A", 2, "user", "z", None, t0 + dt.timedelta(seconds=100)),
+            ("B", 0, "user", "q", None, t0),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp_ntz",
+    )
+    got = {r.conv_id: r for r in conv_stats(t).collect()}
+    assert (got["A"].n_turns, got["A"].n_tool_turns, got["A"].n_roles) == (3, 1, 2)
+    assert got["A"].duration_us == 100_000_000
+    assert (got["B"].n_turns, got["B"].n_tool_turns, got["B"].duration_us) == (1, 0, 0)
