@@ -1093,6 +1093,23 @@ def q_curation_verdicts(spark, sf_dir):
     return curation_verdicts(_docs(spark, sf_dir))
 
 
+def q_funnel(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.temporal import funnel_counts
+
+    return funnel_counts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        steps=("view", "click", "purchase"),
+    )
+
+
+def q_retention(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.temporal import retention_cohorts
+
+    return retention_cohorts(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), period_days=7
+    )
+
+
 def q_bigram_lm_scores(spark, sf_dir):
     from louvain_fast_move_cuda_spark.operators.textstats import bigram_lm_scores
 
@@ -1268,6 +1285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_purchase": q_asof_purchase,
         "error_bursts": q_error_bursts,
         "conv_stats": q_conv_stats,
+        "funnel": q_funnel,
+        "retention": q_retention,
         "simhash_near_dupes": q_simhash_near_dupes,
         "curation_verdicts": q_curation_verdicts,
         "adamic_adar": q_adamic_adar,
@@ -2552,6 +2571,33 @@ wdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS k FROM wsym GROUP BY src)
         "hits": _hits_sql(iters=8),
         "simhash_near_dupes": _snd_sql(bands=8, max_hamming=3),
         "curation_verdicts": _verdicts_sql(),
+        # ordered funnel: stage i = first step-i event strictly after the
+        # user's stage-(i-1) reach time
+        "funnel": """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+s0 AS (SELECT user_id, min(us) AS t FROM ev WHERE event_type = 'view' GROUP BY 1),
+s1 AS (SELECT e.user_id, min(e.us) AS t
+       FROM ev e JOIN s0 ON e.user_id = s0.user_id AND e.us > s0.t
+       WHERE e.event_type = 'click' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.us) AS t
+       FROM ev e JOIN s1 ON e.user_id = s1.user_id AND e.us > s1.t
+       WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT 0 AS stage, 'view' AS step, count(*) AS n_users FROM s0
+UNION ALL SELECT 1, 'click', count(*) FROM s1
+UNION ALL SELECT 2, 'purchase', count(*) FROM s2
+""",
+        # cohort retention over fixed 7-day epoch periods (exact integer
+        # division both sides)
+        "retention": """
+WITH ev AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS p FROM events
+),
+first AS (SELECT user_id, min(p) AS cohort_period FROM ev GROUP BY 1)
+SELECT f.cohort_period, e.p - f.cohort_period AS offset_periods,
+       count(*) AS n_users
+FROM ev e JOIN first f ON e.user_id = f.user_id
+GROUP BY 1, 2
+""",
         # per-conversation shape profile — exact integers only
         "conv_stats": f"""
 WITH {_T.strip()}

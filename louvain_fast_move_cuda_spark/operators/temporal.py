@@ -137,3 +137,71 @@ def conv_stats(transcripts: DataFrame) -> DataFrame:
         F.countDistinct("role").alias("n_roles"),
         (F.max(us) - F.min(us)).alias("duration_us"),
     )
+
+
+def funnel_counts(
+    events: DataFrame, steps: tuple = ("view", "click", "purchase")
+) -> DataFrame:
+    """(stage, step, n_users) — ordered-funnel analysis: a user reaches
+    stage i when an event of type ``steps[i]`` occurs STRICTLY after
+    the user's stage-(i-1) reach time (first qualifying occurrence
+    counts). The classic product-analytics funnel.
+
+    Scale: one groupBy per stage plus an equi-join on user_id against
+    the previous stage's (user, t) table — every shuffle is on
+    user_id, so the per-stage tables stay co-partitioned; no window
+    over whole event histories, no per-user collect.
+    """
+    us = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+    ev = events.select("user_id", "event_type", us.alias("us"))
+    prev = (
+        ev.filter(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t"))
+    )
+    out = prev.select(
+        F.lit(0).alias("stage"), F.lit(steps[0]).alias("step")
+    ).groupBy("stage", "step").agg(F.count("*").alias("n_users"))
+    for i, step in enumerate(steps[1:], start=1):
+        prev = (
+            ev.filter(F.col("event_type") == step)
+            .join(prev.select("user_id", F.col("t").alias("t_prev")), "user_id")
+            .filter(F.col("us") > F.col("t_prev"))
+            .groupBy("user_id")
+            .agg(F.min("us").alias("t"))
+        )
+        out = out.unionByName(
+            prev.select(F.lit(i).alias("stage"), F.lit(step).alias("step"))
+            .groupBy("stage", "step")
+            .agg(F.count("*").alias("n_users"))
+        )
+    return out
+
+
+def retention_cohorts(events: DataFrame, period_days: int = 7) -> DataFrame:
+    """(cohort_period, offset_periods, n_users) — cohort retention:
+    users bucketed by the period of their FIRST event; for each
+    (cohort, period-offset) cell, the count of cohort users active in
+    that period. Periods are fixed ``period_days`` windows counted from
+    the epoch (integer division of unix micros — exact, engine-
+    independent).
+
+    Scale: one groupBy for first-seen, one distinct on (user, period),
+    one user_id equi-join, one final groupBy — all shuffles on
+    user_id or on the tiny (cohort, offset) key space.
+    """
+    period_us = period_days * 86_400_000_000
+    us = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+    ev = events.select("user_id", us.alias("us")).select(
+        "user_id", F.expr(f"us div {period_us}").alias("p")
+    )
+    first = ev.groupBy("user_id").agg(F.min("p").alias("cohort_period"))
+    active = ev.distinct()  # (user, period) pairs — offset rows stay unique
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_period",
+            (F.col("p") - F.col("cohort_period")).alias("offset_periods"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -141,3 +141,44 @@ def test_conv_stats_by_hand(spark):
     assert (got["A"].n_turns, got["A"].n_tool_turns, got["A"].n_roles) == (3, 1, 2)
     assert got["A"].duration_us == 100_000_000
     assert (got["B"].n_turns, got["B"].n_tool_turns, got["B"].duration_us) == (1, 0, 0)
+
+
+def test_funnel_strict_ordering(spark):
+    t0 = dt.datetime(2024, 3, 1)
+
+    from louvain_fast_move_cuda_spark.operators.temporal import funnel_counts
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # user 1 completes in order
+        (0, at(0), 1, "view", 0.0), (1, at(1), 1, "click", 0.0), (2, at(2), 1, "purchase", 0.0),
+        # user 2 clicks BEFORE viewing -> stalls at view
+        (3, at(1), 2, "click", 0.0), (4, at(2), 2, "view", 0.0),
+        # user 3 purchase simultaneous with click -> strict > excludes it
+        (5, at(0), 3, "view", 0.0), (6, at(1), 3, "click", 0.0), (7, at(1), 3, "purchase", 0.0),
+        # user 4 never views -> not in funnel at all
+        (8, at(0), 4, "purchase", 0.0),
+    ]
+    got = {r.step: (r.stage, r.n_users) for r in funnel_counts(_mk_events(spark, rows)).collect()}
+    assert got == {"view": (0, 3), "click": (1, 2), "purchase": (2, 1)}
+
+
+def test_retention_cohorts_periods(spark):
+    from louvain_fast_move_cuda_spark.operators.temporal import retention_cohorts
+
+    day = dt.timedelta(days=1)
+    t0 = dt.datetime(2024, 1, 4)  # period boundaries are epoch-anchored
+    rows = [
+        # user 1: first in period P, active again 7 and 14 days later
+        (0, t0, 1, "x", 0.0), (1, t0 + 7 * day, 1, "x", 0.0), (2, t0 + 14 * day, 1, "x", 0.0),
+        # duplicate activity inside one period counts once
+        (3, t0 + 7 * day + dt.timedelta(hours=1), 1, "x", 0.0),
+        # user 2: same cohort, never returns
+        (4, t0 + day, 2, "x", 0.0),
+    ]
+    got = {(r.cohort_period, r.offset_periods): r.n_users
+           for r in retention_cohorts(_mk_events(spark, rows), period_days=7).collect()}
+    base = (t0 - dt.datetime(1970, 1, 1)) // dt.timedelta(days=7)
+    assert got == {(base, 0): 2, (base, 1): 1, (base, 2): 1}
