@@ -1110,6 +1110,20 @@ def q_retention(spark, sf_dir):
     )
 
 
+def q_tool_cooccurrence(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.temporal import tool_cooccurrence
+
+    t, _, _ = _graph(spark, sf_dir)
+    return tool_cooccurrence(t)
+
+
+def q_quad_census(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.graphstats import quad_census
+
+    _, _, g = _graph(spark, sf_dir)
+    return quad_census(g)
+
+
 def q_bigram_lm_scores(spark, sf_dir):
     from louvain_fast_move_cuda_spark.operators.textstats import bigram_lm_scores
 
@@ -1287,6 +1301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_stats": q_conv_stats,
         "funnel": q_funnel,
         "retention": q_retention,
+        "tool_cooccurrence": q_tool_cooccurrence,
+        "quad_census": q_quad_census,
         "simhash_near_dupes": q_simhash_near_dupes,
         "curation_verdicts": q_curation_verdicts,
         "adamic_adar": q_adamic_adar,
@@ -2597,6 +2613,28 @@ SELECT f.cohort_period, e.p - f.cohort_period AS offset_periods,
        count(*) AS n_users
 FROM ev e JOIN first f ON e.user_id = f.user_id
 GROUP BY 1, 2
+""",
+        # bipartite (conversation x tool) projection
+        "tool_cooccurrence": f"""
+WITH {_T.strip()},
+tc AS (SELECT DISTINCT conv_id, tool FROM transcripts WHERE tool IS NOT NULL)
+SELECT a.tool AS tool_a, b.tool AS tool_b, count(*) AS n_convs
+FROM tc a JOIN tc b ON a.conv_id = b.conv_id AND a.tool < b.tool
+GROUP BY 1, 2
+""",
+        # global wedge + 4-cycle census: each wedge u-v-w enumerated once
+        # from its middle; C4 = sum C(codeg,2) / 2 (two diagonals per
+        # cycle) — exact integer arithmetic both sides
+        "quad_census": f"""
+{_GRAPH_CTE},
+codeg AS (
+  SELECT e1.dst AS u, e2.dst AS w, count(*) AS c
+  FROM sym e1 JOIN sym e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  GROUP BY 1, 2
+)
+SELECT CAST(sum(c) AS BIGINT) AS n_wedges,
+       CAST(sum(c * (c - 1) // 2) // 2 AS BIGINT) AS n_four_cycles
+FROM codeg
 """,
         # per-conversation shape profile — exact integers only
         "conv_stats": f"""

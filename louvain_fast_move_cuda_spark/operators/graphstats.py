@@ -476,3 +476,41 @@ def reciprocity(raw_pairs: DataFrame) -> DataFrame:
             9,
         ).alias("reciprocity_r9"),
     )
+
+
+def quad_census(graph, max_middle_degree: int | None = None):
+    """One row (n_wedges, n_four_cycles) — global wedge (path-2) and
+    4-cycle counts, the motif census one step past triangle_count.
+
+    Method: enumerate each wedge u-v-w once (middle v joins its
+    neighbor list to itself, u < w), group by the endpoint pair to get
+    co-degrees c, then C4 = Σ C(c, 2) / 2 — every 4-cycle is counted
+    once per diagonal and has exactly two, so the division is exact
+    integer arithmetic (chords don't matter; this counts cycles, not
+    induced cycles).
+
+    Scale: wedge enumeration is Σ deg(v)² over middle vertices — fine
+    on the path-like transcript graph (bounded degrees), quadratic on a
+    hub. ``max_middle_degree`` drops higher-degree middles from wedge
+    enumeration for such graphs; the result then UNDERCOUNTS both
+    metrics (wedges/cycles through dropped middles vanish) — the same
+    explicit-cap philosophy as adamic_adar's max_apex_degree. Default
+    None = exact.
+    """
+    edges = graph.edges
+    if max_middle_degree is not None:
+        deg = edges.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") <= max_middle_degree).select("v")
+        edges = edges.join(keep.withColumnRenamed("v", "src"), "src", "left_semi")
+    e1 = edges.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    e2 = edges.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    codeg = (
+        e1.join(e2, "v")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return codeg.agg(
+        F.sum("c").alias("n_wedges"),
+        F.expr("sum(c * (c - 1) div 2) div 2").alias("n_four_cycles"),
+    )

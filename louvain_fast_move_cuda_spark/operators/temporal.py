@@ -205,3 +205,29 @@ def retention_cohorts(events: DataFrame, period_days: int = 7) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def tool_cooccurrence(transcripts: DataFrame) -> DataFrame:
+    """(tool_a, tool_b, n_convs) — unordered tool pairs co-used within
+    at least one conversation, with the count of conversations sharing
+    them. The bipartite (conversation x tool) projection — which tools
+    travel together.
+
+    Scale: distinct (conv, tool) first (per-conv tool sets are bounded
+    by the tool vocabulary, so the within-conv self-join is O(k²) per
+    conversation, never corpus-quadratic), then one groupBy on the tiny
+    pair key space.
+    """
+    tc = (
+        transcripts.filter(F.col("tool").isNotNull())
+        .select("conv_id", "tool")
+        .distinct()
+    )
+    a = tc.select("conv_id", F.col("tool").alias("tool_a"))
+    b = tc.select("conv_id", F.col("tool").alias("tool_b"))
+    return (
+        a.join(b, "conv_id")
+        .filter(F.col("tool_a") < F.col("tool_b"))
+        .groupBy("tool_a", "tool_b")
+        .agg(F.count("*").alias("n_convs"))
+    )

@@ -257,3 +257,35 @@ def test_reciprocity_counts_mutual_pairs(spark):
     r = reciprocity(pairs).collect()[0]
     assert (r.n_directed, r.n_reciprocated) == (5, 4)
     assert r.reciprocity_r9 == 0.8
+
+
+def test_quad_census_known_graphs(spark):
+    from louvain_fast_move_cuda_spark.operators.graphstats import quad_census
+    from louvain_fast_move_cuda_spark.sources.edges import build_graph
+
+    def census(pairs):
+        df = spark.createDataFrame(pairs, "a long, b long")
+        g = build_graph(df)
+        r = quad_census(g).collect()[0]
+        return r.n_wedges, r.n_four_cycles
+
+    # square 0-1-2-3-0: 4 wedges, exactly 1 four-cycle
+    assert census([(0, 1), (1, 2), (2, 3), (3, 0)]) == (4, 1)
+    # K4: 12 wedges, 3 four-cycles (chords allowed — cycles, not induced)
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert census(k4) == (12, 3)
+    # path 0-1-2: one wedge, no cycle
+    assert census([(0, 1), (1, 2)]) == (1, 0)
+
+
+def test_quad_census_middle_degree_cap_undercounts(spark):
+    from louvain_fast_move_cuda_spark.operators.graphstats import quad_census
+    from louvain_fast_move_cuda_spark.sources.edges import build_graph
+
+    # star center degree 4: capping below it removes all wedges
+    star = [(0, i) for i in range(1, 5)]
+    g = build_graph(spark.createDataFrame(star, "a long, b long"))
+    exact = quad_census(g).collect()[0]
+    capped = quad_census(g, max_middle_degree=3).collect()[0]
+    assert (exact.n_wedges, exact.n_four_cycles) == (6, 0)
+    assert (capped.n_wedges or 0, capped.n_four_cycles or 0) == (0, 0)

@@ -182,3 +182,23 @@ def test_retention_cohorts_periods(spark):
            for r in retention_cohorts(_mk_events(spark, rows), period_days=7).collect()}
     base = (t0 - dt.datetime(1970, 1, 1)) // dt.timedelta(days=7)
     assert got == {(base, 0): 2, (base, 1): 1, (base, 2): 1}
+
+
+def test_tool_cooccurrence_distinct_within_conv(spark):
+    from louvain_fast_move_cuda_spark.operators.temporal import tool_cooccurrence
+
+    t = spark.createDataFrame(
+        [
+            # conv A uses grep twice + edit: the pair counts ONCE
+            ("A", 0, "tool", "x", "grep"),
+            ("A", 1, "tool", "y", "grep"),
+            ("A", 2, "tool", "z", "edit"),
+            # conv B: edit + grep again, plus a lone bash in C
+            ("B", 0, "tool", "q", "edit"),
+            ("B", 1, "tool", "r", "grep"),
+            ("C", 0, "tool", "s", "bash"),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    got = {(r.tool_a, r.tool_b): r.n_convs for r in tool_cooccurrence(t).collect()}
+    assert got == {("edit", "grep"): 2}
