@@ -1124,6 +1124,26 @@ def q_quad_census(spark, sf_dir):
     return quad_census(g)
 
 
+def q_events_cube(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.temporal import events_cube
+
+    return events_cube(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_value_quantiles(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.temporal import (
+        value_quantiles_by_type,
+    )
+
+    return value_quantiles_by_type(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_rolling_activity(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.temporal import rolling_activity
+
+    return rolling_activity(spark.read.parquet(f"{sf_dir}/events.parquet"), days=7)
+
+
 def q_bigram_lm_scores(spark, sf_dir):
     from louvain_fast_move_cuda_spark.operators.textstats import bigram_lm_scores
 
@@ -1303,6 +1323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         "tool_cooccurrence": q_tool_cooccurrence,
         "quad_census": q_quad_census,
+        "events_cube": q_events_cube,
+        "value_quantiles": q_value_quantiles,
+        "rolling_activity": q_rolling_activity,
         "simhash_near_dupes": q_simhash_near_dupes,
         "curation_verdicts": q_curation_verdicts,
         "adamic_adar": q_adamic_adar,
@@ -2635,6 +2658,37 @@ codeg AS (
 SELECT CAST(sum(c) AS BIGINT) AS n_wedges,
        CAST(sum(c * (c - 1) // 2) // 2 AS BIGINT) AS n_four_cycles
 FROM codeg
+""",
+        # OLAP rollup over (event_type, day); gid disambiguates rolled-up
+        # nulls; both engines use the grouping(a,b) bitmask convention
+        "events_cube": """
+WITH ev AS (SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us, value FROM events)
+SELECT event_type, day_us,
+       CAST(grouping(event_type, day_us) AS INTEGER) AS gid,
+       count(*) AS n_events, round(sum(value), 9) AS sum_value_r9
+FROM ev GROUP BY ROLLUP (event_type, day_us)
+""",
+        # exact per-group type-1 quantiles: rank ceil(q*n/100), selected
+        # value is a raw parquet double (bit-exact passthrough)
+        "value_quantiles": """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+q AS (SELECT unnest([25, 50, 75, 90, 99]) AS q)
+SELECT r.event_type, q.q, r.n, r.value
+FROM r JOIN q ON r.rn = (q.q * r.n + 99) // 100
+""",
+        # trailing 7-day same-user activity: RANGE frame over micros —
+        # value-based, so equal-timestamp peers are in every frame
+        "rolling_activity": """
+WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+SELECT event_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY us
+                      RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW) AS n_prev
+FROM ev
 """,
         # per-conversation shape profile — exact integers only
         "conv_stats": f"""

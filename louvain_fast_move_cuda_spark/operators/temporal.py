@@ -231,3 +231,89 @@ def tool_cooccurrence(transcripts: DataFrame) -> DataFrame:
         .groupBy("tool_a", "tool_b")
         .agg(F.count("*").alias("n_convs"))
     )
+
+
+def events_cube(events: DataFrame) -> DataFrame:
+    """(event_type, day_us, gid, n_events, sum_value_r9) — the OLAP
+    rollup over (event_type, day): leaf cells plus per-type subtotals
+    plus the grand total, one pass (Spark expands grouping sets
+    map-side; no repeated scans). ``gid`` is the grouping bitmask
+    (0 leaf, 1 day rolled up, 3 grand total) so rolled-up nulls are
+    distinguishable from null data; value sums are r9-rounded
+    (summation order differs per engine), counts exact.
+    """
+    day_us = F.unix_micros(
+        F.to_utc_timestamp(F.date_trunc("day", F.col("ts")), "UTC")
+    )
+    return (
+        events.select("event_type", day_us.alias("day_us"), "value")
+        .rollup("event_type", "day_us")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 9).alias("sum_value_r9"),
+        )
+        .select("event_type", "day_us", "gid", "n_events", "sum_value_r9")
+    )
+
+
+def value_quantiles_by_type(
+    events: DataFrame, quantiles: tuple = (25, 50, 75, 90, 99)
+) -> DataFrame:
+    """(event_type, q, n, value) — EXACT per-group type-1 quantiles of
+    ``value``: the element at rank ceil(q/100 * n_group) in the group's
+    sort order. Exact order statistics, never percentile_approx (its
+    sketch error is engine-specific); the selected value is a raw
+    parquet double passed through untouched, so the compare is
+    bit-exact.
+
+    Plan: one row_number window per group (parallel across groups; a
+    single hot group serializes into one task — the standard per-key
+    window caveat), a group-size agg, and a broadcast-sized
+    (group x quantile) target join. Unlike length_quantiles this sorts
+    real rows, not a bounded distinct-value space — the right tool when
+    values are near-unique doubles.
+    """
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = events.select("event_type", "value", "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    ng = events.groupBy("event_type").agg(F.count("*").alias("n"))
+    qdf = events.sparkSession.createDataFrame(
+        [(int(q),) for q in quantiles], "q int"
+    )
+    targets = ng.crossJoin(F.broadcast(qdf)).withColumn(
+        "target",
+        F.floor((F.col("q").cast("long") * F.col("n") + F.lit(99)) / F.lit(100)).cast(
+            "long"
+        ),
+    )
+    return (
+        ranked.join(
+            F.broadcast(targets),
+            (ranked.event_type == targets.event_type) & (F.col("rn") == F.col("target")),
+        )
+        .select(ranked.event_type, "q", "n", "value")
+    )
+
+
+def rolling_activity(events: DataFrame, days: int = 7) -> DataFrame:
+    """(event_id, n_prev) — for each event, the count of same-user
+    events in the trailing ``days`` window INCLUDING the current
+    instant: a RANGE frame over unix micros, so equal-timestamp peers
+    are in every peer's frame (value-based frames are engine-
+    independent; a ROWS frame would depend on tie order). One window
+    shuffle on user_id; exact integers.
+    """
+    period_us = days * 86_400_000_000
+    us = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us"))
+        .rangeBetween(-period_us, 0)
+    )
+    return (
+        events.select("event_id", "user_id", us.alias("us"))
+        .withColumn("n_prev", F.count("*").over(w))
+        .select("event_id", "n_prev")
+    )

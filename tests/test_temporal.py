@@ -202,3 +202,58 @@ def test_tool_cooccurrence_distinct_within_conv(spark):
     )
     got = {(r.tool_a, r.tool_b): r.n_convs for r in tool_cooccurrence(t).collect()}
     assert got == {("edit", "grep"): 2}
+
+
+def test_events_cube_rollup_levels(spark):
+    from louvain_fast_move_cuda_spark.operators.temporal import events_cube
+
+    t0 = dt.datetime(2024, 3, 1, 5, 0, 0)
+    rows = [
+        (0, t0, 1, "a", 1.0),
+        (1, t0 + dt.timedelta(hours=2), 1, "a", 2.0),       # same day
+        (2, t0 + dt.timedelta(days=1), 2, "a", 4.0),        # next day
+        (3, t0, 1, "b", 8.0),
+    ]
+    out = events_cube(_mk_events(spark, rows)).collect()
+    leafs = {(r.event_type, r.day_us): r.n_events for r in out if r.gid == 0}
+    day0 = int((dt.datetime(2024, 3, 1) - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+    day1 = day0 + 86_400_000_000
+    assert leafs == {("a", day0): 2, ("a", day1): 1, ("b", day0): 1}
+    subtot = {r.event_type: (r.n_events, r.sum_value_r9) for r in out if r.gid == 1}
+    assert subtot == {"a": (3, 7.0), "b": (1, 8.0)}
+    grand = [r for r in out if r.gid == 3]
+    assert len(grand) == 1 and grand[0].n_events == 4 and grand[0].sum_value_r9 == 15.0
+
+
+def test_value_quantiles_exact_order_statistics(spark):
+    from louvain_fast_move_cuda_spark.operators.temporal import value_quantiles_by_type
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [(i, t0, 1, "a", float(v)) for i, v in enumerate([10, 20, 30, 40])]
+    rows += [(10, t0, 1, "b", 5.0)]
+    got = {(r.event_type, r.q): r.value
+           for r in value_quantiles_by_type(_mk_events(spark, rows), quantiles=(25, 50, 75, 100)).collect()}
+    # type a (n=4): rank ceil(q*4/100) -> 1,2,3,4
+    assert got[("a", 25)] == 10.0 and got[("a", 50)] == 20.0
+    assert got[("a", 75)] == 30.0 and got[("a", 100)] == 40.0
+    # singleton group: every quantile is the one value
+    assert all(got[("b", q)] == 5.0 for q in (25, 50, 75, 100))
+
+
+def test_rolling_activity_range_frame_ties(spark):
+    from louvain_fast_move_cuda_spark.operators.temporal import rolling_activity
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (0, t0, 1, "x", 0.0),
+        (1, t0 + dt.timedelta(days=3), 1, "x", 0.0),
+        # exactly at the 7-day edge from event 0 -> still inside (RANGE inclusive)
+        (2, t0 + dt.timedelta(days=7), 1, "x", 0.0),
+        # 1 us past the edge from event 0 -> drops event 0
+        (3, t0 + dt.timedelta(days=7, microseconds=1), 1, "x", 0.0),
+        # equal-timestamp peers both count each other
+        (4, t0, 2, "x", 0.0),
+        (5, t0, 2, "x", 0.0),
+    ]
+    got = {r.event_id: r.n_prev for r in rolling_activity(_mk_events(spark, rows), days=7).collect()}
+    assert got == {0: 1, 1: 2, 2: 3, 3: 3, 4: 2, 5: 2}
