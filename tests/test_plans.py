@@ -440,3 +440,56 @@ def test_round4_late_operators_plans_jvm_only(spark):
     qplan = _plan(length_quantiles(docs))
     assert "CartesianProduct" not in qplan
     assert "BatchEvalPython" not in qplan
+
+
+def test_round4_closing_operators_plans_jvm_only(spark):
+    """The round-4 closing operators stay JVM-side with no cartesian
+    blowups: curation verdicts / PII over documents, funnel / retention
+    / cube / quantiles / rolling counts over events, conv stats + role
+    transitions + tool co-occurrence over transcripts, quad census over
+    the graph. Bounded exception: value_quantiles_by_type broadcasts a
+    (group x quantile) target table — a broadcast join over rows
+    bounded by |event_type| x 5 is the intended plan."""
+    from louvain_fast_move_cuda_spark.operators.curation import (
+        curation_verdicts,
+        pii_scan,
+    )
+    from louvain_fast_move_cuda_spark.operators.graphstats import quad_census
+    from louvain_fast_move_cuda_spark.operators.temporal import (
+        conv_stats,
+        events_cube,
+        funnel_counts,
+        retention_cohorts,
+        role_transitions,
+        rolling_activity,
+        tool_cooccurrence,
+        value_quantiles_by_type,
+    )
+    from louvain_fast_move_cuda_spark.sources.edges import build_graph
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    t = spark.createDataFrame(
+        [("c", 0, "user", "x", "grep", None), ("c", 1, "tool", "y", "edit", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp_ntz",
+    )
+    g = build_graph(spark.createDataFrame([(0, 1), (1, 2)], "a long, b long"))
+    for df in (
+        pii_scan(docs),
+        curation_verdicts(docs),
+        funnel_counts(ev),
+        retention_cohorts(ev),
+        events_cube(ev),
+        value_quantiles_by_type(ev),
+        rolling_activity(ev),
+        conv_stats(t),
+        role_transitions(t),
+        tool_cooccurrence(t),
+        quad_census(g),
+    ):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+    # pure projections must not shuffle at all
+    assert "Exchange" not in _plan(pii_scan(docs))
