@@ -1144,6 +1144,35 @@ def q_rolling_activity(spark, sf_dir):
     return rolling_activity(spark.read.parquet(f"{sf_dir}/events.parquet"), days=7)
 
 
+def q_tpch_q1(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.tpch import pricing_summary
+
+    return pricing_summary(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def q_tpch_q3(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.tpch import shipping_priority
+
+    return shipping_priority(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.tpch import local_supplier_volume
+
+    return local_supplier_volume(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+    )
+
+
 def q_bigram_lm_scores(spark, sf_dir):
     from louvain_fast_move_cuda_spark.operators.textstats import bigram_lm_scores
 
@@ -1324,6 +1353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_cooccurrence": q_tool_cooccurrence,
         "quad_census": q_quad_census,
         "events_cube": q_events_cube,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         "value_quantiles": q_value_quantiles,
         "rolling_activity": q_rolling_activity,
         "simhash_near_dupes": q_simhash_near_dupes,
@@ -2658,6 +2690,54 @@ codeg AS (
 SELECT CAST(sum(c) AS BIGINT) AS n_wedges,
        CAST(sum(c * (c - 1) // 2) // 2 AS BIGINT) AS n_four_cycles
 FROM codeg
+""",
+        # TPC-H Q1/Q3/Q5 — canonical SQL; per-row products keep the same
+        # association as the Spark plan, aggregates r9-rounded
+        "tpch_q1": """
+WITH li AS (
+  SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice, l_discount,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_c,
+         CAST(round(l_discount * 100) AS BIGINT) AS d_p,
+         CAST(round(l_tax * 100) AS BIGINT) AS t_p
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(ep_c) AS BIGINT) AS sum_base_price_c,
+       CAST(sum(ep_c * (100 - d_p)) AS BIGINT) AS sum_disc_price_e4,
+       CAST(sum(ep_c * (100 - d_p) * (100 + t_p)) AS BIGINT) AS sum_charge_e6,
+       round(avg(l_quantity), 9) AS avg_qty_r9,
+       round(avg(l_extendedprice), 9) AS avg_price_r9,
+       round(avg(l_discount), 9) AS avg_disc_r9,
+       count(*) AS count_order
+FROM li
+GROUP BY l_returnflag, l_linestatus
+""",
+        "tpch_q3": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15'
+  AND l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+""",
+        "tpch_q5": """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
 """,
         # OLAP rollup over (event_type, day); gid disambiguates rolled-up
         # nulls; both engines use the grouping(a,b) bitmask convention

@@ -1,0 +1,100 @@
+"""TPC-H-style relational queries vs hand oracles (operators/tpch.py).
+
+The driver gate re-checks all three against canonical SQL in DuckDB at
+sf0.01; these pin the fixed-point arithmetic and plan shapes on tiny
+hand data.
+"""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from louvain_fast_move_cuda_spark.operators.tpch import (
+    local_supplier_volume,
+    pricing_summary,
+    shipping_priority,
+)
+
+
+def test_pricing_summary_fixed_point_by_hand(spark):
+    d = dt.datetime(1998, 1, 1)
+    li = spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 2.0, 10.00, 0.05, 0.02, "A", "F", d),
+            (2, 1, 1, 1, 3.0, 20.50, 0.00, 0.10, "A", "F", d),
+            # past the cutoff -> excluded
+            (3, 1, 1, 1, 1.0, 99.99, 0.00, 0.00, "A", "F", dt.datetime(1999, 1, 1)),
+            (4, 1, 1, 1, 5.0, 1.01, 0.10, 0.00, "R", "O", d),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp_ntz",
+    )
+    got = {(r.l_returnflag, r.l_linestatus): r for r in pricing_summary(li).collect()}
+    af = got[("A", "F")]
+    # cents: 1000 + 2050; disc e4: 1000*95 + 2050*100; charge e6 adds tax
+    assert (af.sum_qty, af.count_order) == (5, 2)
+    assert af.sum_base_price_c == 3050
+    assert af.sum_disc_price_e4 == 1000 * 95 + 2050 * 100
+    assert af.sum_charge_e6 == 1000 * 95 * 102 + 2050 * 100 * 110
+    ro = got[("R", "O")]
+    assert ro.sum_disc_price_e4 == 101 * 90
+    assert ro.avg_disc_r9 == 0.1
+
+
+def _mini_warehouse(spark):
+    d96 = dt.datetime(1996, 6, 1)
+    cust = spark.createDataFrame(
+        [(1, "c1", 10, 0.0, "BUILDING"), (2, "c2", 20, 0.0, "AUTOMOBILE")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(100, 1, "O", 1.0, dt.datetime(1996, 3, 1), "1-URGENT"),
+         (200, 2, "O", 1.0, d96, "2-HIGH")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate timestamp_ntz, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [
+            (100, 1, 7, 1, 1.0, 10.00, 0.00, 0.0, "N", "O", dt.datetime(1996, 4, 1)),
+            (100, 1, 8, 2, 1.0, 30.00, 0.50, 0.0, "N", "O", dt.datetime(1996, 5, 1)),
+            # shipped BEFORE the Q3 date -> excluded there
+            (100, 1, 7, 3, 1.0, 70.00, 0.00, 0.0, "N", "O", dt.datetime(1996, 1, 1)),
+            (200, 1, 9, 1, 1.0, 50.00, 0.10, 0.0, "N", "O", d96),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp_ntz",
+    )
+    supp = spark.createDataFrame(
+        [(7, "s7", 10, 0.0), (8, "s8", 30, 0.0), (9, "s9", 20, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey long, s_acctbal double",
+    )
+    nation = spark.createDataFrame(
+        [(10, "JAPAN", 1), (20, "INDIA", 1), (30, "FRANCE", 2)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    region = spark.createDataFrame(
+        [(1, "ASIA"), (2, "EUROPE")], "r_regionkey long, r_name string"
+    )
+    return cust, orders, li, supp, nation, region
+
+
+def test_shipping_priority_filters(spark):
+    cust, orders, li, *_ = _mini_warehouse(spark)
+    rows = shipping_priority(cust, orders, li).collect()
+    # only order 100 (BUILDING cust, ordered before, shipped after);
+    # line 3 shipped before the date is excluded from revenue
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.l_orderkey == 100
+    assert r.revenue_e4 == 1000 * 100 + 3000 * 50
+
+
+def test_local_supplier_volume_nation_loop(spark):
+    out = {r.n_name: r.revenue_e4
+           for r in local_supplier_volume(*_mini_warehouse(spark)).collect()}
+    # order 100: line via s7 (nation 10 = cust nation) counts for JAPAN;
+    # line via s8 (FRANCE, EUROPE) fails both the loop and the region.
+    # order 200: s9 nation 20 = cust 2 nation -> INDIA.
+    assert out == {"JAPAN": 1000 * 100 + 7000 * 100, "INDIA": 5000 * 90}
