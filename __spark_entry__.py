@@ -1144,6 +1144,13 @@ def q_rolling_activity(spark, sf_dir):
     return rolling_activity(spark.read.parquet(f"{sf_dir}/events.parquet"), days=7)
 
 
+def q_double_sweep(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.distances import double_sweep
+
+    _, _, g = _graph(spark, sf_dir)
+    return double_sweep(g, max_hops=8)
+
+
 def q_tpch_q1(spark, sf_dir):
     from louvain_fast_move_cuda_spark.operators.tpch import pricing_summary
 
@@ -1353,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_cooccurrence": q_tool_cooccurrence,
         "quad_census": q_quad_census,
         "events_cube": q_events_cube,
+        "double_sweep": q_double_sweep,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -1968,6 +1976,44 @@ FROM deg d LEFT JOIN sc ON d.id = sc.id"""
     return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + "\n" + tail
 
 
+def _sweep_sql(max_hops: int = 8) -> str:
+    """Unroll operators/distances.py::double_sweep — two single-source
+    bounded BFS legs; the peak hand-off is a deterministic integer
+    ORDER BY dist DESC, vertex LIMIT 1 (the same tie rule as the Spark
+    max(struct(dist, -vertex)) argmax)."""
+    def leg(tag: str, seed_expr: str) -> list[str]:
+        parts = [
+            f"{tag}f0 AS MATERIALIZED (SELECT {seed_expr} AS vertex)",
+            f"{tag}v0 AS MATERIALIZED (SELECT vertex FROM {tag}f0)",
+        ]
+        for h in range(1, max_hops + 1):
+            parts.append(
+                f"""{tag}n{h} AS MATERIALIZED (
+  SELECT e.dst AS vertex FROM {tag}f{h - 1} l JOIN sym e ON e.src = l.vertex GROUP BY 1),
+{tag}f{h} AS MATERIALIZED (
+  SELECT vertex FROM {tag}n{h} EXCEPT SELECT vertex FROM {tag}v{h - 1}),
+{tag}v{h} AS MATERIALIZED (
+  SELECT vertex FROM {tag}v{h - 1} UNION ALL SELECT vertex FROM {tag}f{h})"""
+            )
+        union = "\nUNION ALL ".join(
+            f"SELECT vertex, {h} AS dist FROM {tag}f{h}" for h in range(max_hops + 1)
+        )
+        parts.append(f"{tag}d AS MATERIALIZED (\n{union})")
+        return parts
+
+    parts = leg("a", "(SELECT min(id) FROM deg)")
+    parts.append(
+        "u AS MATERIALIZED (SELECT vertex, dist FROM ad ORDER BY dist DESC, vertex LIMIT 1)"
+    )
+    parts += leg("b", "(SELECT vertex FROM u)")
+    tail = """SELECT CAST((SELECT min(id) FROM deg) AS BIGINT) AS start,
+       CAST((SELECT vertex FROM u) AS BIGINT) AS peak,
+       CAST((SELECT dist FROM u) AS INTEGER) AS ecc_start,
+       CAST(max(dist) AS INTEGER) AS diameter_lb
+FROM bd"""
+    return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + "\n" + tail
+
+
 def _wwalks_sql(length: int = 8, seed_mod: int = 7, salt: int = 0) -> str:
     """Unroll operators/walks.py::weighted_random_walks over the S2
     weighted-merge graph: inverse-CDF sampling with the portable mixer —
@@ -2580,6 +2626,7 @@ FROM vol v LEFT JOIN intra i ON v.community = i.community
         "skipgram_pairs": _walks_sql(length=8, seed_mod=7, salt=0, pairs_window=2),
         "weighted_random_walks": _wwalks_sql(length=8, seed_mod=7, salt=0),
         "landmark_distances": _landmark_sql(max_hops=5, seed_mod=257),
+        "double_sweep": _sweep_sql(max_hops=8),
         "harmonic_centrality": _landmark_sql(max_hops=5, seed_mod=257, harmonic=True),
         "neighbor_sample": f"""
 {_GRAPH_CTE},

@@ -105,3 +105,60 @@ def harmonic_centrality(
             F.coalesce("harmonic_r9", F.lit(0.0)).alias("harmonic_r9"),
         )
     )
+
+
+def _bfs_single(edges: DataFrame, seed: int, max_hops: int) -> DataFrame:
+    """(vertex, dist) — bounded-radius BFS from one seed; the same
+    frontier/visited loop as landmark_distances without the landmark
+    column."""
+    spark = edges.sparkSession
+    seeds = spark.createDataFrame(
+        [(int(seed), 0)], "vertex long, dist int"
+    ).localCheckpoint(eager=True)
+    visited = seeds.select("vertex")
+    frontier = seeds.select("vertex")
+    out = [seeds]
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["vertex"] == edges["src"])
+            .select(F.col("dst").alias("vertex"))
+            .distinct()
+            .join(visited, "vertex", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        out.append(nxt.select("vertex", F.lit(h).alias("dist")))
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def double_sweep(graph: GraphTables, max_hops: int = 8) -> DataFrame:
+    """One row (start, peak, ecc_start, diameter_lb) — the classic
+    double-sweep diameter lower bound: BFS from the lowest vertex id,
+    hop to the farthest vertex found (ties -> lowest id), BFS again;
+    the second eccentricity lower-bounds the diameter. BOUNDED-RADIUS
+    by contract like landmark_distances: legs stop at ``max_hops``, so
+    on graphs wider than the budget the bound is simply looser — a
+    fixed-round oracle and the early-stopping engine always agree.
+
+    Scale: two frontier BFS loops (one equi-join + one anti-join per
+    hop, frontier-sized work) and two 1-row scalar actions.
+    """
+    edges = graph.edges.select("src", "dst")
+    start = int(graph.vertices.agg(F.min("id")).collect()[0][0])
+    d1 = _bfs_single(edges, start, max_hops)
+    r1 = d1.agg(
+        F.max(F.struct(F.col("dist"), (-F.col("vertex")).alias("nv"))).alias("m")
+    ).collect()[0][0]
+    ecc_start, peak = int(r1["dist"]), int(-r1["nv"])
+    d2 = _bfs_single(edges, peak, max_hops)
+    diameter_lb = int(d2.agg(F.max("dist")).collect()[0][0])
+    return edges.sparkSession.createDataFrame(
+        [(start, peak, ecc_start, diameter_lb)],
+        "start long, peak long, ecc_start int, diameter_lb int",
+    )

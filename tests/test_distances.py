@@ -76,3 +76,25 @@ def test_harmonic_centrality_matches_bfs_sum(spark):
         terms = [1.0 / dists[lm][v] for lm in lms if v in dists[lm] and dists[lm][v] > 0]
         assert got[v][0] == len(terms)
         assert abs(got[v][1] - sum(terms)) < 1e-8
+
+
+def test_double_sweep_path_and_truncation(spark):
+    from louvain_fast_move_cuda_spark.operators.distances import double_sweep
+    from louvain_fast_move_cuda_spark.sources.edges import build_graph
+
+    # path 0-1-2-3-4: sweep from 0 finds peak 4 at dist 4; second leg
+    # confirms diameter 4
+    path = [(i, i + 1) for i in range(4)]
+    g = build_graph(spark.createDataFrame(path, "a long, b long"), relabel=False)
+    r = double_sweep(g, max_hops=8).collect()[0]
+    assert (r.start, r.peak, r.ecc_start, r.diameter_lb) == (0, 4, 4, 4)
+    # bounded radius: max_hops=2 truncates both legs; peak = lowest id
+    # at the cut distance (vertex 2), whose 2-hop eccentricity is 2
+    r2 = double_sweep(g, max_hops=2).collect()[0]
+    assert (r2.peak, r2.ecc_start, r2.diameter_lb) == (2, 2, 2)
+    # star: center 0 -> any leaf at dist 1 (tie -> lowest leaf), true
+    # diameter 2 recovered by the second sweep
+    star = [(0, i) for i in range(1, 5)]
+    gs = build_graph(spark.createDataFrame(star, "a long, b long"), relabel=False)
+    rs = double_sweep(gs, max_hops=8).collect()[0]
+    assert (rs.start, rs.peak, rs.ecc_start, rs.diameter_lb) == (0, 1, 1, 2)
