@@ -645,6 +645,59 @@ def _write_doc_ordered_chunks(docs: DataFrame, in_dir: str, n_chunks: int = 4):
             os.utime(dst, (1_700_000_000 + c, 1_700_000_000 + c))
 
 
+def _write_event_ordered_chunks(ev: DataFrame, in_dir: str, n_chunks: int = 4):
+    """Same trick for (event_id, user_id, us) streams: chunk files in
+    strict (us, event_id) order with increasing mtimes, so
+    maxFilesPerTrigger=1 replays them as ordered micro-batches and
+    per-user stream order == the batch session window's order."""
+    import os
+    import shutil
+
+    os.makedirs(in_dir, exist_ok=True)
+    base = os.path.dirname(in_dir)
+    w = Window.orderBy("us", "event_id")
+    chunked = ev.select("event_id", "user_id", "us").withColumn(
+        "_c", F.ntile(n_chunks).over(w)
+    )
+    for c in range(1, n_chunks + 1):
+        stage = f"{base}/evstage{c}"
+        chunked.filter(F.col("_c") == c).drop("_c").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        parts = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        for i, f_name in enumerate(parts):
+            dst = f"{in_dir}/{c:03d}_{i:03d}.parquet"
+            shutil.move(f"{stage}/{f_name}", dst)
+            os.utime(dst, (1_700_000_000 + c, 1_700_000_000 + c))
+
+
+def q_streaming_sessions(spark, sf_dir):
+    """Stateful streaming gap-sessionization under the driver oracle:
+    events replayed as 4 time-ordered micro-batches; the
+    applyInPandasWithState operator carries (last_ts, session_id) per
+    user so a session spanning batch boundaries keeps its id. Oracle =
+    the batch gap-window over (user_id, us, event_id) — exact integers."""
+    import tempfile
+
+    from louvain_fast_move_cuda_spark.streaming.session_stream import (
+        run_session_ingest,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.to_utc_timestamp("ts", "UTC")).alias("us"),
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_sessstream_")
+    in_dir = f"{base}/in"
+    _write_event_ordered_chunks(ev, in_dir, n_chunks=4)
+    run_session_ingest(
+        spark, in_dir, f"{base}/out", f"{base}/ck",
+        available_now=True, max_files_per_trigger=1,
+    )
+    return spark.read.parquet(f"{base}/out").select("event_id", "session_id")
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Stateful streaming dedup under the driver oracle: the corpus
     (plus a deterministic re-idded duplicate slice — sf docs carry no
@@ -1341,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_edges": q_streaming_edges,
         "streaming_turn_rates": q_streaming_turn_rates,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_sessions": q_streaming_sessions,
         # descriptive graph statistics (graphstats.py)
         "clustering_coefficient": q_clustering_coefficient,
         "assortativity": q_assortativity,
@@ -2689,6 +2743,28 @@ wdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS k FROM wsym GROUP BY src)
         "hits": _hits_sql(iters=8),
         "simhash_near_dupes": _snd_sql(bands=8, max_hamming=3),
         "curation_verdicts": _verdicts_sql(),
+        # streaming gap-sessionization == the batch gap window (the
+        # replay is (us, event_id)-ordered, so the stream's first event
+        # of a session is the window's first_value)
+        "streaming_sessions": """
+WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+f AS (
+  SELECT event_id, user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+g AS (
+  SELECT event_id, user_id, us,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM f
+)
+SELECT event_id,
+       first_value(event_id) OVER (PARTITION BY user_id, sid ORDER BY us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS session_id
+FROM g
+""",
         # ordered funnel: stage i = first step-i event strictly after the
         # user's stage-(i-1) reach time
         "funnel": """

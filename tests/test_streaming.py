@@ -123,3 +123,33 @@ def test_streaming_dedup_state_survives_restart(spark, tmp_path_factory):
     assert got[3] == (0, 1)  # cross-run dup, recovered from the state store
     assert got[4] == (1, 0)
     assert got[5] == (0, 2)  # third sighting of 'alpha beta' across runs
+
+
+def test_streaming_sessions_state_survives_restart(spark, tmp_path_factory):
+    """Gap-sessionization across TWO stream runs sharing one checkpoint:
+    run-2 events within the gap of run-1's last event must keep run-1's
+    session id (carried state), events past the gap start a new one."""
+    from louvain_fast_move_cuda_spark.streaming.session_stream import (
+        run_session_ingest,
+    )
+
+    tmp = tmp_path_factory.mktemp("sessstream")
+    in_dir, out_dir, ck_dir = str(tmp / "in"), str(tmp / "out"), str(tmp / "ck")
+    m = 60 * 1_000_000  # one minute in micros
+
+    # user 1: two events 10 min apart (one session)
+    batch1 = [(0, 1, 0 * m), (1, 1, 10 * m)]
+    # run 2: event at +20 min continues the session; +90 min breaks it;
+    # user 2 appears for the first time
+    batch2 = [(2, 1, 30 * m), (3, 1, 120 * m), (4, 2, 0 * m)]
+    spark.createDataFrame(
+        batch1, "event_id long, user_id long, us long"
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run_session_ingest(spark, in_dir, out_dir, ck_dir)
+    spark.createDataFrame(
+        batch2, "event_id long, user_id long, us long"
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run_session_ingest(spark, in_dir, out_dir, ck_dir)
+
+    got = {r.event_id: r.session_id for r in spark.read.parquet(out_dir).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4}
