@@ -1197,6 +1197,12 @@ def q_rolling_activity(spark, sf_dir):
     return rolling_activity(spark.read.parquet(f"{sf_dir}/events.parquet"), days=7)
 
 
+def q_table_profile(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.profile import table_profile
+
+    return table_profile(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def q_double_sweep(spark, sf_dir):
     from louvain_fast_move_cuda_spark.operators.distances import double_sweep
 
@@ -1415,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quad_census": q_quad_census,
         "events_cube": q_events_cube,
         "double_sweep": q_double_sweep,
+        "table_profile": q_table_profile,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -2813,6 +2820,17 @@ codeg AS (
 SELECT CAST(sum(c) AS BIGINT) AS n_wedges,
        CAST(sum(c * (c - 1) // 2) // 2 AS BIGINT) AS n_four_cycles
 FROM codeg
+""",
+        # ANALYZE-style column profile — exact integers only
+        "table_profile": """
+SELECT 'event_id' AS column, count(*) AS n_rows,
+       count(*) - count(event_id) AS n_nulls, count(DISTINCT event_id) AS n_distinct
+FROM events
+UNION ALL SELECT 'ts', count(*), count(*) - count(ts), count(DISTINCT ts) FROM events
+UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id), count(DISTINCT user_id) FROM events
+UNION ALL SELECT 'event_type', count(*), count(*) - count(event_type), count(DISTINCT event_type) FROM events
+UNION ALL SELECT 'value', count(*), count(*) - count(value), count(DISTINCT value) FROM events
+UNION ALL SELECT 'props', count(*), count(*) - count(props), count(DISTINCT props) FROM events
 """,
         # TPC-H Q1/Q3/Q5 — canonical SQL; per-row products keep the same
         # association as the Spark plan, aggregates r9-rounded

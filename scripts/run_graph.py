@@ -5,7 +5,8 @@ Usage (packaged via scripts/submit.sh):
         --events /path/to/events.parquet \
         --output /path/to/out [--checkpoint-dir /path/to/ckpt]
 
---algo: pagerank | cc | lpa | triangles
+--algo: pagerank | cc | lpa | triangles | hits | pagerank_directed |
+        double_sweep | quad_census
 Input: --transcripts (transcript parquet) | --events (driver events
 table) | --edge-file (whitespace edge-list text, reference GraphHost
 ingest; with --weighted / --skip-lines).
@@ -57,9 +58,32 @@ def build_input_graph(spark, args) -> GraphTables:
     return GraphTables(edges=edges, vertices=verts, m=m, n_nodes=verts.count())
 
 
+def build_raw_pairs(spark, args):
+    """Directed (a, b) pairs for the direction-aware algorithms (HITS,
+    directed PageRank) — pre-canonicalization, like the driver queries."""
+    if args.edge_file:
+        from louvain_fast_move_cuda_spark.sources.edgefile import read_edge_file
+
+        return read_edge_file(
+            spark, args.edge_file, weighted=args.weighted, skip_lines=args.skip_lines
+        ).select("a", "b")
+    if args.events:
+        t = transcripts_from_events(spark.read.parquet(args.events))
+    else:
+        t = spark.read.parquet(args.transcripts)
+    return derive_edges_from_transcripts(t)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--algo", required=True, choices=["pagerank", "cc", "lpa", "triangles"])
+    ap.add_argument(
+        "--algo",
+        required=True,
+        choices=[
+            "pagerank", "cc", "lpa", "triangles",
+            "hits", "pagerank_directed", "double_sweep", "quad_census",
+        ],
+    )
     ap.add_argument("--transcripts")
     ap.add_argument("--events")
     ap.add_argument("--edge-file")
@@ -71,6 +95,28 @@ def main():
     args = ap.parse_args()
 
     spark = SparkSession.builder.getOrCreate()
+    if args.algo in ("hits", "pagerank_directed"):
+        raw = build_raw_pairs(spark, args)
+        summary = {"algo": args.algo}
+        if args.algo == "hits":
+            from louvain_fast_move_cuda_spark.operators.hits import hits
+
+            out = hits(raw, max_iter=args.max_iter or 8)
+            top = out.orderBy(F.desc("hub_r9"), F.asc("id")).first()
+            summary["top_hub_id"] = int(top["id"])
+        else:
+            from louvain_fast_move_cuda_spark.operators.pagerank import (
+                directed_pagerank,
+            )
+
+            out = directed_pagerank(raw, max_iter=args.max_iter or 20)
+            summary["sum_rank_r9"] = float(
+                out.agg(F.round(F.sum("rank_r9"), 6)).collect()[0][0]
+            )
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps(summary))
+        return
+
     g = build_input_graph(spark, args)
     ckpt = (
         VertexIterationCheckpointer(args.checkpoint_dir, algo=args.algo)
@@ -79,6 +125,24 @@ def main():
     )
 
     summary = {"algo": args.algo, "n_vertices": g.n_nodes}
+    if args.algo == "double_sweep":
+        from louvain_fast_move_cuda_spark.operators.distances import double_sweep
+
+        out = double_sweep(g, max_hops=args.max_iter or 8)
+        summary.update(out.collect()[0].asDict())
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps(summary))
+        return
+    if args.algo == "quad_census":
+        from louvain_fast_move_cuda_spark.operators.graphstats import quad_census
+
+        out = quad_census(g)
+        r = out.collect()[0]
+        summary["n_wedges"] = int(r["n_wedges"])
+        summary["n_four_cycles"] = int(r["n_four_cycles"])
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps(summary))
+        return
     if args.algo == "pagerank":
         out = pagerank(g, max_iter=args.max_iter or 100, checkpointer=ckpt)
         summary["sum_rank"] = float(out.agg(F.sum("rank")).collect()[0][0])

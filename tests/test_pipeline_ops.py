@@ -436,3 +436,17 @@ def test_simhash_near_dupes_banded_exact_hamming(spark):
     assert got == {(0, 1): 3, (0, 2): 3}
     with pytest.raises(AssertionError, match="pigeonhole"):
         simhash_near_dupes(sims, bands=4, max_hamming=4)
+
+
+def test_table_profile_nulls_and_distincts(spark):
+    from louvain_fast_move_cuda_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (None, "b")],
+        "x long, s string",
+    )
+    got = {r.column: (r.n_rows, r.n_nulls, r.n_distinct)
+           for r in table_profile(df).collect()}
+    assert got == {"x": (4, 1, 3), "s": (4, 1, 2)}
+    sub = {r.column for r in table_profile(df, columns=["s"]).collect()}
+    assert sub == {"s"}
