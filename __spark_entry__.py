@@ -1197,6 +1197,20 @@ def q_rolling_activity(spark, sf_dir):
     return rolling_activity(spark.read.parquet(f"{sf_dir}/events.parquet"), days=7)
 
 
+def q_tool_latency(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.temporal import tool_latency
+
+    t, _, _ = _graph(spark, sf_dir)
+    return tool_latency(t)
+
+
+def q_role_degree_stats(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.temporal import role_degree_stats
+
+    t, ids, g = _graph(spark, sf_dir)
+    return role_degree_stats(t, ids, g)
+
+
 def q_table_profile(spark, sf_dir):
     from louvain_fast_move_cuda_spark.operators.profile import table_profile
 
@@ -1422,6 +1436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": q_events_cube,
         "double_sweep": q_double_sweep,
         "table_profile": q_table_profile,
+        "tool_latency": q_tool_latency,
+        "role_degree_stats": q_role_degree_stats,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -2820,6 +2836,31 @@ codeg AS (
 SELECT CAST(sum(c) AS BIGINT) AS n_wedges,
        CAST(sum(c * (c - 1) // 2) // 2 AS BIGINT) AS n_four_cycles
 FROM codeg
+""",
+        # per-tool result-consumption latency — exact integer micros
+        "tool_latency": f"""
+WITH {_T.strip()},
+hops AS (
+  SELECT tool, epoch_us(ts) AS us,
+         lead(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_us
+  FROM transcripts
+)
+SELECT tool, count(*) AS n_calls,
+       sum(next_us - us) AS sum_gap_us, max(next_us - us) AS max_gap_us
+FROM hops WHERE tool IS NOT NULL AND next_us IS NOT NULL
+GROUP BY tool
+""",
+        # the link graph joined back to transcript attributes: per-role
+        # connectivity (unit weights -> exact integer degrees)
+        "role_degree_stats": f"""
+{_GRAPH_CTE}
+SELECT t.role, count(*) AS n_turns,
+       CAST(sum(CAST(d.k AS BIGINT)) AS BIGINT) AS sum_degree,
+       CAST(max(CAST(d.k AS BIGINT)) AS BIGINT) AS max_degree
+FROM deg d
+JOIN ids i ON d.id = i.vid
+JOIN transcripts t ON i.conv_id = t.conv_id AND i.turn_idx = t.turn_idx
+GROUP BY t.role
 """,
         # ANALYZE-style column profile — exact integers only
         "table_profile": """

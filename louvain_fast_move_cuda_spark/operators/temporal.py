@@ -317,3 +317,45 @@ def rolling_activity(events: DataFrame, days: int = 7) -> DataFrame:
         .withColumn("n_prev", F.count("*").over(w))
         .select("event_id", "n_prev")
     )
+
+
+def tool_latency(transcripts: DataFrame) -> DataFrame:
+    """(tool, n_calls, sum_gap_us, max_gap_us) — for each tool turn, the
+    gap to the NEXT turn in its conversation (how long until the tool's
+    output is consumed); aggregated per tool in exact integer micros.
+    One lead() window + one tiny-key groupBy.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    us = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+    rows = (
+        transcripts.select("conv_id", "turn_idx", "tool", us.alias("us"))
+        .withColumn("next_us", F.lead("us").over(w))
+        .filter(F.col("tool").isNotNull() & F.col("next_us").isNotNull())
+    )
+    gap = F.col("next_us") - F.col("us")
+    return rows.groupBy("tool").agg(
+        F.count("*").alias("n_calls"),
+        F.sum(gap).alias("sum_gap_us"),
+        F.max(gap).alias("max_gap_us"),
+    )
+
+
+def role_degree_stats(transcripts: DataFrame, ids: DataFrame, graph) -> DataFrame:
+    """(role, n_turns, sum_degree, max_degree) — the link graph joined
+    back to transcript attributes: per ROLE, how connected its turns
+    are (weighted degree; unit weights make it an exact integer). The
+    A-x-B cross: graph structure keyed by a transcript column. Two
+    doc-id-style equi-joins (vid, then (conv, turn)) + one tiny-key
+    groupBy.
+    """
+    deg = graph.vertices.select(
+        F.col("id").alias("vid"), F.col("k").cast("long").alias("d")
+    )
+    j = ids.join(deg, "vid").join(
+        transcripts.select("conv_id", "turn_idx", "role"), ["conv_id", "turn_idx"]
+    )
+    return j.groupBy("role").agg(
+        F.count("*").alias("n_turns"),
+        F.sum("d").alias("sum_degree"),
+        F.max("d").alias("max_degree"),
+    )

@@ -257,3 +257,48 @@ def test_rolling_activity_range_frame_ties(spark):
     ]
     got = {r.event_id: r.n_prev for r in rolling_activity(_mk_events(spark, rows), days=7).collect()}
     assert got == {0: 1, 1: 2, 2: 3, 3: 3, 4: 2, 5: 2}
+
+
+def test_tool_latency_gap_to_next_turn(spark):
+    from louvain_fast_move_cuda_spark.operators.temporal import tool_latency
+
+    t0 = dt.datetime(2024, 3, 1)
+    t = spark.createDataFrame(
+        [
+            ("A", 0, "tool", "x", "grep", t0),
+            ("A", 1, "assistant", "y", None, t0 + dt.timedelta(seconds=2)),
+            ("A", 2, "tool", "z", "grep", t0 + dt.timedelta(seconds=10)),
+            ("A", 3, "user", "w", None, t0 + dt.timedelta(seconds=15)),
+            # conv-final tool turn: no next turn -> excluded
+            ("B", 0, "tool", "q", "edit", t0),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp_ntz",
+    )
+    got = {r.tool: (r.n_calls, r.sum_gap_us, r.max_gap_us)
+           for r in tool_latency(t).collect()}
+    assert got == {"grep": (2, 7_000_000, 5_000_000)}
+
+
+def test_role_degree_stats_cross_join_graph(spark):
+    from louvain_fast_move_cuda_spark.operators.temporal import role_degree_stats
+    from louvain_fast_move_cuda_spark.sources.edges import (
+        assign_contiguous_ids,
+        build_graph,
+    )
+
+    t = spark.createDataFrame(
+        [
+            ("A", 0, "user", "x", None),
+            ("A", 1, "assistant", "y", None),
+            ("A", 2, "user", "z", None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    ids = assign_contiguous_ids(t, ["conv_id", "turn_idx"], id_col="vid")
+    # path 0-1-2 over the vids: degrees 1, 2, 1
+    g = build_graph(
+        spark.createDataFrame([(0, 1), (1, 2)], "a long, b long"), relabel=False
+    )
+    got = {r.role: (r.n_turns, r.sum_degree, r.max_degree)
+           for r in role_degree_stats(t, ids, g).collect()}
+    assert got == {"user": (2, 2, 1), "assistant": (1, 2, 2)}
