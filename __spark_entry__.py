@@ -1211,6 +1211,30 @@ def q_role_degree_stats(spark, sf_dir):
     return role_degree_stats(t, ids, g)
 
 
+def q_events_pivot(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.temporal import events_pivot
+
+    return events_pivot(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_cms_sketch(spark, sf_dir):
+    """Count-min sketch with exact cross-engine point-query checks: the
+    bucket table (the xxhash bridge) is materialized; cell counting,
+    the min-over-rows estimate, and the >= true-count guarantee are all
+    exact SQL downstream."""
+    from louvain_fast_move_cuda_spark.operators.dedup import token_hashes
+    from louvain_fast_move_cuda_spark.operators.sketch import (
+        cms_buckets,
+        cms_point_queries,
+    )
+
+    b = _materialize_for_oracle(
+        cms_buckets(token_hashes(_docs(spark, sf_dir)), depth=4, width=256),
+        "cms_buckets",
+    )
+    return cms_point_queries(b, top_n=20)
+
+
 def q_table_profile(spark, sf_dir):
     from louvain_fast_move_cuda_spark.operators.profile import table_profile
 
@@ -1438,6 +1462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "tool_latency": q_tool_latency,
         "role_degree_stats": q_role_degree_stats,
+        "events_pivot": q_events_pivot,
+        "cms_sketch": q_cms_sketch,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -2861,6 +2887,36 @@ FROM deg d
 JOIN ids i ON d.id = i.vid
 JOIN transcripts t ON i.conv_id = t.conv_id AND i.turn_idx = t.turn_idx
 GROUP BY t.role
+""",
+        # classic pivot/crosstab — explicit value list, zeros for absent
+        "events_pivot": """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+FROM events GROUP BY user_id
+""",
+        # count-min sketch over the materialized bucket table: cell
+        # counts, min-over-rows point estimates, and the CMS
+        # overestimate guarantee — all exact integers
+        "cms_sketch": f"""
+WITH b AS (SELECT h, row_idx, bucket
+           FROM read_parquet('{_ORACLE_MAT_DIR}/cms_buckets.parquet/*.parquet')),
+cells AS (SELECT row_idx, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+tc AS (SELECT h, count(*) AS true_cnt FROM b WHERE row_idx = 0 GROUP BY h),
+top AS (SELECT h, true_cnt FROM tc ORDER BY true_cnt DESC, h LIMIT 20),
+qb AS (SELECT DISTINCT b.h, b.row_idx, b.bucket FROM b JOIN top ON b.h = top.h),
+est AS (
+  SELECT qb.h, min(c.cnt) AS cms_est, count(*) AS nr
+  FROM qb JOIN cells c ON qb.row_idx = c.row_idx AND qb.bucket = c.bucket
+  GROUP BY qb.h
+)
+SELECT top.h, top.true_cnt, est.cms_est,
+       est.cms_est - top.true_cnt AS overestimate
+FROM top JOIN est ON top.h = est.h
+WHERE est.nr = (SELECT count(DISTINCT row_idx) FROM b)
 """,
         # ANALYZE-style column profile — exact integers only
         "table_profile": """

@@ -359,3 +359,22 @@ def role_degree_stats(transcripts: DataFrame, ids: DataFrame, graph) -> DataFram
         F.sum("d").alias("sum_degree"),
         F.max("d").alias("max_degree"),
     )
+
+
+def events_pivot(
+    events: DataFrame,
+    types: tuple = ("click", "error", "purchase", "signup", "view"),
+) -> DataFrame:
+    """(user_id, n_<type>...) — the classic pivot/crosstab: per-user
+    event counts spread into one column per event type. The pivot value
+    list is EXPLICIT (never inferred) — at scale an inferred pivot is
+    an extra distinct scan and a nondeterministic column order; absent
+    cells coalesce to 0.
+    """
+    p = events.groupBy("user_id").pivot("event_type", list(types)).agg(
+        F.count(F.lit(1))
+    )
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )

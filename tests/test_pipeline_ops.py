@@ -450,3 +450,43 @@ def test_table_profile_nulls_and_distincts(spark):
     assert got == {"x": (4, 1, 3), "s": (4, 1, 2)}
     sub = {r.column for r in table_profile(df, columns=["s"]).collect()}
     assert sub == {"s"}
+
+
+def test_cms_sketch_overestimate_guarantee(spark):
+    from louvain_fast_move_cuda_spark.operators.sketch import (
+        cms_buckets,
+        cms_point_queries,
+        cms_table,
+    )
+
+    # skewed token stream: 'a' x50, 'b' x10, singletons; tiny width
+    # forces collisions so overestimates actually occur
+    docs = spark.createDataFrame(
+        [(0, " ".join(["a"] * 50 + ["b"] * 10 + [f"t{i}" for i in range(40)]))],
+        "doc_id long, text string",
+    )
+    from louvain_fast_move_cuda_spark.operators.dedup import token_hashes
+
+    b = cms_buckets(token_hashes(docs), depth=4, width=8)
+    cells = {(r.row_idx, r.bucket): r.cnt for r in cms_table(b).collect()}
+    # each sketch row partitions all 100 occurrences
+    for r in range(4):
+        assert sum(v for (ri, _), v in cells.items() if ri == r) == 100
+    got = {r.true_cnt: r for r in cms_point_queries(b, top_n=2).collect()}
+    assert set(got) == {50, 10}
+    for r in got.values():
+        assert r.overestimate >= 0 and r.cms_est == r.true_cnt + r.overestimate
+
+
+def test_events_pivot_zeros(spark):
+    import datetime as dt
+
+    from louvain_fast_move_cuda_spark.operators.temporal import events_pivot
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(0, t0, 1, "click", 0.0), (1, t0, 1, "click", 0.0), (2, t0, 2, "view", 0.0)],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    )
+    got = {r.user_id: (r.n_click, r.n_view, r.n_error) for r in events_pivot(ev).collect()}
+    assert got == {1: (2, 0, 0), 2: (0, 1, 0)}
