@@ -2993,7 +2993,7 @@ WITH r AS (
   SELECT event_type, value,
          row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
          count(*) OVER (PARTITION BY event_type) AS n
-  FROM events
+  FROM events WHERE value IS NOT NULL
 ),
 q AS (SELECT unnest([25, 50, 75, 90, 99]) AS q)
 SELECT r.event_type, q.q, r.n, r.value
@@ -3016,32 +3016,34 @@ SELECT conv_id, count(*) AS n_turns, count(tool) AS n_tool_turns,
        max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
 FROM transcripts GROUP BY conv_id
 """,
-        # as-of join: the same union-and-running-last plan in ANSI SQL;
-        # the (tsu, tag, seq) sort key is a total order, so per-column
-        # running-last picks the same source row in both engines
+        # as-of join: running-last resolves ONLY the matched purchase's
+        # event id (never null on tag-0 rows), then a join back to the
+        # purchase row fetches its ts/value — atomic by construction,
+        # mirroring the Spark operator's struct-atomic match (a
+        # per-column running-last would tear a match whose value is
+        # NULL, because IGNORE NULLS skips to an older row)
         "asof_purchase": """
 WITH ev AS (SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events),
 u AS (
   SELECT user_id, ts_us AS tsu, 0 AS tag, event_id AS seq,
-         event_id AS p_eid, value AS p_val,
+         event_id AS p_eid,
          CAST(NULL AS BIGINT) AS l_eid, CAST(NULL AS BIGINT) AS l_ts
   FROM ev WHERE event_type = 'purchase'
   UNION ALL
-  SELECT user_id, ts_us, 1, event_id, NULL, NULL, event_id, ts_us
+  SELECT user_id, ts_us, 1, event_id, NULL, event_id, ts_us
   FROM ev WHERE event_type = 'click'
 ),
 w AS (
   SELECT *,
-    last_value(CASE WHEN tag = 0 THEN p_eid END IGNORE NULLS) OVER win AS m_eid,
-    last_value(CASE WHEN tag = 0 THEN tsu END IGNORE NULLS) OVER win AS m_ts,
-    last_value(CASE WHEN tag = 0 THEN p_val END IGNORE NULLS) OVER win AS m_val
+    last_value(CASE WHEN tag = 0 THEN p_eid END IGNORE NULLS) OVER win AS m_eid
   FROM u
   WINDOW win AS (PARTITION BY user_id ORDER BY tsu, tag, seq
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
-SELECT l_eid AS event_id, m_eid AS purchase_event_id,
-       l_ts - m_ts AS gap_micros, m_val AS purchase_value
-FROM w WHERE tag = 1
+SELECT w.l_eid AS event_id, w.m_eid AS purchase_event_id,
+       w.l_ts - p.ts_us AS gap_micros, p.value AS purchase_value
+FROM w LEFT JOIN ev p ON w.m_eid = p.event_id
+WHERE w.tag = 1
 """,
         # interval join: DuckDB runs the naive inequality join (IEJoin);
         # the Spark side proves the bucket-decomposed equi-join computes

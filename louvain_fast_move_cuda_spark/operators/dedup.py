@@ -422,7 +422,8 @@ def simhash_bands(sims: DataFrame, bands: int = 8, bits: int = 64) -> DataFrame:
     signed two's-complement value — portable to any engine, no unsigned
     shifts needed)."""
     w = bits // bands
-    assert w * bands == bits
+    if w * bands != bits:
+        raise ValueError(f"bands={bands} must divide bits={bits}")
     cols = []
     for j in range(bands):
         mask = ((1 << w) - 1) << (j * w)
@@ -446,7 +447,12 @@ def simhash_near_dupes(
     content-hash-distributed, so bucket sizes concentrate near
     N / 2**(bits/bands) per band.
     """
-    assert max_hamming < bands, "pigeonhole guarantee needs max_hamming < bands"
+    if max_hamming >= bands:
+        # a bare assert would vanish under python -O and silently lose
+        # the recall-1 guarantee — this must be a hard error
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming ({max_hamming}) < bands ({bands})"
+        )
     pairs = lsh_pairs_from_buckets(simhash_bands(sims, bands, bits))
     a = sims.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
     b = sims.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))

@@ -49,6 +49,15 @@ def landmark_distances(
         .select("landmark", F.col("landmark").alias("vertex"), F.lit(0).alias("dist"))
         .localCheckpoint(eager=True)
     )
+    return _bfs_loop(edges, seeds, max_hops)
+
+
+def _bfs_loop(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
+    """Shared multi-source BFS: seeds = (landmark, vertex, dist=0),
+    returns (landmark, vertex, dist) within max_hops. One frontier
+    expand join + one visited anti-join per hop; the frontier count
+    doubles as the hop's materialization action; stops at the true
+    fixpoint (expansion is monotone)."""
     visited = seeds
     frontier = seeds
     out = [seeds]
@@ -108,33 +117,14 @@ def harmonic_centrality(
 
 
 def _bfs_single(edges: DataFrame, seed: int, max_hops: int) -> DataFrame:
-    """(vertex, dist) — bounded-radius BFS from one seed; the same
-    frontier/visited loop as landmark_distances without the landmark
-    column."""
+    """(vertex, dist) — bounded-radius BFS from one seed: the shared
+    multi-source loop (_bfs_loop) with a single-row seed set, landmark
+    column dropped."""
     spark = edges.sparkSession
     seeds = spark.createDataFrame(
-        [(int(seed), 0)], "vertex long, dist int"
+        [(int(seed), int(seed), 0)], "landmark long, vertex long, dist int"
     ).localCheckpoint(eager=True)
-    visited = seeds.select("vertex")
-    frontier = seeds.select("vertex")
-    out = [seeds]
-    for h in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(edges, frontier["vertex"] == edges["src"])
-            .select(F.col("dst").alias("vertex"))
-            .distinct()
-            .join(visited, "vertex", "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        if nxt.count() == 0:
-            break
-        out.append(nxt.select("vertex", F.lit(h).alias("dist")))
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionByName(df)
-    return res
+    return _bfs_loop(edges, seeds, max_hops).select("vertex", "dist")
 
 
 def double_sweep(graph: GraphTables, max_hops: int = 8) -> DataFrame:
@@ -150,7 +140,10 @@ def double_sweep(graph: GraphTables, max_hops: int = 8) -> DataFrame:
     hop, frontier-sized work) and two 1-row scalar actions.
     """
     edges = graph.edges.select("src", "dst")
-    start = int(graph.vertices.agg(F.min("id")).collect()[0][0])
+    start_row = graph.vertices.agg(F.min("id")).collect()[0][0]
+    if start_row is None:
+        raise ValueError("double_sweep needs a non-empty graph")
+    start = int(start_row)
     d1 = _bfs_single(edges, start, max_hops)
     r1 = d1.agg(
         F.max(F.struct(F.col("dist"), (-F.col("vertex")).alias("nv"))).alias("m")

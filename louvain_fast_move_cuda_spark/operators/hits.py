@@ -36,6 +36,8 @@ def hits(raw_pairs: DataFrame, max_iter: int = 8) -> DataFrame:
     0.0; no out-links, hub exactly 0.0. Scores are L1-normalized so
     each column sums to 1 (up to roundoff) every iteration.
     """
+    if max_iter < 1:
+        raise ValueError(f"hits needs max_iter >= 1, got {max_iter}")
     d = (
         raw_pairs.select("a", "b")
         .filter(F.col("a") != F.col("b"))

@@ -115,14 +115,14 @@ def interval_join(
     rather than exploding unboundedly — widen the bucket instead.
     """
     span = intervals.select(
-        (
-            (F.col(end).cast("long") - F.col(start).cast("long")) / F.lit(bucket)
-        ).alias("b")
+        # exact per-interval explode factor: the sequence below yields
+        # (end div b) - (start div b) + 1 rows
+        F.expr(f"{end} div {bucket} - {start} div {bucket} + 1").alias("b")
     ).agg(F.max("b"))
     worst = span.collect()[0][0]
     if worst is not None and worst > max_buckets:
         raise ValueError(
-            f"interval spans up to {worst:.0f} buckets > max_buckets={max_buckets}; "
+            f"interval covers up to {worst} buckets > max_buckets={max_buckets}; "
             f"raise `bucket` (currently {bucket})"
         )
     iv = intervals.withColumn(

@@ -159,9 +159,15 @@ def funnel_counts(
         .groupBy("user_id")
         .agg(F.min("us").alias("t"))
     )
-    out = prev.select(
-        F.lit(0).alias("stage"), F.lit(steps[0]).alias("step")
-    ).groupBy("stage", "step").agg(F.count("*").alias("n_users"))
+
+    def stage_row(df, i, step):
+        # ungrouped agg: a stage nobody reaches still emits its row
+        # with n_users = 0 (the oracle's ungrouped count does too)
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(i).alias("stage"), F.lit(step).alias("step"), "n_users"
+        )
+
+    out = stage_row(prev, 0, steps[0])
     for i, step in enumerate(steps[1:], start=1):
         prev = (
             ev.filter(F.col("event_type") == step)
@@ -170,11 +176,7 @@ def funnel_counts(
             .groupBy("user_id")
             .agg(F.min("us").alias("t"))
         )
-        out = out.unionByName(
-            prev.select(F.lit(i).alias("stage"), F.lit(step).alias("step"))
-            .groupBy("stage", "step")
-            .agg(F.count("*").alias("n_users"))
-        )
+        out = out.unionByName(stage_row(prev, i, step))
     return out
 
 
@@ -273,12 +275,18 @@ def value_quantiles_by_type(
     (group x quantile) target join. Unlike length_quantiles this sorts
     real rows, not a bounded distinct-value space — the right tool when
     values are near-unique doubles.
+
+    NULL values are excluded before ranking (quantiles are over the
+    observed values; engines disagree on default NULL sort order, so
+    leaving them in would shift every rank) and ``n`` counts non-null
+    rows only.
     """
+    nn = events.filter(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = events.select("event_type", "value", "event_id").withColumn(
+    ranked = nn.select("event_type", "value", "event_id").withColumn(
         "rn", F.row_number().over(w)
     )
-    ng = events.groupBy("event_type").agg(F.count("*").alias("n"))
+    ng = nn.groupBy("event_type").agg(F.count("*").alias("n"))
     qdf = events.sparkSession.createDataFrame(
         [(int(q),) for q in quantiles], "q int"
     )

@@ -103,7 +103,7 @@ def main():
 
             out = hits(raw, max_iter=args.max_iter or 8)
             top = out.orderBy(F.desc("hub_r9"), F.asc("id")).first()
-            summary["top_hub_id"] = int(top["id"])
+            summary["top_hub_id"] = int(top["id"]) if top is not None else None
         else:
             from louvain_fast_move_cuda_spark.operators.pagerank import (
                 directed_pagerank,

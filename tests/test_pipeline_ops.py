@@ -434,7 +434,7 @@ def test_simhash_near_dupes_banded_exact_hamming(spark):
     # collides in the 5 untouched ones; (1,2) is a candidate (shared
     # high bands) but hamming 4 > 3; 3 shares no band with anyone
     assert got == {(0, 1): 3, (0, 2): 3}
-    with pytest.raises(AssertionError, match="pigeonhole"):
+    with pytest.raises(ValueError, match="pigeonhole"):
         simhash_near_dupes(sims, bands=4, max_hamming=4)
 
 

@@ -163,6 +163,11 @@ def test_funnel_strict_ordering(spark):
     ]
     got = {r.step: (r.stage, r.n_users) for r in funnel_counts(_mk_events(spark, rows)).collect()}
     assert got == {"view": (0, 3), "click": (1, 2), "purchase": (2, 1)}
+    # a stage nobody reaches still emits its row with n_users = 0
+    got0 = {r.step: (r.stage, r.n_users)
+            for r in funnel_counts(_mk_events(spark, rows),
+                                   steps=("view", "click", "signup")).collect()}
+    assert got0["signup"] == (2, 0)
 
 
 def test_retention_cohorts_periods(spark):
@@ -231,6 +236,8 @@ def test_value_quantiles_exact_order_statistics(spark):
     t0 = dt.datetime(2024, 3, 1)
     rows = [(i, t0, 1, "a", float(v)) for i, v in enumerate([10, 20, 30, 40])]
     rows += [(10, t0, 1, "b", 5.0)]
+    # NULL values are excluded before ranking and from n
+    rows += [(11, t0, 1, "a", None)]
     got = {(r.event_type, r.q): r.value
            for r in value_quantiles_by_type(_mk_events(spark, rows), quantiles=(25, 50, 75, 100)).collect()}
     # type a (n=4): rank ceil(q*4/100) -> 1,2,3,4
