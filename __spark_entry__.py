@@ -1235,6 +1235,36 @@ def q_cms_sketch(spark, sf_dir):
     return cms_point_queries(b, top_n=20)
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV/bottom-k distinct sketch over the token-hash stream with the
+    exact distinct count alongside — the relative-error guarantee is a
+    checked output column (cms_sketch's pattern for order-0 moments
+    applied to the order-1 problem)."""
+    from louvain_fast_move_cuda_spark.operators.dedup import token_hashes
+    from louvain_fast_move_cuda_spark.operators.sketch import kmv_distinct
+
+    tok = _materialize_for_oracle(
+        token_hashes(_docs(spark, sf_dir)).select("h"), "kmv_hashes"
+    )
+    return kmv_distinct(tok, k=1024)
+
+
+def q_quantile_sketch(spark, sf_dir):
+    """Hash-min-sample quantile sketch over events.value with the
+    estimate's exact rank interval computed against the full data —
+    the sublinear twin of the exact value_quantiles query."""
+    from louvain_fast_move_cuda_spark.operators.sketch import quantile_sketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hv = _materialize_for_oracle(
+        ev.filter(F.col("value").isNotNull()).select(
+            F.xxhash64("event_id").alias("h"), "value"
+        ),
+        "quantile_hv",
+    )
+    return quantile_sketch(hv, k=1024)
+
+
 def q_table_profile(spark, sf_dir):
     from louvain_fast_move_cuda_spark.operators.profile import table_profile
 
@@ -1464,6 +1494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_degree_stats": q_role_degree_stats,
         "events_pivot": q_events_pivot,
         "cms_sketch": q_cms_sketch,
+        "kmv_distinct": q_kmv_distinct,
+        "quantile_sketch": q_quantile_sketch,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -2917,6 +2949,60 @@ SELECT top.h, top.true_cnt, est.cms_est,
        est.cms_est - top.true_cnt AS overestimate
 FROM top JOIN est ON top.h = est.h
 WHERE est.nr = (SELECT count(DISTINCT row_idx) FROM b)
+""",
+        # KMV distinct sketch over the materialized token-hash stream:
+        # bottom-k of the DISTINCT hashes, (k-1)/v_k estimator, and the
+        # checked relative-error bound — same IEEE tree as the engine
+        "kmv_distinct": f"""
+WITH tok AS (SELECT h FROM read_parquet('{_ORACLE_MAT_DIR}/kmv_hashes.parquet/*.parquet')),
+dh AS (SELECT DISTINCT h FROM tok),
+kth AS (SELECT max(h) AS kth_h, count(*) AS n_in_k
+        FROM (SELECT h FROM dh ORDER BY h LIMIT 1024)),
+stats AS (SELECT count(*) AS n_exact FROM dh),
+e AS (
+  SELECT n_exact, n_in_k, kth_h,
+         CASE WHEN n_in_k < 1024 THEN CAST(n_in_k AS DOUBLE)
+              ELSE 1023.0 / (kth_h / 18446744073709551616.0 + 0.5) END AS est
+  FROM stats, kth
+),
+r AS (
+  SELECT *, CASE WHEN n_exact = 0 THEN 0.0
+                 ELSE abs(est - n_exact) / n_exact END AS rel
+  FROM e
+)
+SELECT n_exact, 1024 AS k_used, n_in_k, kth_h,
+       round(est, 9) AS kmv_est, round(rel, 9) AS rel_err,
+       rel <= 0.25 AS within_bound
+FROM r
+""",
+        # hash-min-sample quantile sketch: bottom-k sample by row-key
+        # hash, type-1 sample order statistics, exact rank interval of
+        # each estimate against the full data
+        "quantile_sketch": f"""
+WITH hv AS (SELECT h, value FROM read_parquet('{_ORACLE_MAT_DIR}/quantile_hv.parquet/*.parquet')),
+s AS (SELECT h, value FROM hv ORDER BY h, value LIMIT 1024),
+samp AS (SELECT value, row_number() OVER (ORDER BY value, h) AS r,
+                count(*) OVER () AS s_n
+         FROM s),
+qs AS (SELECT * FROM (VALUES (25), (50), (75), (90), (99)) AS t(q_pct)),
+est AS (SELECT q_pct, samp.value AS est_value
+        FROM qs JOIN samp
+          ON samp.r = greatest(1, CAST(ceil(q_pct / 100.0 * s_n) AS BIGINT))),
+chk AS (SELECT q_pct, est_value, count(*) AS n,
+               sum(CASE WHEN hv.value < est_value THEN 1 ELSE 0 END) AS rank_lo,
+               sum(CASE WHEN hv.value <= est_value THEN 1 ELSE 0 END) AS rank_hi
+        FROM hv CROSS JOIN est GROUP BY 1, 2),
+r AS (
+  SELECT *, CASE WHEN ceil(q_pct / 100.0 * n) < rank_lo + 1
+                 THEN (rank_lo + 1 - ceil(q_pct / 100.0 * n)) / n
+                 WHEN ceil(q_pct / 100.0 * n) > rank_hi
+                 THEN (ceil(q_pct / 100.0 * n) - rank_hi) / n
+                 ELSE 0.0 END AS err
+  FROM chk
+)
+SELECT q_pct, est_value, n, rank_lo, rank_hi,
+       round(err, 9) AS rank_err, err <= 0.0625 AS within_bound
+FROM r
 """,
         # ANALYZE-style column profile — exact integers only
         "table_profile": """

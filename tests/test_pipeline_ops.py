@@ -490,3 +490,63 @@ def test_events_pivot_zeros(spark):
     )
     got = {r.user_id: (r.n_click, r.n_view, r.n_error) for r in events_pivot(ev).collect()}
     assert got == {1: (2, 0, 0), 2: (0, 1, 0)}
+
+
+def test_kmv_distinct_exact_when_small(spark):
+    from louvain_fast_move_cuda_spark.operators.sketch import kmv_distinct
+
+    tok = spark.createDataFrame([(i % 7,) for i in range(100)], "h long")
+    r = kmv_distinct(tok, k=16).collect()[0]
+    # fewer distinct hashes than k: the sketch holds them all -> exact
+    assert (r.n_exact, r.n_in_k, r.k_used) == (7, 7, 16)
+    assert r.kmv_est == 7.0 and r.rel_err == 0.0 and r.within_bound
+
+
+def test_kmv_distinct_estimates_within_bound(spark):
+    from louvain_fast_move_cuda_spark.operators.sketch import kmv_distinct
+
+    docs = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(5000)], "t string"
+    ).repartition(8)
+    tok = docs.select(F.xxhash64("t").alias("h"))
+    r = kmv_distinct(tok, k=256).collect()[0]
+    assert r.n_exact == 5000 and r.n_in_k == 256
+    # 8/sqrt(256) = 0.5 -- the checked bound itself
+    assert r.within_bound and abs(r.kmv_est - 5000.0) / 5000.0 <= 0.5
+    # duplicating the stream must not move a DISTINCT sketch
+    r2 = kmv_distinct(tok.union(tok), k=256).collect()[0]
+    assert (r2.kth_h, r2.kmv_est) == (r.kth_h, r.kmv_est)
+
+
+def test_quantile_sketch_full_sample_is_exact(spark):
+    from louvain_fast_move_cuda_spark.operators.sketch import quantile_sketch
+
+    # k >= n: the sample IS the data -> every estimate is the exact
+    # type-1 quantile and its rank error is 0
+    hv = spark.createDataFrame(
+        [(i * 37 % 101, float(i)) for i in range(101)], "h long, value double"
+    )
+    rows = quantile_sketch(hv, k=200).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n == 101 and r.rank_err == 0.0 and r.within_bound
+        assert r.est_value == float(math.ceil(r.q_pct / 100.0 * 101) - 1)
+
+
+def test_quantile_sketch_subsample_bounded(spark):
+    from louvain_fast_move_cuda_spark.operators.sketch import quantile_sketch
+
+    n = 20000
+    hv = (
+        spark.range(n)
+        .select(F.xxhash64("id").alias("h"), F.col("id").cast("double").alias("value"))
+        .repartition(8)
+    )
+    rows = {r.q_pct: r for r in quantile_sketch(hv, k=1024).collect()}
+    assert set(rows) == {25, 50, 75, 90, 99}
+    for q, r in rows.items():
+        assert r.n == n and r.within_bound
+        # rank interval must straddle the estimate: lo < hi for unique values
+        assert r.rank_lo < r.rank_hi
+        # and sit near the target rank (hash-sample, deterministic)
+        assert abs((r.rank_lo + 1) / n - q / 100.0) <= 0.0625 + 1.0 / n
