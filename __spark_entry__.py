@@ -931,6 +931,26 @@ def q_landmark_distances(spark, sf_dir):
     return landmark_distances(g, seed_mod=257, max_hops=5)
 
 
+def q_mis(spark, sf_dir):
+    """Deterministic Luby maximal independent set — mixer priorities
+    packed with the vertex id into one int64 so the per-round argmax
+    is a plain integer max in any engine."""
+    from louvain_fast_move_cuda_spark.operators.mis import maximal_independent_set
+
+    _, _, g = _graph(spark, sf_dir)
+    return maximal_independent_set(g, salt=0, max_rounds=12)
+
+
+def q_stress_centrality(spark, sf_dir):
+    """Sampled-source stress centrality (the integer-exact member of
+    the betweenness family): Brandes two-pass over the landmark BFS
+    DAG, every quantity an exact int64."""
+    from louvain_fast_move_cuda_spark.operators.distances import stress_centrality
+
+    _, _, g = _graph(spark, sf_dir)
+    return stress_centrality(g, seed_mod=101, max_hops=4)
+
+
 def q_harmonic_centrality(spark, sf_dir):
     _, _, g = _graph(spark, sf_dir)
     return harmonic_centrality(g, seed_mod=257, max_hops=5)
@@ -946,6 +966,17 @@ def q_weighted_random_walks(spark, sf_dir):
 def q_skipgram_pairs(spark, sf_dir):
     _, _, g = _graph(spark, sf_dir)
     return skipgram_pairs(random_walks(g, length=8, seed_mod=7, salt=0), window=2)
+
+
+def q_node2vec_walks(spark, sf_dir):
+    """Second-order (node2vec) biased walks over the weighted-merge
+    graph — the return/near/far bias is applied per step, so the
+    inverse-CDF runs over per-step cumulative sums; defaults encode
+    p=2, q=0.5 (exploration-leaning)."""
+    from louvain_fast_move_cuda_spark.operators.walks import node2vec_walks
+
+    g = _weighted_graph(spark, sf_dir)
+    return node2vec_walks(g, length=6, seed_mod=7, salt=0)
 
 
 def q_neighbor_sample(spark, sf_dir):
@@ -1494,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_degree_stats": q_role_degree_stats,
         "events_pivot": q_events_pivot,
         "cms_sketch": q_cms_sketch,
+        "node2vec_walks": q_node2vec_walks,
         "kmv_distinct": q_kmv_distinct,
         "quantile_sketch": q_quantile_sketch,
         "tpch_q1": q_tpch_q1,
@@ -1533,6 +1565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_links": q_jaccard_links,
         "landmark_distances": q_landmark_distances,
         "harmonic_centrality": q_harmonic_centrality,
+        "stress_centrality": q_stress_centrality,
+        "mis": q_mis,
         "random_walks": q_random_walks,
         "weighted_random_walks": q_weighted_random_walks,
         "skipgram_pairs": q_skipgram_pairs,
@@ -2181,6 +2215,147 @@ def _wwalks_sql(length: int = 8, seed_mod: int = 7, salt: int = 0) -> str:
     return f"{_GRAPH_CTE},{_WEIGHTED_GRAPH_CTE}\n" + ",\n".join(parts) + "\n" + union
 
 
+def _n2v_sql(
+    length: int = 6,
+    seed_mod: int = 7,
+    salt: int = 0,
+    ret_w: int = 1,
+    near_w: int = 2,
+    far_w: int = 4,
+) -> str:
+    """Unroll operators/walks.py::node2vec_walks — per step the
+    candidate biases depend on (prev, cur) (return / shared-neighbor /
+    exploration), so the cumulative sums are computed per step per
+    walk; the mixer, the interval pick, and every weight are integers,
+    so both engines agree bit-for-bit."""
+    parts = [
+        """adj AS MATERIALIZED (
+  SELECT src, dst, CAST(weight AS BIGINT) AS w_int FROM wsym)""",
+        f"w0 AS MATERIALIZED (SELECT id AS walk_id, id AS prev, id AS vertex FROM wdeg WHERE id % {seed_mod} = 0)",
+    ]
+    for s in range(1, length + 1):
+        mix = (
+            f"(((c.vertex % 1000003) * 10007 + (c.walk_id % 1000003) * 97"
+            f" + {s} * 31 + {salt}) % 999983)"
+        )
+        parts.append(
+            f"""c{s} AS MATERIALIZED (
+  SELECT c.walk_id, c.vertex, n.dst,
+         CASE WHEN n.dst = c.prev THEN {ret_w}
+              WHEN pe.src IS NOT NULL THEN {near_w}
+              ELSE {far_w} END * n.w_int AS bw,
+         {mix} AS h
+  FROM w{s - 1} c JOIN adj n ON n.src = c.vertex
+  LEFT JOIN adj pe ON pe.src = c.prev AND pe.dst = n.dst),
+r{s} AS MATERIALIZED (
+  SELECT walk_id, vertex, dst, bw, h,
+         coalesce(sum(bw) OVER (PARTITION BY walk_id ORDER BY dst
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+         sum(bw) OVER (PARTITION BY walk_id) AS tot
+  FROM c{s}),
+w{s} AS MATERIALIZED (
+  SELECT walk_id, vertex AS prev, dst AS vertex FROM r{s}
+  WHERE h % tot >= cum AND h % tot < cum + bw)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT walk_id, {s} AS step, vertex FROM w{s}" for s in range(length + 1)
+    )
+    return f"{_GRAPH_CTE},{_WEIGHTED_GRAPH_CTE}\n" + ",\n".join(parts) + "\n" + union
+
+
+def _mis_sql(salt: int = 0, max_rounds: int = 12) -> str:
+    """Unroll operators/mis.py::maximal_independent_set — per round the
+    same mixer priority packed with the id into one int64, a per-vertex
+    integer max over undecided neighbors, winner/dropped set shrink.
+    Fixed unroll == the engine's max_rounds budget (k_core contract);
+    rounds after the natural fixpoint are no-ops on empty sets."""
+    parts = [
+        "u0 AS MATERIALIZED (SELECT id FROM deg)",
+        "e0 AS MATERIALIZED (SELECT src, dst FROM sym)",
+    ]
+    for r in range(max_rounds):
+        key = (
+            f"((((u.id * u.id % 1000003) * 10007 + (u.id % 1000003) * 97"
+            f" + {r} * 31 + {salt}) % 999983) * 2147483648 + u.id)"
+        )
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT u.id, {key} AS ky FROM u{r} u),
+nb{r} AS MATERIALIZED (
+  SELECT e.src AS id, max(pd.ky) AS mx
+  FROM e{r} e JOIN p{r} pd ON pd.id = e.dst
+  GROUP BY 1),
+m{r} AS MATERIALIZED (
+  SELECT p.id FROM p{r} p LEFT JOIN nb{r} n ON p.id = n.id
+  WHERE n.mx IS NULL OR p.ky > n.mx),
+x{r} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS id FROM e{r} e JOIN m{r} m ON e.src = m.id),
+u{r + 1} AS MATERIALIZED (
+  SELECT id FROM u{r}
+  EXCEPT SELECT id FROM (SELECT id FROM m{r} UNION ALL SELECT id FROM x{r})),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM e{r} e
+  JOIN u{r + 1} a ON e.src = a.id JOIN u{r + 1} b ON e.dst = b.id)"""
+        )
+    union = "\nUNION ALL ".join(f"SELECT id FROM m{r}" for r in range(max_rounds))
+    parts.append(f"mis AS MATERIALIZED (\n{union})")
+    tail = """SELECT d.id, (mis.id IS NOT NULL) AS in_mis
+FROM deg d LEFT JOIN mis ON d.id = mis.id"""
+    return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + "\n" + tail
+
+
+def _stress_sql(seed_mod: int = 101, max_hops: int = 4) -> str:
+    """Unroll operators/distances.py::stress_centrality — forward
+    multi-source BFS carrying integer sigma (#shortest paths), backward
+    DAG-level accumulation of integer D (#DAG paths leaving v), stress
+    = sum over landmarks of sigma * D for interior vertices. Bounded
+    radius makes the fixed unroll identical to the early-stopping
+    engine; every quantity is an exact integer in both engines."""
+    parts = [
+        f"""l0 AS MATERIALIZED (
+  SELECT id AS landmark, id AS vertex, CAST(1 AS BIGINT) AS sigma
+  FROM deg WHERE id % {seed_mod} = 0)""",
+        "sv0 AS MATERIALIZED (SELECT landmark, vertex FROM l0)",
+    ]
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"""l{h} AS MATERIALIZED (
+  SELECT g.landmark, g.vertex, g.sigma FROM (
+    SELECT f.landmark, e.dst AS vertex, sum(f.sigma) AS sigma
+    FROM l{h - 1} f JOIN sym e ON e.src = f.vertex GROUP BY 1, 2) g
+  LEFT JOIN sv{h - 1} v ON g.landmark = v.landmark AND g.vertex = v.vertex
+  WHERE v.vertex IS NULL),
+sv{h} AS MATERIALIZED (
+  SELECT landmark, vertex FROM sv{h - 1}
+  UNION ALL SELECT landmark, vertex FROM l{h})"""
+        )
+    parts.append(
+        f"d{max_hops} AS MATERIALIZED ("
+        f"SELECT landmark, vertex, sigma, CAST(0 AS BIGINT) AS d FROM l{max_hops})"
+    )
+    for h in range(max_hops - 1, 0, -1):
+        parts.append(
+            f"""sd{h} AS MATERIALIZED (
+  SELECT c.landmark, c.vertex, sum(1 + dn.d) AS d
+  FROM l{h} c JOIN sym e ON e.src = c.vertex
+  JOIN d{h + 1} dn ON dn.landmark = c.landmark AND dn.vertex = e.dst
+  GROUP BY 1, 2),
+d{h} AS MATERIALIZED (
+  SELECT c.landmark, c.vertex, c.sigma, coalesce(s.d, 0) AS d
+  FROM l{h} c LEFT JOIN sd{h} s
+    ON c.landmark = s.landmark AND c.vertex = s.vertex)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT landmark, vertex, sigma * d AS c FROM d{h}"
+        for h in range(1, max_hops + 1)
+    )
+    parts.append(f"contrib AS MATERIALIZED (\n{union})")
+    parts.append("sc AS (SELECT vertex AS id, sum(c) AS stress FROM contrib GROUP BY 1)")
+    tail = """SELECT d.id, CAST(coalesce(sc.stress, 0) AS BIGINT) AS stress
+FROM deg d LEFT JOIN sc ON d.id = sc.id"""
+    return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + "\n" + tail
+
+
 def _louvain_level0_sql(rounds: int, sym: str = "sym", deg: str = "deg", extra_cte: str = "") -> str:
     """Unroll the level-0 fast-local-move inner loop of
     operators/louvain.py (reference: phaseOptimization.cuh:158-181;
@@ -2760,9 +2935,12 @@ FROM vol v LEFT JOIN intra i ON v.community = i.community
         "random_walks": _walks_sql(length=8, seed_mod=7, salt=0),
         "skipgram_pairs": _walks_sql(length=8, seed_mod=7, salt=0, pairs_window=2),
         "weighted_random_walks": _wwalks_sql(length=8, seed_mod=7, salt=0),
+        "node2vec_walks": _n2v_sql(length=6, seed_mod=7, salt=0),
         "landmark_distances": _landmark_sql(max_hops=5, seed_mod=257),
         "double_sweep": _sweep_sql(max_hops=8),
         "harmonic_centrality": _landmark_sql(max_hops=5, seed_mod=257, harmonic=True),
+        "stress_centrality": _stress_sql(seed_mod=101, max_hops=4),
+        "mis": _mis_sql(salt=0, max_rounds=12),
         "neighbor_sample": f"""
 {_GRAPH_CTE},
 cand AS (

@@ -155,3 +155,113 @@ def double_sweep(graph: GraphTables, max_hops: int = 8) -> DataFrame:
         [(start, peak, ecc_start, diameter_lb)],
         "start long, peak long, ecc_start int, diameter_lb int",
     )
+
+
+def stress_centrality(
+    graph: GraphTables, seed_mod: int = 101, max_hops: int = 4
+) -> DataFrame:
+    """(id, stress) — sampled-source STRESS centrality (Shimbel 1953,
+    the integer-exact member of the betweenness family): stress(v) =
+    the number of shortest landmark->target paths that pass through v
+    as an interior vertex, summed over the deterministic landmark set
+    (vid % seed_mod == 0) and over targets within ``max_hops`` of their
+    landmark (bounded-radius semantics, exactly like
+    landmark_distances).
+
+    Brandes-style two-pass, all-integer: the forward pass runs the
+    multi-source BFS carrying sigma(v) = #shortest paths landmark->v
+    (per hop: one frontier equi-join + partial-agg sigma sum + one
+    anti-join against visited); the backward pass walks the BFS DAG
+    levels deepest-first accumulating D(v) = sum over DAG successors w
+    of (1 + D(w)) = #shortest-DAG paths starting at v. Then
+    stress(v) = Σ_landmarks sigma(v) * D(v). Classic betweenness
+    divides per-(s,t) by sigma_st, which leaves the integers — stress
+    keeps every quantity an exact int64, which is what makes the
+    cross-engine oracle bit-exact (and ANSI mode turns any overflow
+    into a loud error rather than a silent wrap; sigma growth is
+    bounded by the hop radius the caller sets).
+
+    Scale: state is |landmarks| x (vertices within radius) rows, work
+    per hop is frontier-sized in both passes; landmarks and radius are
+    the caller's cost knobs (hundreds of landmarks suffice for stable
+    centrality ranks — Eppstein-Wang style sampling).
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    edges = graph.edges.select("src", "dst")
+    lvl = (
+        graph.vertices.select(F.col("id").alias("landmark"))
+        .filter(F.col("landmark") % F.lit(seed_mod) == 0)
+        .select(
+            "landmark",
+            F.col("landmark").alias("vertex"),
+            F.lit(1).cast("long").alias("sigma"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    levels = [lvl]
+    visited = lvl.select("landmark", "vertex")
+    for _h in range(1, max_hops + 1):
+        nxt = (
+            levels[-1]
+            .join(edges, F.col("vertex") == F.col("src"))
+            .select("landmark", F.col("dst").alias("nv"), "sigma")
+            .groupBy("landmark", F.col("nv").alias("vertex"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited, ["landmark", "vertex"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break  # true fixpoint: every later level is empty
+        levels.append(nxt)
+        visited = visited.unionByName(
+            nxt.select("landmark", "vertex")
+        ).localCheckpoint(eager=True)
+    # backward pass: D over the BFS DAG, deepest level first (its
+    # successors lie beyond the radius, so its D is 0 by contract)
+    d_next = levels[-1].select("landmark", "vertex", F.lit(0).cast("long").alias("d"))
+    contribs = [levels[-1].select(
+        "landmark", "vertex", (F.col("sigma") * F.lit(0)).alias("c")
+    )] if len(levels) > 1 else []
+    for h in range(len(levels) - 2, -1, -1):
+        cur = levels[h]
+        succ = (
+            cur.select("landmark", "vertex")
+            .join(edges, F.col("vertex") == F.col("src"))
+            .select("landmark", "vertex", F.col("dst").alias("w"))
+            .join(
+                d_next.select("landmark", F.col("vertex").alias("w"), "d"),
+                ["landmark", "w"],
+            )
+            .groupBy("landmark", "vertex")
+            .agg(F.sum(F.lit(1) + F.col("d")).alias("d"))
+        )
+        dh = (
+            cur.join(succ, ["landmark", "vertex"], "left")
+            .select(
+                "landmark",
+                "vertex",
+                "sigma",
+                F.coalesce("d", F.lit(0)).cast("long").alias("d"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if h > 0:
+            contribs.append(
+                dh.select("landmark", "vertex", (F.col("sigma") * F.col("d")).alias("c"))
+            )
+        d_next = dh.select("landmark", "vertex", "d")
+    scores = None
+    if contribs:
+        allc = contribs[0]
+        for df in contribs[1:]:
+            allc = allc.unionByName(df)
+        scores = allc.groupBy(F.col("vertex").alias("id")).agg(
+            F.sum("c").alias("stress")
+        )
+    verts = graph.vertices.select("id")
+    if scores is None:
+        return verts.select("id", F.lit(0).cast("long").alias("stress"))
+    return verts.join(scores, "id", "left").select(
+        "id", F.coalesce("stress", F.lit(0)).cast("long").alias("stress")
+    )

@@ -258,3 +258,109 @@ def sample_neighbors(
         .filter(F.col("sample_rank") <= k)
         .select("src", "dst", "sample_rank")
     )
+
+
+def node2vec_walks(
+    graph: GraphTables,
+    length: int = 6,
+    seed_mod: int = 1,
+    salt: int = 0,
+    ret_w: int = 1,
+    near_w: int = 2,
+    far_w: int = 4,
+    adj: DataFrame | None = None,
+) -> DataFrame:
+    """(walk_id, step, vertex) — SECOND-ORDER (node2vec) biased walks:
+    the step out of ``cur`` depends on the previous vertex ``prev``.
+    Each neighbor x of cur is weighted w(cur,x) * alpha, with integer
+    bias alpha = ``ret_w`` if x == prev (node2vec's 1/p return bias),
+    ``near_w`` if x is also a neighbor of prev (distance 1), ``far_w``
+    otherwise (1/q exploration bias) — i.e. p = near_w/ret_w and
+    q = near_w/far_w after normalization; the defaults (1, 2, 4) encode
+    p=2, q=0.5, the exploration-leaning setting. All biases must be
+    >= 1: a zero bias could empty a step's candidate mass entirely.
+
+    The pick is the same exact integer inverse-CDF as
+    :func:`weighted_random_walks`, but over PER-STEP cumulative sums
+    (the bias depends on (prev, cur), so no static per-src prefix table
+    exists — this is the structural cost of second-order walks in any
+    engine). Per step: one equi-join frontier x adjacency, one
+    (prev, dst) membership left-join against the same static adjacency,
+    and one per-walk window over deg(cur) candidate rows (hub-degree
+    partitions are the skew point, exactly as in sample_neighbors).
+
+    Step 1 sets prev = cur: self-loops are filtered at ingest so the
+    return branch cannot fire, and every candidate is a neighbor of
+    prev, so the first hop degenerates to the plain weight-proportional
+    step — the node2vec convention.
+
+    ``adj``: optional prebuilt (src, dst, w_int) adjacency for reuse
+    across epochs.
+    """
+    if length < 1:
+        raise ValueError(f"length must be >= 1, got {length}")
+    if min(ret_w, near_w, far_w) < 1:
+        raise ValueError("bias weights must be integers >= 1")
+    if adj is None:
+        bad = graph.edges.filter(F.col("weight") != F.floor("weight")).limit(1)
+        if bad.count() > 0:
+            raise ValueError(
+                "node2vec_walks needs integer-valued weights "
+                "(link multiplicities); found fractional weight"
+            )
+        adj = (
+            graph.edges.select(
+                "src", "dst", F.col("weight").cast("long").alias("w_int")
+            )
+            .localCheckpoint(eager=True)
+        )
+    pe = adj.select(
+        F.col("src").alias("prev"), F.col("dst").alias("dst"), F.lit(1).alias("near")
+    )
+    seeds = graph.vertices.select(F.col("id").alias("vertex")).filter(
+        F.col("id") % F.lit(seed_mod) == 0
+    )
+    cur = seeds.select(
+        F.col("vertex").alias("walk_id"), F.col("vertex").alias("prev"), "vertex"
+    )
+    out = [cur.select("walk_id", F.lit(0).alias("step"), "vertex")]
+    for s in range(1, length + 1):
+        pick = _mix(F.col("vertex"), F.col("walk_id"), F.lit(s), salt)
+        cand = (
+            cur.select("walk_id", "prev", "vertex", pick.alias("h"))
+            .join(adj, F.col("vertex") == F.col("src"))
+            .drop("src")
+            .join(pe, ["prev", "dst"], "left")
+        )
+        bw = (
+            F.when(F.col("dst") == F.col("prev"), F.lit(ret_w))
+            .when(F.col("near").isNotNull(), F.lit(near_w))
+            .otherwise(F.lit(far_w))
+            * F.col("w_int")
+        )
+        w = Window.partitionBy("walk_id")
+        cand = (
+            cand.withColumn("bw", bw)
+            .withColumn(
+                "cum",
+                F.coalesce(
+                    F.sum("bw").over(
+                        w.orderBy("dst").rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .withColumn("tot", F.sum("bw").over(w))
+        )
+        t = F.col("h") % F.col("tot")
+        cur = (
+            cand.filter((t >= F.col("cum")) & (t < F.col("cum") + F.col("bw")))
+            .select("walk_id", F.col("vertex").alias("prev"), F.col("dst").alias("vertex"))
+        )
+        if s % 3 == 0:
+            cur = cur.localCheckpoint(eager=True)
+        out.append(cur.select("walk_id", F.lit(s).alias("step"), "vertex"))
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

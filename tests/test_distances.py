@@ -98,3 +98,66 @@ def test_double_sweep_path_and_truncation(spark):
     gs = build_graph(spark.createDataFrame(star, "a long, b long"), relabel=False)
     rs = double_sweep(gs, max_hops=8).collect()[0]
     assert (rs.start, rs.peak, rs.ecc_start, rs.diameter_lb) == (0, 1, 1, 2)
+
+
+def _stress_brute(nbrs, landmarks, max_hops):
+    """Exact bounded-radius stress: for each landmark, build the BFS
+    DAG within max_hops, count sigma (paths from s) and D (DAG paths
+    leaving v) and accumulate sigma*D for interior vertices."""
+    stress = defaultdict(int)
+    for s in landmarks:
+        dist = _bfs(nbrs, s, max_hops)
+        sigma = defaultdict(int)
+        sigma[s] = 1
+        by_level = defaultdict(list)
+        for v, dv in dist.items():
+            by_level[dv].append(v)
+        for h in range(1, max(by_level) + 1 if by_level else 0):
+            for v in by_level[h]:
+                sigma[v] = sum(
+                    sigma[u] for u in nbrs[v] if dist.get(u) == h - 1
+                )
+        dmemo = {}
+        for h in sorted(by_level, reverse=True):
+            for v in by_level[h]:
+                dmemo[v] = sum(
+                    1 + dmemo[w]
+                    for w in nbrs[v]
+                    if dist.get(w) == h + 1
+                )
+        for v, dv in dist.items():
+            if dv >= 1:
+                stress[v] += sigma[v] * dmemo[v]
+    return stress
+
+
+def test_stress_centrality_matches_brute_force(spark):
+    from louvain_fast_move_cuda_spark.operators.distances import stress_centrality
+
+    edges = powerlaw_graph(n=150, m_attach=2, seed=17)
+    nbrs = _adj(edges)
+    verts = sorted(nbrs)
+    landmarks = [v for v in verts if v % 13 == 0]
+    want = _stress_brute(nbrs, landmarks, max_hops=4)
+    got = {
+        r.id: r.stress
+        for r in stress_centrality(_gt(spark, edges), seed_mod=13, max_hops=4).collect()
+    }
+    assert set(got) == set(verts)
+    for v in verts:
+        assert got[v] == want.get(v, 0), f"vertex {v}: {got[v]} != {want.get(v, 0)}"
+    # interior mass exists on a powerlaw graph with a 4-hop radius
+    assert sum(got.values()) > 0
+
+
+def test_stress_centrality_path_graph(spark):
+    """Hand case: path 0-1-2-3, landmark {0}. Shortest paths from 0:
+    through 1 as interior: 0-1-2 and 0-1-3 (2); through 2: 0-..-3 (1)."""
+    from louvain_fast_move_cuda_spark.operators.distances import stress_centrality
+
+    g = _gt(spark, [(0, 1), (1, 2), (2, 3)])
+    got = {
+        r.id: r.stress
+        for r in stress_centrality(g, seed_mod=4, max_hops=4).collect()
+    }
+    assert got == {0: 0, 1: 2, 2: 1, 3: 0}

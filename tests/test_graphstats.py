@@ -289,3 +289,56 @@ def test_quad_census_middle_degree_cap_undercounts(spark):
     capped = quad_census(g, max_middle_degree=3).collect()[0]
     assert (exact.n_wedges, exact.n_four_cycles) == (6, 0)
     assert (capped.n_wedges or 0, capped.n_four_cycles or 0) == (0, 0)
+
+
+def _simulate_mis(nbrs, salt, max_rounds=12):
+    from louvain_fast_move_cuda_spark.operators.walks import _M, _P
+
+    und = set(nbrs)
+    mis = set()
+    for r in range(max_rounds):
+        if not und:
+            break
+        key = {
+            v: (((v * v % _P) * 10007 + (v % _P) * 97 + r * 31 + salt) % _M)
+            * 2147483648
+            + v
+            for v in und
+        }
+        winners = {
+            v
+            for v in und
+            if all(key[v] > key[w] for w in nbrs[v] if w in und)
+        }
+        mis |= winners
+        dropped = {w for v in winners for w in nbrs[v]}
+        und -= winners | dropped
+    assert not und
+    return mis
+
+
+def test_mis_matches_python_replay_and_is_maximal(spark):
+    from louvain_fast_move_cuda_spark.operators.mis import maximal_independent_set
+
+    edges = powerlaw_graph(n=200, m_attach=3, seed=23)
+    nbrs = _adj(edges)
+    g = _gt(spark, edges)
+    got = {r.id: r.in_mis for r in maximal_independent_set(g, salt=7).collect()}
+    want = _simulate_mis(nbrs, salt=7)
+    assert {v for v, m in got.items() if m} == want
+    # independence: no edge inside the MIS
+    assert not any(got[a] and got[b] for a, b in edges)
+    # maximality: every out-vertex has an in-MIS neighbor
+    for v, m in got.items():
+        if not m:
+            assert any(got[w] for w in nbrs[v]), v
+
+
+def test_mis_nonconvergence_raises(spark):
+    import pytest
+
+    from louvain_fast_move_cuda_spark.operators.mis import maximal_independent_set
+
+    g = _gt(spark, [(0, 1), (1, 2), (2, 3)])
+    with pytest.raises(RuntimeError):
+        maximal_independent_set(g, max_rounds=1)

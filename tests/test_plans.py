@@ -493,3 +493,29 @@ def test_round4_closing_operators_plans_jvm_only(spark):
         assert "CartesianProduct" not in plan
     # pure projections must not shuffle at all
     assert "Exchange" not in _plan(pii_scan(docs))
+
+
+def test_sketch_plans_takeordered_jvm_only(spark):
+    """The sketch family's bottom-k stages must compile to TakeOrdered
+    (per-partition top-k + driver merge — the distributed sketch-union)
+    and never a full global Sort; everything stays JVM-side. Bounded
+    exceptions by construction: kmv's 1-row x 1-row stat join and
+    quantile_sketch's (5-quantile x k-sample) joins are
+    constant-size, so a nested-loop there is the intended plan."""
+    from louvain_fast_move_cuda_spark.operators.sketch import (
+        kmv_distinct,
+        quantile_sketch,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    hv = ev.filter(F.col("value").isNotNull()).select(
+        F.xxhash64("event_id").alias("h"), "value"
+    )
+    for df in (kmv_distinct(hv.select("h"), k=64), quantile_sketch(hv, k=64)):
+        plan = _plan(df)
+        assert "TakeOrdered" in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+    # the full-data rank-check pass must reach the estimates via a
+    # broadcast, not a shuffle of the corpus
+    assert "BroadcastNestedLoopJoin" in _plan(quantile_sketch(hv, k=64))

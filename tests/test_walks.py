@@ -290,3 +290,97 @@ def test_weighted_walks_reject_fractional_weights(spark):
     g = GraphTables(edges=e, vertices=v, m=0.5, n_nodes=2)
     with _pytest.raises(ValueError, match="integer-valued"):
         index_weighted_neighbors(g)
+
+
+def _simulate_n2v(adj_w, seeds, length, salt, ret_w, near_w, far_w):
+    """Pure-python replay of node2vec_walks' integer arithmetic.
+    adj_w: dict src -> sorted list of (dst, w_int)."""
+    rows = []
+    for w0 in seeds:
+        prev, cur = w0, w0
+        rows.append((w0, 0, w0))
+        for s in range(1, length + 1):
+            nbrs = adj_w.get(cur, [])
+            if not nbrs:
+                break
+            h = _mix_py(cur, w0, s, salt)
+            bws = []
+            prev_nbrs = {d for d, _ in adj_w.get(prev, [])}
+            for dst, wi in nbrs:
+                if dst == prev:
+                    a = ret_w
+                elif dst in prev_nbrs:
+                    a = near_w
+                else:
+                    a = far_w
+                bws.append(a * wi)
+            t = h % sum(bws)
+            cum = 0
+            nxt = None
+            for (dst, _), bw in zip(nbrs, bws):
+                if cum <= t < cum + bw:
+                    nxt = dst
+                    break
+                cum += bw
+            rows.append((w0, s, nxt))
+            prev, cur = cur, nxt
+    return sorted(rows)
+
+
+def test_node2vec_walks_match_python_replay(spark):
+    from louvain_fast_move_cuda_spark.operators.walks import node2vec_walks
+
+    base = powerlaw_graph(n=120, m_attach=2, seed=5)
+    # duplicate a third of the links so merged weights are non-unit and
+    # the bias multiplies real multiplicities
+    edges = base + [e for i, e in enumerate(base) if i % 3 == 0]
+    g = _gt(spark, edges)
+    adj_w = defaultdict(list)
+    for r in g.edges.collect():
+        adj_w[r.src].append((r.dst, int(r.weight)))
+    for v in adj_w:
+        adj_w[v].sort()
+    seeds = sorted(v for v in {a for a, _ in edges} | {b for _, b in edges} if v % 5 == 0)
+    got = sorted(
+        (r.walk_id, r.step, r.vertex)
+        for r in node2vec_walks(
+            g, length=6, seed_mod=5, salt=3, ret_w=1, near_w=2, far_w=4
+        ).collect()
+    )
+    want = _simulate_n2v(adj_w, seeds, 6, 3, 1, 2, 4)
+    assert got == want
+
+
+def test_node2vec_bias_weights_validated(spark):
+    import pytest
+
+    from louvain_fast_move_cuda_spark.operators.walks import node2vec_walks
+
+    g = _gt(spark, [(0, 1), (1, 2)])
+    with pytest.raises(ValueError):
+        node2vec_walks(g, far_w=0)
+    with pytest.raises(ValueError):
+        node2vec_walks(g, length=0)
+
+
+def test_node2vec_first_step_is_plain_weighted(spark):
+    """With prev = cur at step 1, every candidate is a neighbor of prev
+    and the return branch cannot fire, so step 1 must match
+    weighted_random_walks' step 1 whenever near_w == 1 scales biases
+    away (ret_w=near_w=far_w=1 == plain weighted walk end-to-end)."""
+    from louvain_fast_move_cuda_spark.operators.walks import node2vec_walks
+    from louvain_fast_move_cuda_spark.operators.walks import weighted_random_walks
+
+    edges = powerlaw_graph(n=80, m_attach=2, seed=11)
+    g = _gt(spark, edges)
+    got = sorted(
+        (r.walk_id, r.step, r.vertex)
+        for r in node2vec_walks(
+            g, length=4, seed_mod=3, salt=1, ret_w=1, near_w=1, far_w=1
+        ).collect()
+    )
+    want = sorted(
+        (r.walk_id, r.step, r.vertex)
+        for r in weighted_random_walks(g, length=4, seed_mod=3, salt=1).collect()
+    )
+    assert got == want
