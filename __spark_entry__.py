@@ -2087,7 +2087,8 @@ def _walks_sql(
         parts.append(
             f"""w{s} AS MATERIALIZED (
   SELECT c.walk_id, {s} AS step, n.dst AS vertex
-  FROM w{s - 1} c JOIN nbr n ON n.src = c.vertex AND n.idx = {mix} % n.deg)"""
+  FROM w{s - 1} c JOIN nbr n ON n.src = c.vertex
+   AND n.idx = (({mix}) * n.deg) // 999983)"""
         )
     union = "\nUNION ALL ".join(
         f"SELECT walk_id, step, vertex FROM w{s}" for s in range(length + 1)
@@ -2207,7 +2208,8 @@ def _wwalks_sql(length: int = 8, seed_mod: int = 7, salt: int = 0) -> str:
             f"""w{s} AS MATERIALIZED (
   SELECT c.walk_id, {s} AS step, n.dst AS vertex
   FROM w{s - 1} c JOIN wnbr n ON n.src = c.vertex
-   AND {mix} % n.tot >= n.cum AND {mix} % n.tot < n.cum + n.w_int)"""
+   AND (({mix}) * n.tot) // 999983 >= n.cum
+   AND (({mix}) * n.tot) // 999983 < n.cum + n.w_int)"""
         )
     union = "\nUNION ALL ".join(
         f"SELECT walk_id, step, vertex FROM w{s}" for s in range(length + 1)
@@ -2255,7 +2257,7 @@ r{s} AS MATERIALIZED (
   FROM c{s}),
 w{s} AS MATERIALIZED (
   SELECT walk_id, vertex AS prev, dst AS vertex FROM r{s}
-  WHERE h % tot >= cum AND h % tot < cum + bw)"""
+  WHERE (h * tot) // 999983 >= cum AND (h * tot) // 999983 < cum + bw)"""
         )
     union = "\nUNION ALL ".join(
         f"SELECT walk_id, {s} AS step, vertex FROM w{s}" for s in range(length + 1)

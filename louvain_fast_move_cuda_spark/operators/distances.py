@@ -218,12 +218,12 @@ def stress_centrality(
             nxt.select("landmark", "vertex")
         ).localCheckpoint(eager=True)
     # backward pass: D over the BFS DAG, deepest level first (its
-    # successors lie beyond the radius, so its D is 0 by contract)
+    # successors lie beyond the radius, so its D is 0 by contract and
+    # its sigma*D contribution is identically 0 — not emitted; the
+    # landmark level h=0 is an endpoint, never interior — not computed)
     d_next = levels[-1].select("landmark", "vertex", F.lit(0).cast("long").alias("d"))
-    contribs = [levels[-1].select(
-        "landmark", "vertex", (F.col("sigma") * F.lit(0)).alias("c")
-    )] if len(levels) > 1 else []
-    for h in range(len(levels) - 2, -1, -1):
+    contribs: list[DataFrame] = []
+    for h in range(len(levels) - 2, 0, -1):
         cur = levels[h]
         succ = (
             cur.select("landmark", "vertex")
@@ -246,10 +246,9 @@ def stress_centrality(
             )
             .localCheckpoint(eager=True)
         )
-        if h > 0:
-            contribs.append(
-                dh.select("landmark", "vertex", (F.col("sigma") * F.col("d")).alias("c"))
-            )
+        contribs.append(
+            dh.select("landmark", "vertex", (F.col("sigma") * F.col("d")).alias("c"))
+        )
         d_next = dh.select("landmark", "vertex", "d")
     scores = None
     if contribs:

@@ -76,11 +76,13 @@ def maximal_independent_set(
     for r in range(max_rounds):
         key = _priority(F.col("id"), F.lit(r), salt) * F.lit(_PACK) + F.col("id")
         p = und.select("id", key.alias("key"))
-        cand = (
-            e.join(p.select(F.col("id").alias("src"), F.col("key").alias("ks")), "src")
-            .join(p.select(F.col("id").alias("dst"), F.col("key").alias("kd")), "dst")
+        # e is already undecided-by-undecided (shrunk at the end of the
+        # previous round), so only the dst side needs its key attached
+        nb = (
+            e.join(p.select(F.col("id").alias("dst"), F.col("key").alias("kd")), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.max("kd").alias("mx"))
         )
-        nb = cand.groupBy(F.col("src").alias("id")).agg(F.max("kd").alias("mx"))
         winners = (
             p.join(nb, "id", "left")
             .filter(F.col("mx").isNull() | (F.col("key") > F.col("mx")))

@@ -22,6 +22,16 @@ small is what makes the side-by-side oracle possible). The mixer is a
 hash for *spreading*, not cryptography; callers wanting stronger mixing
 can raise ``salt`` per epoch to get decorrelated walk sets.
 
+Choosing among X alternatives uses ``(h * X) div M`` (exact integer
+floor division), NEVER ``h % X``: h is bounded by M = 999983, so a
+modulo pick could reach only the first M units of a hub's range — a
+hub with (biased) weighted degree above ~1e6, certain at 10^12-edge
+scale, would silently never sample the tail of its adjacency, for
+every walk and every salt. The rescale maps [0, M) onto [0, X) with
+quantization granularity X/M (harmless for sampling); ``h * X`` stays
+in int64 for X up to ~9e12 and overflows LOUDLY under ANSI mode past
+that, never silently.
+
 Scale notes (the part that matters at 10^12 edges):
 
 * ``index_neighbors`` ranks each vertex's adjacency once with a single
@@ -85,7 +95,8 @@ def random_walks(
     steps from every seed vertex (vid % seed_mod == 0; 1 = all).
 
     Step s from vertex v of walk w takes neighbor number
-    mix(v, w, s) % deg(v) in dst-sorted adjacency order. Walks never
+    (mix(v, w, s) * deg(v)) div M in dst-sorted adjacency order (the
+    rescaled pick — module docstring). Walks never
     stall mid-way: the symmetric edge table has no sinks (every vertex
     with an in-edge has an out-edge, by construction in
     sources.edges.build_graph); an ISOLATED seed (in the vertex table
@@ -111,7 +122,7 @@ def random_walks(
         cur = (
             cur.select("walk_id", F.col("vertex").alias("src"), pick.alias("h"))
             .join(nbrs, "src")
-            .filter(F.col("idx") == F.col("h") % F.col("deg"))
+            .filter(F.col("idx") == F.expr(f"(h * deg) div {_M}"))
             .select("walk_id", F.lit(s).alias("step"), F.col("dst").alias("vertex"))
         )
         if s % 4 == 0:
@@ -122,6 +133,17 @@ def random_walks(
     for df in out[1:]:
         res = res.unionByName(df)
     return res
+
+
+def _check_integer_weights(edges: DataFrame, caller: str) -> None:
+    """One cheap existence probe; raises on fractional weights rather
+    than silently truncating them (shared by every weighted walk)."""
+    bad = edges.filter(F.col("weight") != F.floor("weight")).limit(1)
+    if bad.count() > 0:
+        raise ValueError(
+            f"{caller} needs integer-valued weights "
+            "(link multiplicities); found fractional weight"
+        )
 
 
 def index_weighted_neighbors(graph: GraphTables, check_integer: bool = True) -> DataFrame:
@@ -138,12 +160,7 @@ def index_weighted_neighbors(graph: GraphTables, check_integer: bool = True) -> 
     silently truncating them.
     """
     if check_integer:
-        bad = graph.edges.filter(F.col("weight") != F.floor("weight")).limit(1)
-        if bad.count() > 0:
-            raise ValueError(
-                "index_weighted_neighbors needs integer-valued weights "
-                "(link multiplicities); found fractional weight"
-            )
+        _check_integer_weights(graph.edges, "index_weighted_neighbors")
     w = Window.partitionBy("src").orderBy("dst")
     return (
         graph.edges.select("src", "dst", F.col("weight").cast("long").alias("w_int"))
@@ -169,10 +186,12 @@ def weighted_random_walks(
     """(walk_id, step, vertex) — like :func:`random_walks`, but each
     step samples a neighbor with probability PROPORTIONAL TO EDGE
     WEIGHT (the node2vec/DeepWalk convention on multigraph-derived
-    weights): step s draws target = mix(v, w, s) % tot(v) and takes the
-    unique neighbor whose [cum, cum + w_int) interval contains it —
-    inverse-CDF sampling with the mixer as the uniform source, exact
-    because every quantity is an integer.
+    weights): step s draws target = (mix(v, w, s) * tot(v)) div M and
+    takes the unique neighbor whose [cum, cum + w_int) interval
+    contains it — inverse-CDF sampling with the mixer as the uniform
+    source, exact because every quantity is an integer (and rescaled
+    rather than modulo-reduced so hubs with tot > M keep their whole
+    adjacency reachable — module docstring).
 
     Same scale shape as the unweighted walk: one static indexed
     adjacency, one frontier-sized equi-join per step.
@@ -192,8 +211,8 @@ def weighted_random_walks(
             cur.select("walk_id", F.col("vertex").alias("src"), pick.alias("h"))
             .join(wnbrs, "src")
             .filter(
-                ((F.col("h") % F.col("tot")) >= F.col("cum"))
-                & ((F.col("h") % F.col("tot")) < F.col("cum") + F.col("w_int"))
+                (F.expr(f"(h * tot) div {_M}") >= F.col("cum"))
+                & (F.expr(f"(h * tot) div {_M}") < F.col("cum") + F.col("w_int"))
             )
             .select("walk_id", F.lit(s).alias("step"), F.col("dst").alias("vertex"))
         )
@@ -302,12 +321,7 @@ def node2vec_walks(
     if min(ret_w, near_w, far_w) < 1:
         raise ValueError("bias weights must be integers >= 1")
     if adj is None:
-        bad = graph.edges.filter(F.col("weight") != F.floor("weight")).limit(1)
-        if bad.count() > 0:
-            raise ValueError(
-                "node2vec_walks needs integer-valued weights "
-                "(link multiplicities); found fractional weight"
-            )
+        _check_integer_weights(graph.edges, "node2vec_walks")
         adj = (
             graph.edges.select(
                 "src", "dst", F.col("weight").cast("long").alias("w_int")
@@ -352,7 +366,7 @@ def node2vec_walks(
             )
             .withColumn("tot", F.sum("bw").over(w))
         )
-        t = F.col("h") % F.col("tot")
+        t = F.expr(f"(h * tot) div {_M}")
         cur = (
             cand.filter((t >= F.col("cum")) & (t < F.col("cum") + F.col("bw")))
             .select("walk_id", F.col("vertex").alias("prev"), F.col("dst").alias("vertex"))

@@ -70,7 +70,7 @@ def test_random_walks_match_python_replay(spark):
         assert walks[w][0] == w
         for s in range(1, 7):
             ns = nbrs[cur]
-            cur = ns[_mix_py(cur, w, s, 5) % len(ns)]
+            cur = ns[_mix_py(cur, w, s, 5) * len(ns) // _M]
             assert walks[w][s] == cur, (w, s)
 
 
@@ -217,7 +217,7 @@ def test_skipgram_pairs_bruteforce(spark):
     for w in (v for v in nbrs if v % 4 == 0):
         walk, cur = [w], w
         for s in range(1, 6):
-            cur = nbrs[cur][_mix_py(cur, w, s, 2) % len(nbrs[cur])]
+            cur = nbrs[cur][_mix_py(cur, w, s, 2) * len(nbrs[cur]) // _M]
             walk.append(cur)
         corpus.append(walk)
     want = defaultdict(int)
@@ -267,7 +267,7 @@ def test_weighted_random_walks_match_python_replay(spark):
         for s in range(1, 6):
             ns = sorted(wadj[cur].items())
             tot = sum(wt for _, wt in ns)
-            target = _mix_py(cur, w, s, 3) % tot
+            target = _mix_py(cur, w, s, 3) * tot // _M
             acc = 0
             for d, wt in ns:
                 if acc <= target < acc + wt:
@@ -314,7 +314,7 @@ def _simulate_n2v(adj_w, seeds, length, salt, ret_w, near_w, far_w):
                 else:
                     a = far_w
                 bws.append(a * wi)
-            t = h % sum(bws)
+            t = h * sum(bws) // _M
             cum = 0
             nxt = None
             for (dst, _), bw in zip(nbrs, bws):
