@@ -861,6 +861,15 @@ def q_assortativity(spark, sf_dir):
     return assortativity(g)
 
 
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient at doubling degree thresholds — one degree
+    agg + one conditional-sum scan of the canonical edge half."""
+    from louvain_fast_move_cuda_spark.operators.graphstats import rich_club
+
+    _, _, g = _graph(spark, sf_dir)
+    return rich_club(g, thresholds=(1, 2, 4, 8, 16))
+
+
 def q_degree_histogram(spark, sf_dir):
     _, _, g = _graph(spark, sf_dir)
     return degree_histogram(g)
@@ -1504,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": q_clustering_coefficient,
         "assortativity": q_assortativity,
         "degree_histogram": q_degree_histogram,
+        "rich_club": q_rich_club,
         "k_core": q_k_core,
         "k_truss": q_k_truss,
         "reciprocity": q_reciprocity,
@@ -2813,6 +2823,46 @@ FROM agg
 cdeg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src),
 alld AS (SELECT coalesce(c.degree, 0) AS degree FROM deg d LEFT JOIN cdeg c ON d.id = c.id)
 SELECT degree, count(*) AS n_vertices FROM alld GROUP BY degree
+""",
+        # rich-club density at doubling degree thresholds — all exact
+        # integers, one r9 division per row
+        "rich_club": f"""
+{_GRAPH_CTE},
+rdeg AS (SELECT src AS v, count(*) AS d FROM sym GROUP BY src),
+half AS (SELECT src, dst FROM sym WHERE src < dst),
+pd AS (SELECT a.d AS ds, b.d AS dd
+       FROM half h JOIN rdeg a ON h.src = a.v JOIN rdeg b ON h.dst = b.v),
+one AS (SELECT * FROM
+  (SELECT sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS n1,
+       sum(CASE WHEN d > 2 THEN 1 ELSE 0 END) AS n2,
+       sum(CASE WHEN d > 4 THEN 1 ELSE 0 END) AS n4,
+       sum(CASE WHEN d > 8 THEN 1 ELSE 0 END) AS n8,
+       sum(CASE WHEN d > 16 THEN 1 ELSE 0 END) AS n16 FROM rdeg) na,
+  (SELECT sum(CASE WHEN ds > 1 AND dd > 1 THEN 1 ELSE 0 END) AS e1,
+       sum(CASE WHEN ds > 2 AND dd > 2 THEN 1 ELSE 0 END) AS e2,
+       sum(CASE WHEN ds > 4 AND dd > 4 THEN 1 ELSE 0 END) AS e4,
+       sum(CASE WHEN ds > 8 AND dd > 8 THEN 1 ELSE 0 END) AS e8,
+       sum(CASE WHEN ds > 16 AND dd > 16 THEN 1 ELSE 0 END) AS e16 FROM pd) ea)
+SELECT 1 AS k, coalesce(n1, 0) AS n_rich, coalesce(e1, 0) AS e_rich,
+       CASE WHEN coalesce(n1, 0) >= 2
+            THEN round(2.0 * coalesce(e1, 0) / (n1 * (n1 - 1)), 9) END AS phi_r9
+FROM one
+UNION ALL SELECT 2 AS k, coalesce(n2, 0) AS n_rich, coalesce(e2, 0) AS e_rich,
+       CASE WHEN coalesce(n2, 0) >= 2
+            THEN round(2.0 * coalesce(e2, 0) / (n2 * (n2 - 1)), 9) END AS phi_r9
+FROM one
+UNION ALL SELECT 4 AS k, coalesce(n4, 0) AS n_rich, coalesce(e4, 0) AS e_rich,
+       CASE WHEN coalesce(n4, 0) >= 2
+            THEN round(2.0 * coalesce(e4, 0) / (n4 * (n4 - 1)), 9) END AS phi_r9
+FROM one
+UNION ALL SELECT 8 AS k, coalesce(n8, 0) AS n_rich, coalesce(e8, 0) AS e_rich,
+       CASE WHEN coalesce(n8, 0) >= 2
+            THEN round(2.0 * coalesce(e8, 0) / (n8 * (n8 - 1)), 9) END AS phi_r9
+FROM one
+UNION ALL SELECT 16 AS k, coalesce(n16, 0) AS n_rich, coalesce(e16, 0) AS e_rich,
+       CASE WHEN coalesce(n16, 0) >= 2
+            THEN round(2.0 * coalesce(e16, 0) / (n16 * (n16 - 1)), 9) END AS phi_r9
+FROM one
 """,
         "k_core": _k_core_sql(k=2, rounds=20),
         "k_truss": _k_truss_sql(k=3, rounds=10),

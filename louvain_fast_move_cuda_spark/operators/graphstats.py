@@ -514,3 +514,63 @@ def quad_census(graph, max_middle_degree: int | None = None):
         F.sum("c").alias("n_wedges"),
         F.expr("sum(c * (c - 1) div 2) div 2").alias("n_four_cycles"),
     )
+
+
+def rich_club(graph: GraphTables, thresholds: tuple = (1, 2, 4, 8, 16)) -> DataFrame:
+    """(k, n_rich, e_rich, phi_r9) — the rich-club coefficient at each
+    degree threshold: among the n_rich vertices with unweighted degree
+    > k, e_rich is the number of undirected edges joining two of them
+    and phi = 2*e_rich / (n_rich*(n_rich-1)) their realized link
+    density (1-row-per-threshold; phi NULL when n_rich < 2, where the
+    density is undefined).
+
+    Exact integers end to end except the one final division (same IEEE
+    expression both engines, r9-rounded): degrees come from the
+    symmetric unit adjacency (count per src), edges from the canonical
+    src < dst half so each undirected pair counts once. One degree agg
+    + per-threshold conditional sums — the thresholds ride ONE scan of
+    the (broadcast-joined) edge list, no per-threshold passes.
+    """
+    deg = (
+        graph.edges.select("src")
+        .groupBy(F.col("src").alias("v"))
+        .agg(F.count("*").alias("d"))
+    )
+    half = graph.edges.filter(F.col("src") < F.col("dst")).select("src", "dst")
+    pair_deg = (
+        half.join(deg.select(F.col("v").alias("src"), F.col("d").alias("ds")), "src")
+        .join(deg.select(F.col("v").alias("dst"), F.col("d").alias("dd")), "dst")
+    )
+    one = deg.agg(
+        *[F.sum((F.col("d") > k).cast("long")).alias(f"n{k}") for k in thresholds]
+    ).crossJoin(
+        pair_deg.agg(
+            *[
+                F.sum(((F.col("ds") > k) & (F.col("dd") > k)).cast("long")).alias(
+                    f"e{k}"
+                )
+                for k in thresholds
+            ]
+        )
+    )
+    rows = [
+        one.select(
+            F.lit(int(k)).alias("k"),
+            F.coalesce(f"n{k}", F.lit(0)).alias("n_rich"),
+            F.coalesce(f"e{k}", F.lit(0)).alias("e_rich"),
+            F.when(
+                F.coalesce(f"n{k}", F.lit(0)) >= 2,
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce(f"e{k}", F.lit(0))
+                    / (F.col(f"n{k}") * (F.col(f"n{k}") - F.lit(1))),
+                    9,
+                ),
+            ).alias("phi_r9"),
+        )
+        for k in thresholds
+    ]
+    res = rows[0]
+    for df in rows[1:]:
+        res = res.unionByName(df)
+    return res

@@ -342,3 +342,19 @@ def test_mis_nonconvergence_raises(spark):
     g = _gt(spark, [(0, 1), (1, 2), (2, 3)])
     with pytest.raises(RuntimeError):
         maximal_independent_set(g, max_rounds=1)
+
+
+def test_rich_club_hand_graph(spark):
+    from louvain_fast_move_cuda_spark.operators.graphstats import rich_club
+
+    # K4 core {0,1,2,3} + pendant 4-5 chain off vertex 0
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(0, 4), (4, 5)]
+    got = {r.k: (r.n_rich, r.e_rich, r.phi_r9) for r in
+           rich_club(_gt(spark, edges), thresholds=(1, 2, 3)).collect()}
+    # degrees: 0->4, 1..3->3, 4->2, 5->1
+    # k=1: rich = {0,1,2,3,4} (deg>1), edges among them: K4's 6 + (0,4) = 7
+    assert got[1] == (5, 7, round(2.0 * 7 / (5 * 4), 9))
+    # k=2: rich = {0,1,2,3}, 6 edges -> phi = 1.0
+    assert got[2] == (4, 6, 1.0)
+    # k=3: rich = {0}, density undefined
+    assert got[3] == (1, 0, None)
