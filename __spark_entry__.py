@@ -1004,6 +1004,63 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs, docs.select("doc_id"))
 
 
+def q_doc_communities(spark, sf_dir):
+    """End-to-end near-duplicate COMMUNITY detection: shingles ->
+    minhash -> banded LSH pairs -> weighted similarity graph -> the
+    full multi-level Louvain loop — the dedup family composed with the
+    engine's flagship algorithm in one pipeline (what a 100 TB corpus
+    runs to group mutated duplicate families, not just transitive LSH
+    clusters). Hard-gated the louvain_communities way: labels + claimed
+    modularity materialize and the oracle recomputes Q from ITS OWN
+    derivation of the same pair graph. Docs in no LSH pair carry k = 0,
+    so their singleton communities fail the survivor mask (Σ_tot > 0 —
+    the reference's phaseAggregation semantics) and are absent from the
+    output: only near-dup families and their members get communities."""
+    from louvain_fast_move_cuda_spark.sources.edges import (
+        GraphTables,
+        canonicalize_edges,
+        symmetrize,
+        vertex_weights,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sh = shingles(docs, k=5)
+    sigs = minhash_signatures(sh, num_hashes=32)
+    pairs = _materialize_for_oracle(
+        lsh_pairs_from_buckets(minhash_band_buckets(sigs, bands=8, rows_per_band=4)),
+        "doc_comm_pairs",
+    )
+    raw = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = symmetrize(canonicalize_edges(raw)).localCheckpoint(eager=True)
+    verts = (
+        docs.select(F.col("doc_id").alias("id"))
+        .join(vertex_weights(edges), "id", "left")
+        .select("id", F.coalesce("k", F.lit(0.0)).alias("k"))
+    )
+    agg = (
+        edges.agg(F.sum("weight").alias("w2"))
+        .crossJoin(docs.agg(F.count("*").alias("n")))
+        .collect()[0]
+    )
+    m = float(agg["w2"]) / 2.0 if agg["w2"] is not None else 0.0
+    if m == 0.0:
+        raise ValueError("doc_communities needs at least one LSH pair")
+    g = GraphTables(edges=edges, vertices=verts, m=m, n_nodes=int(agg["n"]))
+    res = louvain(g, local_finish_max_edges=0)
+    labels = _materialize_for_oracle(
+        res.labels.select("orig_id", "community"), "doc_comm_labels"
+    )
+    q_re = _partition_q(g, labels)
+    meta = spark.createDataFrame([(float(res.modularity),)], "q_claimed double")
+    _materialize_for_oracle(meta, "doc_comm_meta")
+    return labels.select(
+        "orig_id",
+        "community",
+        F.lit(q_re).alias("q_partition"),
+        F.lit(True).alias("q_claim_ok"),
+    )
+
+
 def q_lpa(spark, sf_dir):
     _, _, g = _graph(spark, sf_dir)
     return label_propagation(g, max_iter=5, local_max_edges=0)
@@ -1590,6 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_candidates": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
+        "doc_communities": q_doc_communities,
         "simhash": q_simhash,
         "winnow_fingerprints": q_winnow_fingerprints,
         "fingerprint": q_fingerprint,
@@ -3038,6 +3096,26 @@ wdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS k FROM wsym GROUP BY src)
         # rows-only): labels round-trip + DuckDB-recomputed partition Q
         # vs the engine's claimed modularity; the _local twin is checked
         # against the DISTRIBUTED labels file = engine bit-identity gate
+        "doc_communities": _louvain_full_sql(
+            meta_name="doc_comm_meta",
+            labels_name="doc_comm_labels",
+            sym="dsym",
+            deg="ddeg",
+            extra_cte=f"""
+dpairs AS (SELECT id_a, id_b FROM read_parquet('{_ORACLE_MAT_DIR}/doc_comm_pairs.parquet/*.parquet')),
+dcanon AS (
+  SELECT least(id_a, id_b) AS src, greatest(id_a, id_b) AS dst,
+         CAST(count(*) AS DOUBLE) AS weight
+  FROM dpairs WHERE id_a <> id_b GROUP BY 1, 2),
+dsym AS (
+  SELECT src, dst, weight FROM dcanon
+  UNION ALL SELECT dst AS src, src AS dst, weight FROM dcanon),
+ddeg AS (
+  SELECT d.doc_id AS id, coalesce(s.k, 0.0) AS k
+  FROM documents d LEFT JOIN
+    (SELECT src, sum(weight) AS k FROM dsym GROUP BY src) s
+  ON d.doc_id = s.src),""",
+        ),
         "louvain_communities": _louvain_full_sql("louvain_meta_distributed"),
         "louvain_communities_local": _louvain_full_sql("louvain_meta_local"),
         "louvain_communities_weighted": _louvain_full_sql(

@@ -82,6 +82,7 @@ def main():
         choices=[
             "pagerank", "cc", "lpa", "triangles",
             "hits", "pagerank_directed", "double_sweep", "quad_census",
+            "mis", "stress", "node2vec",
         ],
     )
     ap.add_argument("--transcripts")
@@ -130,6 +131,31 @@ def main():
 
         out = double_sweep(g, max_hops=args.max_iter or 8)
         summary.update(out.collect()[0].asDict())
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps(summary))
+        return
+    if args.algo == "mis":
+        from louvain_fast_move_cuda_spark.operators.mis import maximal_independent_set
+
+        out = maximal_independent_set(g, max_rounds=args.max_iter or 12)
+        summary["n_in_mis"] = out.filter(F.col("in_mis")).count()
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps(summary))
+        return
+    if args.algo == "stress":
+        from louvain_fast_move_cuda_spark.operators.distances import stress_centrality
+
+        out = stress_centrality(g, seed_mod=101, max_hops=args.max_iter or 4)
+        top = out.orderBy(F.desc("stress"), F.asc("id")).first()
+        summary["top_stress_id"] = int(top["id"]) if top is not None else None
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps(summary))
+        return
+    if args.algo == "node2vec":
+        from louvain_fast_move_cuda_spark.operators.walks import node2vec_walks
+
+        out = node2vec_walks(g, length=args.max_iter or 6, seed_mod=7)
+        summary["n_walk_rows"] = out.count()
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps(summary))
         return

@@ -519,3 +519,32 @@ def test_sketch_plans_takeordered_jvm_only(spark):
     # the full-data rank-check pass must reach the estimates via a
     # broadcast, not a shuffle of the corpus
     assert "BroadcastNestedLoopJoin" in _plan(quantile_sketch(hv, k=64))
+
+
+def test_new_graph_operator_plans_jvm_only(spark):
+    """stress/MIS/node2vec/rich-club must stay JVM-side with no
+    unbounded cartesian products; their per-round/per-step joins are
+    equi-joins against static tables. (node2vec's per-walk window and
+    MIS's integer max are WindowExec/HashAggregate shapes — both
+    whole-stage-codegen friendly.)"""
+    from louvain_fast_move_cuda_spark.operators.distances import stress_centrality
+    from louvain_fast_move_cuda_spark.operators.graphstats import rich_club
+    from louvain_fast_move_cuda_spark.operators.mis import maximal_independent_set
+    from louvain_fast_move_cuda_spark.operators.walks import node2vec_walks
+    from louvain_fast_move_cuda_spark.sources.edges import build_graph
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 24) for i in range(24)] + [(i, (i + 7) % 24) for i in range(24)],
+        "a long, b long",
+    )
+    g = build_graph(edges, relabel=False)
+    for df in (
+        stress_centrality(g, seed_mod=6, max_hops=2),
+        maximal_independent_set(g, max_rounds=12),
+        node2vec_walks(g, length=2, seed_mod=6),
+        rich_club(g, thresholds=(1, 2)),
+    ):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
