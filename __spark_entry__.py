@@ -861,6 +861,15 @@ def q_assortativity(spark, sf_dir):
     return assortativity(g)
 
 
+def q_katz(spark, sf_dir):
+    """Truncated Katz centrality — integer walk counts per hop (exact
+    both engines) + one fixed-association float fold."""
+    from louvain_fast_move_cuda_spark.operators.graphstats import katz_centrality
+
+    _, _, g = _graph(spark, sf_dir)
+    return katz_centrality(g, alpha=0.05, max_hops=4)
+
+
 def q_rich_club(spark, sf_dir):
     """Rich-club coefficient at doubling degree thresholds — one degree
     agg + one conditional-sum scan of the canonical edge half."""
@@ -1571,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "degree_histogram": q_degree_histogram,
         "rich_club": q_rich_club,
+        "katz": q_katz,
         "k_core": q_k_core,
         "k_truss": q_k_truss,
         "reciprocity": q_reciprocity,
@@ -2921,6 +2931,27 @@ UNION ALL SELECT 16 AS k, coalesce(n16, 0) AS n_rich, coalesce(e16, 0) AS e_rich
        CASE WHEN coalesce(n16, 0) >= 2
             THEN round(2.0 * coalesce(e16, 0) / (n16 * (n16 - 1)), 9) END AS phi_r9
 FROM one
+""",
+        # truncated Katz: integer walk counts (sparse mat-vec per hop)
+        # + one fixed-association float fold with literal alpha powers
+        "katz": f"""
+{_GRAPH_CTE},
+kc0 AS (SELECT id, CAST(1 AS BIGINT) AS c FROM deg),
+kc1 AS (SELECT e.dst AS id, sum(c.c) AS c FROM sym e JOIN kc0 c ON e.src = c.id GROUP BY 1),
+kc2 AS (SELECT e.dst AS id, sum(c.c) AS c FROM sym e JOIN kc1 c ON e.src = c.id GROUP BY 1),
+kc3 AS (SELECT e.dst AS id, sum(c.c) AS c FROM sym e JOIN kc2 c ON e.src = c.id GROUP BY 1),
+kc4 AS (SELECT e.dst AS id, sum(c.c) AS c FROM sym e JOIN kc3 c ON e.src = c.id GROUP BY 1)
+SELECT d.id,
+       coalesce(kc1.c, 0) AS w1,
+       coalesce(kc2.c, 0) AS w2,
+       coalesce(kc3.c, 0) AS w3,
+       coalesce(kc4.c, 0) AS w4,
+       round(0.05 * coalesce(kc1.c, 0) + 0.0025000000000000005 * coalesce(kc2.c, 0) + 0.00012500000000000003 * coalesce(kc3.c, 0) + 6.250000000000001e-06 * coalesce(kc4.c, 0), 9) AS katz_r9
+FROM deg d
+LEFT JOIN kc1 ON d.id = kc1.id
+LEFT JOIN kc2 ON d.id = kc2.id
+LEFT JOIN kc3 ON d.id = kc3.id
+LEFT JOIN kc4 ON d.id = kc4.id
 """,
         "k_core": _k_core_sql(k=2, rounds=20),
         "k_truss": _k_truss_sql(k=3, rounds=10),

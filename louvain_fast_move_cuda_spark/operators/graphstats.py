@@ -574,3 +574,55 @@ def rich_club(graph: GraphTables, thresholds: tuple = (1, 2, 4, 8, 16)) -> DataF
     for df in rows[1:]:
         res = res.unionByName(df)
     return res
+
+
+def katz_centrality(
+    graph: GraphTables, alpha: float = 0.05, max_hops: int = 4
+) -> DataFrame:
+    """(id, w1..w{K}, katz_r9) — TRUNCATED Katz centrality: katz(v) =
+    sum over k = 1..max_hops of alpha^k * (number of length-k walks
+    ending at v, from every vertex). Truncation at max_hops is part of
+    the semantics (the bounded-radius contract of landmark_distances),
+    so no spectral-radius condition on alpha is needed.
+
+    The walk counts are exact integers (c_k = A·c_{k-1} over the
+    symmetric adjacency, c_0 = 1) and ship in the output, so the heavy
+    part of the oracle compare is integer-exact; the one float fold
+    alpha^1*w1 + ... + alpha^K*wK uses literal alpha powers and fixed
+    left association — the same IEEE tree in both engines. Integer walk
+    counts grow like lambda_max^k; ANSI mode turns any int64 overflow
+    into a loud error (lower max_hops), never a silent wrap.
+
+    Scale: K frontier-free supersteps, each ONE equi-join of the count
+    vector against the edge list + partial-agg sum — the sparse
+    matrix-vector product; the K result vectors then join back to the
+    vertex table once.
+    """
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    edges = graph.edges.select("src", "dst")
+    c = graph.vertices.select("id", F.lit(1).cast("long").alias("c"))
+    hops: list[DataFrame] = []
+    for _k in range(1, max_hops + 1):
+        c = (
+            edges.join(c, edges["src"] == c["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        hops.append(c)
+    out = graph.vertices.select("id")
+    for k, ck in enumerate(hops, start=1):
+        out = out.join(
+            ck.select("id", F.col("c").alias(f"w{k}")), "id", "left"
+        )
+    wcols = [
+        F.coalesce(f"w{k}", F.lit(0)).alias(f"w{k}")
+        for k in range(1, max_hops + 1)
+    ]
+    katz = F.lit(alpha ** 1) * F.coalesce("w1", F.lit(0))
+    for k in range(2, max_hops + 1):
+        katz = katz + F.lit(alpha ** k) * F.coalesce(f"w{k}", F.lit(0))
+    return out.select("id", *wcols, F.round(katz, 9).alias("katz_r9"))

@@ -358,3 +358,29 @@ def test_rich_club_hand_graph(spark):
     assert got[2] == (4, 6, 1.0)
     # k=3: rich = {0}, density undefined
     assert got[3] == (1, 0, None)
+
+
+def test_katz_centrality_matches_matrix_powers(spark):
+    from louvain_fast_move_cuda_spark.operators.graphstats import katz_centrality
+
+    edges = powerlaw_graph(n=80, m_attach=2, seed=29)
+    nbrs = _adj(edges)
+    verts = sorted(nbrs)
+    alpha, K = 0.05, 4
+    # c_k = A c_{k-1}, c_0 = 1 — exact integer walk counts
+    c = {v: 1 for v in verts}
+    want_w = {}
+    for k in range(1, K + 1):
+        c = {v: sum(c[u] for u in nbrs[v]) for v in verts}
+        want_w[k] = dict(c)
+    rows = {r.id: r for r in katz_centrality(_gt(spark, edges), alpha=alpha, max_hops=K).collect()}
+    assert set(rows) == set(verts)
+    for v in verts:
+        assert (rows[v].w1, rows[v].w2, rows[v].w3, rows[v].w4) == tuple(
+            want_w[k][v] for k in range(1, 5)
+        )
+        # same left-associated float fold as the engine
+        want_katz = alpha ** 1 * want_w[1][v]
+        for k in range(2, K + 1):
+            want_katz = want_katz + alpha ** k * want_w[k][v]
+        assert abs(rows[v].katz_r9 - want_katz) < 1e-9
