@@ -1,9 +1,16 @@
 from .louvain import LouvainResult, louvain  # noqa: F401
 from .pagerank import pagerank, personalized_pagerank  # noqa: F401
-from .distances import harmonic_centrality, landmark_distances  # noqa: F401
+from .distances import (  # noqa: F401
+    harmonic_centrality,
+    landmark_distances,
+    stress_centrality,
+)
+from .graphstats import katz_centrality, rich_club  # noqa: F401
+from .mis import maximal_independent_set  # noqa: F401
 from .walks import (  # noqa: F401
     index_neighbors,
     index_weighted_neighbors,
+    node2vec_walks,
     random_walks,
     sample_neighbors,
     skipgram_pairs,
