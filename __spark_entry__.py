@@ -969,6 +969,16 @@ def q_stress_centrality(spark, sf_dir):
     return stress_centrality(g, seed_mod=101, max_hops=4)
 
 
+def q_effective_diameter(spark, sf_dir):
+    """Effective diameter (p90 of sampled landmark distances) + the
+    max sampled distance — exact integer order statistics over a
+    bounded histogram."""
+    from louvain_fast_move_cuda_spark.operators.distances import effective_diameter
+
+    _, _, g = _graph(spark, sf_dir)
+    return effective_diameter(g, seed_mod=257, max_hops=5, pct=90)
+
+
 def q_harmonic_centrality(spark, sf_dir):
     _, _, g = _graph(spark, sf_dir)
     return harmonic_centrality(g, seed_mod=257, max_hops=5)
@@ -1642,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_links": q_jaccard_links,
         "landmark_distances": q_landmark_distances,
         "harmonic_centrality": q_harmonic_centrality,
+        "effective_diameter": q_effective_diameter,
         "stress_centrality": q_stress_centrality,
         "mis": q_mis,
         "random_walks": q_random_walks,
@@ -2185,7 +2196,12 @@ GROUP BY 1, 2"""
     )
 
 
-def _landmark_sql(max_hops: int = 5, seed_mod: int = 257, harmonic: bool = False) -> str:
+def _landmark_sql(
+    max_hops: int = 5,
+    seed_mod: int = 257,
+    harmonic: bool = False,
+    eff_pct: int | None = None,
+) -> str:
     """Unroll operators/distances.py::landmark_distances — per hop one
     DISTINCT expand join + EXCEPT against the visited set (the engine's
     anti-join). Bounded-radius semantics make the fixed-round unroll
@@ -2219,6 +2235,20 @@ v{h} AS MATERIALIZED (
         tail = """SELECT d.id, coalesce(sc.n_landmarks_reached, 0) AS n_landmarks_reached,
        coalesce(sc.harmonic_r9, 0.0) AS harmonic_r9
 FROM deg d LEFT JOIN sc ON d.id = sc.id"""
+    elif eff_pct is not None:
+        parts.append(
+            """hist AS (SELECT dist, count(*) AS n FROM dists WHERE dist > 0 GROUP BY dist),
+cumh AS (
+  SELECT dist,
+         sum(n) OVER (ORDER BY dist ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(n) OVER () AS tot,
+         max(dist) OVER () AS mx
+  FROM hist)"""
+        )
+        tail = f"""SELECT max(tot) AS n_pairs, min(dist) AS eff_diameter_p{eff_pct},
+       max(mx) AS max_sampled_dist
+FROM cumh WHERE cum >= ceil(tot * {eff_pct} / 100.0)"""
+        return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + "\n" + tail
     else:
         tail = "SELECT landmark, vertex, dist FROM dists"
     return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + "\n" + tail
@@ -3080,6 +3110,7 @@ FROM vol v LEFT JOIN intra i ON v.community = i.community
         "landmark_distances": _landmark_sql(max_hops=5, seed_mod=257),
         "double_sweep": _sweep_sql(max_hops=8),
         "harmonic_centrality": _landmark_sql(max_hops=5, seed_mod=257, harmonic=True),
+        "effective_diameter": _landmark_sql(max_hops=5, seed_mod=257, eff_pct=90),
         "stress_centrality": _stress_sql(seed_mod=101, max_hops=4),
         "mis": _mis_sql(salt=0, max_rounds=12),
         "neighbor_sample": f"""

@@ -264,3 +264,47 @@ def stress_centrality(
     return verts.join(scores, "id", "left").select(
         "id", F.coalesce("stress", F.lit(0)).cast("long").alias("stress")
     )
+
+
+def effective_diameter(
+    graph: GraphTables, seed_mod: int = 101, max_hops: int = 6, pct: int = 90
+) -> DataFrame:
+    """One row (n_pairs, eff_diameter_p{pct}, max_sampled_dist) — the
+    classic effective-diameter estimate: the smallest hop count d such
+    that >= pct% of the sampled (landmark, vertex) distance pairs lie
+    within d, over the deterministic landmark set (the Eppstein-Wang
+    sampling that landmark_distances already implements), plus the
+    largest sampled distance (a diameter lower bound, double_sweep's
+    cheaper cousin). Bounded-radius by contract: pairs farther than
+    max_hops are absent, so at radius saturation the estimate is a
+    lower bound — same caveat the operator family documents.
+
+    Exact integers end to end: distances histogram (<= max_hops rows,
+    so the cumulative window is bounded — not a scale risk), rank =
+    ceil(pct/100 * n) identical in both engines, first histogram bucket
+    whose cumulative count reaches the rank.
+    """
+    if not 0 < pct <= 100:
+        raise ValueError(f"pct must be in (0, 100], got {pct}")
+    from pyspark.sql import Window
+
+    d = landmark_distances(graph, seed_mod=seed_mod, max_hops=max_hops).filter(
+        F.col("dist") > 0
+    )
+    hist = d.groupBy("dist").agg(F.count("*").alias("n"))
+    w_all = Window.partitionBy(F.lit(0))
+    cum = hist.select(
+        "dist",
+        F.sum("n").over(w_all.orderBy("dist").rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("n").over(w_all).alias("tot"),
+        F.max("dist").over(w_all).alias("max_sampled_dist"),
+    )
+    rank = F.ceil(F.col("tot") * F.lit(pct) / F.lit(100.0))
+    return (
+        cum.filter(F.col("cum") >= rank)
+        .agg(
+            F.max("tot").alias("n_pairs"),
+            F.min("dist").alias(f"eff_diameter_p{pct}"),
+            F.max("max_sampled_dist").alias("max_sampled_dist"),
+        )
+    )

@@ -161,3 +161,16 @@ def test_stress_centrality_path_graph(spark):
         for r in stress_centrality(g, seed_mod=4, max_hops=4).collect()
     }
     assert got == {0: 0, 1: 2, 2: 1, 3: 0}
+
+
+def test_effective_diameter_path_graph(spark):
+    from louvain_fast_move_cuda_spark.operators.distances import effective_diameter
+
+    # path 0-..-9, landmark {0}: sampled dists from 0 are 1..9
+    edges = [(i, i + 1) for i in range(9)]
+    r = effective_diameter(_gt(spark, edges), seed_mod=10, max_hops=9, pct=90).collect()[0]
+    # ceil(0.9 * 9) = 9 -> the 9th smallest dist is 9
+    assert (r.n_pairs, r.eff_diameter_p90, r.max_sampled_dist) == (9, 9, 9)
+    r50 = effective_diameter(_gt(spark, edges), seed_mod=10, max_hops=9, pct=50).collect()[0]
+    # ceil(0.5 * 9) = 5 -> dist 5
+    assert (r50.n_pairs, r50.eff_diameter_p50, r50.max_sampled_dist) == (9, 5, 9)
