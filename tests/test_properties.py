@@ -1,0 +1,121 @@
+"""Property-based invariants (hypothesis) over randomized small inputs.
+
+Each property is a structural guarantee the operators advertise, checked
+on adversarially-random graphs/streams rather than the hand or replay
+cases the unit tests pin. Example counts are small (Spark jobs per
+example) and deadlines off — the properties, not the volume, carry the
+value here.
+"""
+
+from collections import defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from louvain_fast_move_cuda_spark.sources.edges import build_graph
+
+_SET = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _edges_strategy(max_n=30):
+    return st.lists(
+        st.tuples(st.integers(0, max_n), st.integers(0, max_n)),
+        min_size=1,
+        max_size=80,
+    ).filter(lambda es: any(a != b for a, b in es))
+
+
+def _gt(spark, edges):
+    return build_graph(spark.createDataFrame(edges, "a long, b long"), relabel=False)
+
+
+@given(edges=_edges_strategy(), salt=st.integers(0, 1000))
+@_SET
+def test_mis_independent_and_maximal(spark, edges, salt):
+    from louvain_fast_move_cuda_spark.operators.mis import maximal_independent_set
+
+    g = _gt(spark, edges)
+    got = {r.id: r.in_mis for r in maximal_independent_set(g, salt=salt).collect()}
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    for a, b in edges:
+        if a != b:
+            assert not (got[a] and got[b]), f"edge ({a},{b}) inside MIS"
+    for v, m in got.items():
+        if not m and nbrs[v]:
+            assert any(got[w] for w in nbrs[v]), f"{v} has no MIS neighbor"
+
+
+@given(
+    tokens=st.lists(st.integers(-50, 50), min_size=1, max_size=300),
+    depth=st.integers(2, 4),
+    width=st.integers(4, 32),
+)
+@_SET
+def test_cms_overestimate_never_negative(spark, tokens, depth, width):
+    from louvain_fast_move_cuda_spark.operators.sketch import (
+        cms_buckets,
+        cms_point_queries,
+    )
+
+    tok = spark.createDataFrame([(t,) for t in tokens], "h long")
+    b = cms_buckets(tok, depth=depth, width=width)
+    for r in cms_point_queries(b, top_n=5).collect():
+        assert r.overestimate >= 0
+        assert r.cms_est == r.true_cnt + r.overestimate
+
+
+@given(hashes=st.lists(st.integers(-(2 ** 60), 2 ** 60), min_size=1, max_size=400))
+@_SET
+def test_kmv_exact_below_k_and_dup_invariant(spark, hashes):
+    from louvain_fast_move_cuda_spark.operators.sketch import kmv_distinct
+
+    tok = spark.createDataFrame([(h,) for h in hashes], "h long")
+    r1 = kmv_distinct(tok, k=64).collect()[0]
+    n_distinct = len(set(hashes))
+    assert r1.n_exact == n_distinct
+    if n_distinct < 64:
+        assert r1.kmv_est == float(n_distinct) and r1.rel_err == 0.0
+    r2 = kmv_distinct(tok.union(tok), k=64).collect()[0]
+    assert (r2.kth_h, r2.kmv_est) == (r1.kth_h, r1.kmv_est)
+
+
+@given(
+    values=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=300,
+    ),
+    k=st.integers(4, 64),
+)
+@_SET
+def test_quantile_sketch_rank_interval_consistent(spark, values, k):
+    from louvain_fast_move_cuda_spark.operators.sketch import quantile_sketch
+
+    hv = spark.createDataFrame(
+        [(i * 2654435761 % 104729, float(v)) for i, v in enumerate(values)],
+        "h long, value double",
+    )
+    svals = sorted(values)
+    n = len(values)
+    for r in quantile_sketch(hv, k=k).collect():
+        assert r.n == n
+        # the exact rank interval really is the estimate's rank range
+        assert r.rank_lo == sum(1 for v in svals if v < r.est_value)
+        assert r.rank_hi == sum(1 for v in svals if v <= r.est_value)
+        # within_bound is the advertised predicate on the unrounded
+        # error; rank_err is its r9 rounding, so only assert away from
+        # the boundary (a 5e-10 band) where rounding cannot flip it
+        bound = 2.0 / float(k) ** 0.5
+        if r.rank_err < bound - 1e-9:
+            assert r.within_bound
+        elif r.rank_err > bound + 1e-9:
+            assert not r.within_bound
