@@ -861,6 +861,16 @@ def q_assortativity(spark, sf_dir):
     return assortativity(g)
 
 
+def q_coreness(spark, sf_dir):
+    """Core number of every vertex via the h-index iteration (the
+    all-shells generalization of k_core) — integer fixpoint, fixed
+    unroll == engine budget."""
+    from louvain_fast_move_cuda_spark.operators.graphstats import coreness
+
+    _, _, g = _graph(spark, sf_dir)
+    return coreness(g, max_rounds=16)
+
+
 def q_katz(spark, sf_dir):
     """Truncated Katz centrality — integer walk counts per hop (exact
     both engines) + one fixed-association float fold."""
@@ -1591,6 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": q_degree_histogram,
         "rich_club": q_rich_club,
         "katz": q_katz,
+        "coreness": q_coreness,
         "k_core": q_k_core,
         "k_truss": q_k_truss,
         "reciprocity": q_reciprocity,
@@ -2414,6 +2425,31 @@ FROM deg d LEFT JOIN mis ON d.id = mis.id"""
     return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + "\n" + tail
 
 
+def _coreness_sql(rounds: int = 16) -> str:
+    """Unroll operators/graphstats.py::coreness — per round one
+    neighbor-value join + one per-vertex h-index window (max of
+    min(rank, value) over values sorted descending; tie order among
+    equal values cannot change the aggregate). Monotone descent,
+    idempotent at the fixpoint, so the fixed unroll equals the
+    early-stopping engine whenever it converges within the budget (the
+    engine raises otherwise — k_core contract)."""
+    parts = [
+        "co0 AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS BIGINT) AS c FROM sym GROUP BY src)"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""co{r} AS MATERIALIZED (
+  SELECT t.src AS id, max(least(t.rn, t.cv)) AS c FROM (
+    SELECT e.src, c.c AS cv,
+           row_number() OVER (PARTITION BY e.src ORDER BY c.c DESC) AS rn
+    FROM sym e JOIN co{r - 1} c ON e.dst = c.id) t
+  GROUP BY 1)"""
+        )
+    tail = f"""SELECT d.id, coalesce(co{rounds}.c, 0) AS coreness
+FROM deg d LEFT JOIN co{rounds} ON d.id = co{rounds}.id"""
+    return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + "\n" + tail
+
+
 def _stress_sql(seed_mod: int = 101, max_hops: int = 4) -> str:
     """Unroll operators/distances.py::stress_centrality — forward
     multi-source BFS carrying integer sigma (#shortest paths), backward
@@ -2983,6 +3019,7 @@ LEFT JOIN kc2 ON d.id = kc2.id
 LEFT JOIN kc3 ON d.id = kc3.id
 LEFT JOIN kc4 ON d.id = kc4.id
 """,
+        "coreness": _coreness_sql(rounds=16),
         "k_core": _k_core_sql(k=2, rounds=20),
         "k_truss": _k_truss_sql(k=3, rounds=10),
         # directed-pair reciprocity over rawpairs (pre-canonicalization)

@@ -626,3 +626,74 @@ def katz_centrality(
     for k in range(2, max_hops + 1):
         katz = katz + F.lit(alpha ** k) * F.coalesce(f"w{k}", F.lit(0))
     return out.select("id", *wcols, F.round(katz, 9).alias("katz_r9"))
+
+
+def coreness(
+    graph: GraphTables, max_rounds: int = 20, on_truncate: str = "raise"
+) -> DataFrame:
+    """(id, coreness) — the core number of EVERY vertex (the largest k
+    such that v belongs to the k-core), via the h-index iteration of
+    Lü et al. 2016: c_0 = degree; c_{t+1}(v) = H-index of
+    {c_t(u) : u neighbor of v} (the largest h with >= h neighbors of
+    value >= h). The sequence is monotone non-increasing and its
+    fixpoint is exactly the coreness — a peel-free formulation whose
+    rounds are pure BSP (one join + one window per round), the
+    all-shells generalization of :func:`k_core`.
+
+    The per-vertex H-index is max over i of min(i, v_i) with v_i the
+    i-th largest neighbor value — one row_number window partitioned by
+    vertex (hub-degree partitions are the skew point, the standard
+    per-key window caveat) and one integer max. All quantities are
+    integers, so the fixed-round SQL oracle matches bit-for-bit; at the
+    fixpoint further rounds are identity, so the unroll and the
+    early-stopping engine agree whenever both converge within the
+    budget. ``on_truncate`` follows the k_core contract: a truncated
+    run OVERSTATES coreness (values still descending), so ``"raise"``
+    (default) refuses to return it.
+    """
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    if on_truncate not in ("raise", "ignore"):
+        raise ValueError(f"on_truncate must be 'raise' or 'ignore', got {on_truncate!r}")
+    from pyspark.sql import Window
+
+    edges = graph.edges.select("src", "dst").localCheckpoint(eager=True)
+    c = (
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_rounds):
+        nv = edges.join(
+            c.select(F.col("id").alias("dst"), F.col("c").alias("cv")), "dst"
+        ).select("src", "cv")
+        # tie order among equal cv values cannot change max(min(rn, cv)),
+        # so the result is deterministic without a tiebreak column
+        w = Window.partitionBy("src").orderBy(F.desc("cv"))
+        nxt = (
+            nv.withColumn("rn", F.row_number().over(w))
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.max(F.least(F.col("rn"), F.col("cv"))).alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.join(c.select(F.col("id"), F.col("c").alias("prev")), "id")
+            .filter(F.col("c") != F.col("prev"))
+            .count()
+        )
+        c = nxt
+        if changed == 0:
+            converged = True
+            break
+    if not converged and on_truncate == "raise":
+        raise RuntimeError(
+            f"coreness h-index iteration did not converge in {max_rounds} rounds; "
+            "the result would overstate core numbers. Raise max_rounds, or pass "
+            "on_truncate='ignore' to accept the truncated descent."
+        )
+    return (
+        graph.vertices.select("id")
+        .join(c, "id", "left")
+        .select("id", F.coalesce("c", F.lit(0)).alias("coreness"))
+    )

@@ -384,3 +384,42 @@ def test_katz_centrality_matches_matrix_powers(spark):
         for k in range(2, K + 1):
             want_katz = want_katz + alpha ** k * want_w[k][v]
         assert abs(rows[v].katz_r9 - want_katz) < 1e-9
+
+
+def test_coreness_matches_peeling(spark):
+    from louvain_fast_move_cuda_spark.operators.graphstats import coreness
+
+    edges = powerlaw_graph(n=150, m_attach=3, seed=31)
+    nbrs = _adj(edges)
+    # textbook coreness by repeated peeling
+    want = {}
+    live = {v: set(ns) for v, ns in nbrs.items()}
+    k = 1
+    while live:
+        while True:
+            drop = [v for v, ns in live.items() if len(ns) < k]
+            if not drop:
+                break
+            for v in drop:
+                want[v] = k - 1
+                for w in live[v]:
+                    live[w].discard(v)
+                del live[v]
+        k += 1
+    got = {r.id: r.coreness for r in coreness(_gt(spark, edges)).collect()}
+    assert got == want
+
+
+def test_coreness_nonconvergence_raises(spark):
+    import pytest
+
+    from louvain_fast_move_cuda_spark.operators.graphstats import coreness
+
+    # long path: the h-index descent needs many rounds
+    g = _gt(spark, [(i, i + 1) for i in range(30)])
+    with pytest.raises(RuntimeError, match="converge"):
+        coreness(g, max_rounds=1)
+    got = {r.id: r.coreness for r in coreness(g, max_rounds=1, on_truncate="ignore").collect()}
+    assert max(got.values()) >= 1  # truncated descent, values still high
+    full = {r.id: r.coreness for r in coreness(g).collect()}
+    assert set(full.values()) == {1}  # a path is exactly its 1-core
