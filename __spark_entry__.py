@@ -871,6 +871,16 @@ def q_coreness(spark, sf_dir):
     return coreness(g, max_rounds=16)
 
 
+def q_msf(spark, sf_dir):
+    """Borůvka minimum spanning forest over the weighted-merge graph —
+    the (weight, src, dst) total order makes the forest UNIQUE, so the
+    edge set is engine-independent and hash-exact."""
+    from louvain_fast_move_cuda_spark.operators.mst import minimum_spanning_forest
+
+    g = _weighted_graph(spark, sf_dir)
+    return minimum_spanning_forest(g, max_rounds=16)
+
+
 def q_katz(spark, sf_dir):
     """Truncated Katz centrality — integer walk counts per hop (exact
     both engines) + one fixed-association float fold."""
@@ -1602,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rich_club": q_rich_club,
         "katz": q_katz,
         "coreness": q_coreness,
+        "msf": q_msf,
         "k_core": q_k_core,
         "k_truss": q_k_truss,
         "reciprocity": q_reciprocity,
@@ -2450,6 +2461,59 @@ FROM deg d LEFT JOIN co{rounds} ON d.id = co{rounds}.id"""
     return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + "\n" + tail
 
 
+def _msf_sql(rounds: int = 16, dmax: int = 17) -> str:
+    """Unroll operators/mst.py::minimum_spanning_forest — Borůvka over
+    the weighted-merge graph. The (w, src, dst) total order makes the
+    MSF unique, so the oracle only has to run Borůvka to completion,
+    not mirror the engine's scheduling: extra rounds past convergence
+    choose nothing (no cross edges), so a fixed unroll == the
+    early-stopping engine whenever it converges within the budget (the
+    engine raises otherwise — k_core contract).
+
+    Per round: cheapest outgoing edge per component (rn=1 over (w, src,
+    dst) — same lexicographic order as the engine's struct-min), parent
+    pointers with mutual-min 2-cycles rooted at the smaller id, then
+    pointer doubling. Components after round r hold >= 2^r vertices, so
+    both the live component count and the worst chain depth shrink by
+    half per round — the per-round doubling budget is max(2, dmax - r),
+    with dmax = 17 covering 131k vertices (sf0.1)."""
+    parts = ["mcomp0 AS MATERIALIZED (SELECT id, id AS comp FROM wdeg)"]
+    for r in range(rounds):
+        d_total = max(2, dmax - r)
+        parts.append(
+            f"""mcross{r} AS MATERIALIZED (
+  SELECT c1.comp AS cs, c2.comp AS cd, e.weight AS w, e.src, e.dst
+  FROM wcanon e JOIN mcomp{r} c1 ON e.src = c1.id JOIN mcomp{r} c2 ON e.dst = c2.id
+  WHERE c1.comp <> c2.comp),
+mbest{r} AS MATERIALIZED (
+  SELECT c, oc, w, src, dst FROM (
+    SELECT c, oc, w, src, dst,
+           row_number() OVER (PARTITION BY c ORDER BY w, src, dst) AS rn
+    FROM (SELECT cs AS c, cd AS oc, w, src, dst FROM mcross{r}
+          UNION ALL SELECT cd AS c, cs AS oc, w, src, dst FROM mcross{r}))
+  WHERE rn = 1),
+mchosen{r} AS MATERIALIZED (SELECT DISTINCT src, dst, w FROM mbest{r}),
+mp{r}_0 AS MATERIALIZED (
+  SELECT a.c, CASE WHEN b.oc = a.c THEN least(a.c, a.oc) ELSE a.oc END AS p
+  FROM mbest{r} a LEFT JOIN mbest{r} b ON a.oc = b.c)"""
+        )
+        for d in range(d_total):
+            parts.append(
+                f"""mp{r}_{d + 1} AS MATERIALIZED (
+  SELECT a.c, coalesce(b.p, a.p) AS p
+  FROM mp{r}_{d} a LEFT JOIN mp{r}_{d} b ON a.p = b.c)"""
+            )
+        parts.append(
+            f"""mcomp{r + 1} AS MATERIALIZED (
+  SELECT c0.id, coalesce(pp.p, c0.comp) AS comp
+  FROM mcomp{r} c0 LEFT JOIN mp{r}_{d_total} pp ON c0.comp = pp.c)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT src, dst, w AS weight FROM mchosen{r}" for r in range(rounds)
+    )
+    return f"{_GRAPH_CTE},{_WEIGHTED_GRAPH_CTE}\n" + ",\n".join(parts) + "\n" + union
+
+
 def _stress_sql(seed_mod: int = 101, max_hops: int = 4) -> str:
     """Unroll operators/distances.py::stress_centrality — forward
     multi-source BFS carrying integer sigma (#shortest paths), backward
@@ -3020,6 +3084,7 @@ LEFT JOIN kc3 ON d.id = kc3.id
 LEFT JOIN kc4 ON d.id = kc4.id
 """,
         "coreness": _coreness_sql(rounds=16),
+        "msf": _msf_sql(rounds=16, dmax=17),
         "k_core": _k_core_sql(k=2, rounds=20),
         "k_truss": _k_truss_sql(k=3, rounds=10),
         # directed-pair reciprocity over rawpairs (pre-canonicalization)

@@ -5,8 +5,9 @@ from .distances import (  # noqa: F401
     landmark_distances,
     stress_centrality,
 )
-from .graphstats import katz_centrality, rich_club  # noqa: F401
+from .graphstats import coreness, katz_centrality, rich_club  # noqa: F401
 from .mis import maximal_independent_set  # noqa: F401
+from .mst import minimum_spanning_forest  # noqa: F401
 from .walks import (  # noqa: F401
     index_neighbors,
     index_weighted_neighbors,
