@@ -881,6 +881,16 @@ def q_msf(spark, sf_dir):
     return minimum_spanning_forest(g, max_rounds=16)
 
 
+def q_coloring(spark, sf_dir):
+    """Deterministic Jones-Plassmann greedy coloring — schedule-
+    independent (equals the sequential greedy in static mixer-priority
+    order), so labels are integer-exact in any engine."""
+    from louvain_fast_move_cuda_spark.operators.coloring import greedy_coloring
+
+    _, _, g = _graph(spark, sf_dir)
+    return greedy_coloring(g, salt=0, max_rounds=24)
+
+
 def q_katz(spark, sf_dir):
     """Truncated Katz centrality — integer walk counts per hop (exact
     both engines) + one fixed-association float fold."""
@@ -1613,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz": q_katz,
         "coreness": q_coreness,
         "msf": q_msf,
+        "coloring": q_coloring,
         "k_core": q_k_core,
         "k_truss": q_k_truss,
         "reciprocity": q_reciprocity,
@@ -2436,6 +2447,65 @@ FROM deg d LEFT JOIN mis ON d.id = mis.id"""
     return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + "\n" + tail
 
 
+def _coloring_sql(salt: int = 0, max_rounds: int = 16) -> str:
+    """Unroll operators/coloring.py::greedy_coloring — the MIS round
+    structure with a STATIC mixer key (round term 0), plus the
+    relational min-excluded-color: distinct colored-neighbor colors per
+    winner ranked ascending, mex = min(rn where color != rn) else the
+    count. All integers; JP's schedule-independence (= sequential
+    greedy in key order) makes the labels engine-exact."""
+    key = (
+        f"((((u.id * u.id % 1000003) * 10007 + (u.id % 1000003) * 97"
+        f" + {salt}) % 999983) * 2147483648 + u.id)"
+    )
+    parts = [
+        "gu0 AS MATERIALIZED (SELECT id FROM deg)",
+        "ge0 AS MATERIALIZED (SELECT src, dst FROM sym)",
+    ]
+    for r in range(max_rounds):
+        parts.append(
+            f"""gp{r} AS MATERIALIZED (
+  SELECT u.id, {key} AS ky FROM gu{r} u),
+gnb{r} AS MATERIALIZED (
+  SELECT e.src AS id, max(pd.ky) AS mx
+  FROM ge{r} e JOIN gp{r} pd ON pd.id = e.dst
+  GROUP BY 1),
+gw{r} AS MATERIALIZED (
+  SELECT p.id FROM gp{r} p LEFT JOIN gnb{r} n ON p.id = n.id
+  WHERE n.mx IS NULL OR p.ky > n.mx)"""
+        )
+        if r == 0:
+            parts.append("gnew0 AS MATERIALIZED (SELECT id, 0 AS color FROM gw0)")
+            parts.append("gcol0 AS MATERIALIZED (SELECT id, color FROM gnew0)")
+        else:
+            parts.append(
+                f"""gused{r} AS MATERIALIZED (
+  SELECT DISTINCT e.src AS id, c.color
+  FROM sym e JOIN gw{r} w ON e.src = w.id JOIN gcol{r - 1} c ON c.id = e.dst),
+gmex{r} AS MATERIALIZED (
+  SELECT id, coalesce(min(CASE WHEN color <> rn THEN rn END), count(*)) AS color
+  FROM (SELECT id, color,
+               row_number() OVER (PARTITION BY id ORDER BY color) - 1 AS rn
+        FROM gused{r})
+  GROUP BY id),
+gnew{r} AS MATERIALIZED (
+  SELECT w.id, coalesce(m.color, 0) AS color
+  FROM gw{r} w LEFT JOIN gmex{r} m ON w.id = m.id),
+gcol{r} AS MATERIALIZED (
+  SELECT id, color FROM gcol{r - 1} UNION ALL SELECT id, color FROM gnew{r})"""
+            )
+        parts.append(
+            f"""gu{r + 1} AS MATERIALIZED (
+  SELECT id FROM gu{r} EXCEPT SELECT id FROM gw{r}),
+ge{r + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM ge{r} e
+  JOIN gu{r + 1} a ON e.src = a.id JOIN gu{r + 1} b ON e.dst = b.id)"""
+        )
+    tail = f"""SELECT d.id, coalesce(c.color, 0) AS color
+FROM deg d LEFT JOIN gcol{max_rounds - 1} c ON d.id = c.id"""
+    return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + "\n" + tail
+
+
 def _coreness_sql(rounds: int = 16) -> str:
     """Unroll operators/graphstats.py::coreness — per round one
     neighbor-value join + one per-vertex h-index window (max of
@@ -3085,6 +3155,7 @@ LEFT JOIN kc4 ON d.id = kc4.id
 """,
         "coreness": _coreness_sql(rounds=16),
         "msf": _msf_sql(rounds=16, dmax=17),
+        "coloring": _coloring_sql(salt=0, max_rounds=24),
         "k_core": _k_core_sql(k=2, rounds=20),
         "k_truss": _k_truss_sql(k=3, rounds=10),
         # directed-pair reciprocity over rawpairs (pre-canonicalization)
