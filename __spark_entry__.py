@@ -1014,6 +1014,15 @@ def q_harmonic_centrality(spark, sf_dir):
     return harmonic_centrality(g, seed_mod=257, max_hops=5)
 
 
+def q_closeness_centrality(spark, sf_dir):
+    """Landmark-sampled closeness — integer distance sums, one final
+    int/int IEEE division (exact both engines)."""
+    from louvain_fast_move_cuda_spark.operators.distances import closeness_centrality
+
+    _, _, g = _graph(spark, sf_dir)
+    return closeness_centrality(g, seed_mod=257, max_hops=5)
+
+
 def q_weighted_random_walks(spark, sf_dir):
     """Weight-proportional walks over the S2 weighted-merge graph —
     duplicate raw links raise their edge's sampling odds."""
@@ -1685,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_links": q_jaccard_links,
         "landmark_distances": q_landmark_distances,
         "harmonic_centrality": q_harmonic_centrality,
+        "closeness_centrality": q_closeness_centrality,
         "effective_diameter": q_effective_diameter,
         "stress_centrality": q_stress_centrality,
         "mis": q_mis,
@@ -2234,6 +2244,7 @@ def _landmark_sql(
     seed_mod: int = 257,
     harmonic: bool = False,
     eff_pct: int | None = None,
+    closeness: bool = False,
 ) -> str:
     """Unroll operators/distances.py::landmark_distances — per hop one
     DISTINCT expand join + EXCEPT against the visited set (the engine's
@@ -2258,6 +2269,19 @@ v{h} AS MATERIALIZED (
         f"SELECT landmark, vertex, {h} AS dist FROM f{h}" for h in range(max_hops + 1)
     )
     parts.append(f"dists AS MATERIALIZED (\n{union})")
+    if closeness:
+        parts.append(
+            """sc AS (
+  SELECT vertex AS id, count(*) AS n_landmarks_reached,
+         CAST(sum(dist) AS BIGINT) AS sum_dist,
+         round(CAST(count(*) AS DOUBLE) / CAST(sum(dist) AS DOUBLE), 9) AS closeness_r9
+  FROM dists WHERE dist > 0 GROUP BY vertex)"""
+        )
+        tail = """SELECT d.id, coalesce(sc.n_landmarks_reached, 0) AS n_landmarks_reached,
+       coalesce(sc.sum_dist, 0) AS sum_dist,
+       coalesce(sc.closeness_r9, 0.0) AS closeness_r9
+FROM deg d LEFT JOIN sc ON d.id = sc.id"""
+        return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + "\n" + tail
     if harmonic:
         parts.append(
             """sc AS (
@@ -3283,6 +3307,7 @@ FROM vol v LEFT JOIN intra i ON v.community = i.community
         "landmark_distances": _landmark_sql(max_hops=5, seed_mod=257),
         "double_sweep": _sweep_sql(max_hops=8),
         "harmonic_centrality": _landmark_sql(max_hops=5, seed_mod=257, harmonic=True),
+        "closeness_centrality": _landmark_sql(max_hops=5, seed_mod=257, closeness=True),
         "effective_diameter": _landmark_sql(max_hops=5, seed_mod=257, eff_pct=90),
         "stress_centrality": _stress_sql(seed_mod=101, max_hops=4),
         "mis": _mis_sql(salt=0, max_rounds=12),

@@ -116,6 +116,49 @@ def harmonic_centrality(
     )
 
 
+def closeness_centrality(
+    graph: GraphTables, seed_mod: int = 101, max_hops: int = 6
+) -> DataFrame:
+    """(id, n_landmarks_reached, sum_dist, closeness_r9) — per-vertex
+    closeness estimated from the landmark sample: reached-count divided
+    by the distance sum over landmarks within ``max_hops`` (the
+    harmonic twin with the reciprocal OUTSIDE the sum — Wasserman-Faust
+    without the reachability rescale, which a bounded-radius sample
+    cannot know). sum_dist is an exact integer; the score is ONE IEEE
+    division of two integers, so r9 rounding is decorative rather than
+    load-bearing. Vertices reaching no landmark get an explicit 0 row.
+    """
+    d = landmark_distances(graph, seed_mod=seed_mod, max_hops=max_hops)
+    scores = (
+        d.filter(F.col("dist") > 0)
+        .groupBy(F.col("vertex").alias("id"))
+        .agg(
+            F.count("*").alias("n_landmarks_reached"),
+            F.sum("dist").cast("long").alias("sum_dist"),
+        )
+        .select(
+            "id",
+            "n_landmarks_reached",
+            "sum_dist",
+            F.round(
+                F.col("n_landmarks_reached").cast("double")
+                / F.col("sum_dist").cast("double"),
+                9,
+            ).alias("closeness_r9"),
+        )
+    )
+    return (
+        graph.vertices.select("id")
+        .join(scores, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_landmarks_reached", F.lit(0)).alias("n_landmarks_reached"),
+            F.coalesce("sum_dist", F.lit(0)).alias("sum_dist"),
+            F.coalesce("closeness_r9", F.lit(0.0)).alias("closeness_r9"),
+        )
+    )
+
+
 def _bfs_single(edges: DataFrame, seed: int, max_hops: int) -> DataFrame:
     """(vertex, dist) — bounded-radius BFS from one seed: the shared
     multi-source loop (_bfs_loop) with a single-row seed set, landmark

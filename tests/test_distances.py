@@ -174,3 +174,21 @@ def test_effective_diameter_path_graph(spark):
     r50 = effective_diameter(_gt(spark, edges), seed_mod=10, max_hops=9, pct=50).collect()[0]
     # ceil(0.5 * 9) = 5 -> dist 5
     assert (r50.n_pairs, r50.eff_diameter_p50, r50.max_sampled_dist) == (9, 5, 9)
+
+
+def test_closeness_centrality_matches_bfs_sum(spark):
+    from louvain_fast_move_cuda_spark.operators.distances import closeness_centrality
+
+    edges = powerlaw_graph(n=120, m_attach=2, seed=29)
+    nbrs = _adj(edges)
+    cap = 4
+    got = {r.id: (r.n_landmarks_reached, r.sum_dist, r.closeness_r9)
+           for r in closeness_centrality(_gt(spark, edges), seed_mod=9, max_hops=cap).collect()}
+    lms = [v for v in nbrs if v % 9 == 0]
+    dists = {lm: _bfs(nbrs, lm, cap) for lm in lms}
+    for v in nbrs:
+        terms = [dists[lm][v] for lm in lms if v in dists[lm] and dists[lm][v] > 0]
+        assert got[v][0] == len(terms)
+        assert got[v][1] == sum(terms)
+        want = round(len(terms) / sum(terms), 9) if terms else 0.0
+        assert abs(got[v][2] - want) < 1e-12
