@@ -1014,6 +1014,26 @@ def q_harmonic_centrality(spark, sf_dir):
     return harmonic_centrality(g, seed_mod=257, max_hops=5)
 
 
+def q_temporal_reachability(spark, sf_dir):
+    """Hop-bounded earliest-arrival reachability over the DIRECTED
+    timestamped transcript links — influence flows only forward in
+    time; all state int64 (unix micros), engine-exact."""
+    from louvain_fast_move_cuda_spark.operators.temporal import (
+        derive_temporal_links,
+        temporal_reachability,
+    )
+
+    t, ids, _ = _graph(spark, sf_dir)
+    links = derive_temporal_links(t, ids)
+    tt = t.join(ids, ["conv_id", "turn_idx"]).select(
+        "vid", F.unix_micros(F.to_utc_timestamp("ts", "UTC")).alias("arr_us")
+    )
+    seeds = tt.filter(F.col("vid") % 257 == 0).select(
+        F.col("vid").alias("landmark"), F.col("vid").alias("vertex"), "arr_us"
+    )
+    return temporal_reachability(links, seeds, max_hops=6)
+
+
 def q_closeness_centrality(spark, sf_dir):
     """Landmark-sampled closeness — integer distance sums, one final
     int/int IEEE division (exact both engines)."""
@@ -1695,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_distances": q_landmark_distances,
         "harmonic_centrality": q_harmonic_centrality,
         "closeness_centrality": q_closeness_centrality,
+        "temporal_reachability": q_temporal_reachability,
         "effective_diameter": q_effective_diameter,
         "stress_centrality": q_stress_centrality,
         "mis": q_mis,
@@ -2468,6 +2489,44 @@ e{r + 1} AS MATERIALIZED (
     parts.append(f"mis AS MATERIALIZED (\n{union})")
     tail = """SELECT d.id, (mis.id IS NOT NULL) AS in_mis
 FROM deg d LEFT JOIN mis ON d.id = mis.id"""
+    return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + "\n" + tail
+
+
+def _temporal_reach_sql(seed_mod: int = 257, max_hops: int = 6) -> str:
+    """Unroll operators/temporal.py::temporal_reachability — per round
+    one time-respecting expansion (l.ts_us >= s.arr_us) UNION ALL the
+    carried state, min-merged per (landmark, vertex). Round r is the
+    exact Bellman-Ford state (min arrival over <= r-hop time-respecting
+    paths); the engine's delta expansion walks the identical state
+    sequence and early-stops only at the true fixpoint, where further
+    rounds are identity. All state int64."""
+    parts = [
+        """tt AS MATERIALIZED (
+  SELECT vid, conv_id, turn_idx, tool, epoch_us(ts) AS ts_us FROM ids)""",
+        """tl AS MATERIALIZED (
+  SELECT a, b, ts_us FROM (
+    SELECT vid AS a, lead(vid) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS b,
+           lead(ts_us) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS ts_us
+    FROM tt) WHERE b IS NOT NULL
+  UNION ALL
+  SELECT a, b, ts_us FROM (
+    SELECT vid AS a, lead(vid) OVER (PARTITION BY tool ORDER BY ts_us, conv_id, turn_idx) AS b,
+           lead(ts_us) OVER (PARTITION BY tool ORDER BY ts_us, conv_id, turn_idx) AS ts_us
+    FROM tt WHERE tool IS NOT NULL) WHERE b IS NOT NULL)""",
+        f"""tb0 AS MATERIALIZED (
+  SELECT vid AS landmark, vid AS vertex, ts_us AS arr_us FROM tt WHERE vid % {seed_mod} = 0)""",
+    ]
+    for r in range(max_hops):
+        parts.append(
+            f"""tb{r + 1} AS MATERIALIZED (
+  SELECT landmark, vertex, min(arr_us) AS arr_us FROM (
+    SELECT landmark, vertex, arr_us FROM tb{r}
+    UNION ALL
+    SELECT s.landmark, l.b AS vertex, l.ts_us AS arr_us
+    FROM tb{r} s JOIN tl l ON l.a = s.vertex AND l.ts_us >= s.arr_us)
+  GROUP BY 1, 2)"""
+        )
+    tail = f"SELECT landmark, vertex, arr_us FROM tb{max_hops}"
     return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + "\n" + tail
 
 
@@ -3308,6 +3367,7 @@ FROM vol v LEFT JOIN intra i ON v.community = i.community
         "double_sweep": _sweep_sql(max_hops=8),
         "harmonic_centrality": _landmark_sql(max_hops=5, seed_mod=257, harmonic=True),
         "closeness_centrality": _landmark_sql(max_hops=5, seed_mod=257, closeness=True),
+        "temporal_reachability": _temporal_reach_sql(seed_mod=257, max_hops=6),
         "effective_diameter": _landmark_sql(max_hops=5, seed_mod=257, eff_pct=90),
         "stress_centrality": _stress_sql(seed_mod=101, max_hops=4),
         "mis": _mis_sql(salt=0, max_rounds=12),

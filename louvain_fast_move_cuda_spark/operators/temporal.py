@@ -386,3 +386,95 @@ def events_pivot(
         "user_id",
         *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
     )
+
+
+def derive_temporal_links(transcripts: DataFrame, ids: DataFrame) -> DataFrame:
+    """(a, b, ts_us) — the DIRECTED transcript links with event time:
+    the same reply + tool-invocation derivation as the static graph
+    (sources/edges.py::derive_edges_from_transcripts), keeping direction
+    and stamping each link with the TARGET turn's timestamp (the moment
+    the link comes into existence). Feed to
+    :func:`temporal_reachability`. ``ids`` is the (conv_id, turn_idx,
+    vid) map from transcript_graph."""
+    t = transcripts.join(ids, ["conv_id", "turn_idx"]).select(
+        "conv_id", "turn_idx", "tool", "vid",
+        F.unix_micros(F.to_utc_timestamp("ts", "UTC")).alias("ts_us"),
+    )
+    w_conv = Window.partitionBy("conv_id").orderBy("turn_idx")
+    reply = (
+        t.withColumn("b", F.lead("vid").over(w_conv))
+        .withColumn("bts", F.lead("ts_us").over(w_conv))
+        .filter(F.col("b").isNotNull())
+        .select(F.col("vid").alias("a"), "b", F.col("bts").alias("ts_us"))
+    )
+    w_tool = Window.partitionBy("tool").orderBy("ts_us", "conv_id", "turn_idx")
+    tool = (
+        t.filter(F.col("tool").isNotNull())
+        .withColumn("b", F.lead("vid").over(w_tool))
+        .withColumn("bts", F.lead("ts_us").over(w_tool))
+        .filter(F.col("b").isNotNull())
+        .select(F.col("vid").alias("a"), "b", F.col("bts").alias("ts_us"))
+    )
+    return reply.unionByName(tool)
+
+
+def temporal_reachability(
+    links: DataFrame, seeds: DataFrame, max_hops: int = 6
+) -> DataFrame:
+    """(landmark, vertex, arr_us) — hop-bounded EARLIEST-ARRIVAL times
+    over a temporal graph (Wu et al. 2014, "Path Problems in Temporal
+    Graphs"): arr(v) = the minimum, over time-respecting paths of at
+    most ``max_hops`` links whose timestamps never decrease and whose
+    first link is no earlier than the seed's own arr_us, of the last
+    link's timestamp. Information in a transcript flows only forward in
+    time — static reachability overstates influence; this is the
+    operator that does not.
+
+    Round r computes the exact Bellman-Ford state arr_r (min over
+    <= r-hop paths): expansion only from rows improved last round
+    (delta expansion reaches the identical state sequence — any new
+    <= r+1-hop improvement extends an improvement of round r), ONE
+    shuffle join + min-merge per round, early stop at the true fixpoint
+    (idempotent, so a fixed-round oracle unroll agrees whenever it
+    unrolls >= the rounds the engine ran). Bounded-radius semantics as
+    in landmark_distances — no truncation raise; ``max_hops`` IS the
+    contract.
+
+    ``links``: (a, b, ts_us) directed; ``seeds``: (landmark, vertex,
+    arr_us) start rows, normally vertex = landmark and arr_us = the
+    landmark turn's own timestamp. All state is int64 — engine-exact.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = links.select("a", "b", "ts_us").localCheckpoint(eager=True)
+    best = seeds.select("landmark", "vertex", "arr_us").localCheckpoint(eager=True)
+    frontier = best
+    for _h in range(max_hops):
+        cand = (
+            frontier.join(e, frontier["vertex"] == e["a"])
+            .filter(F.col("ts_us") >= F.col("arr_us"))
+            .groupBy("landmark", F.col("b").alias("vertex"))
+            .agg(F.min("ts_us").alias("arr_us"))
+        )
+        improved = (
+            cand.join(
+                best.select(
+                    "landmark", "vertex", F.col("arr_us").alias("prev_us")
+                ),
+                ["landmark", "vertex"],
+                "left",
+            )
+            .filter(F.col("prev_us").isNull() | (F.col("arr_us") < F.col("prev_us")))
+            .select("landmark", "vertex", "arr_us")
+            .localCheckpoint(eager=True)
+        )
+        if improved.count() == 0:
+            break  # true fixpoint: further rounds are identity
+        best = (
+            best.unionByName(improved)
+            .groupBy("landmark", "vertex")
+            .agg(F.min("arr_us").alias("arr_us"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return best

@@ -309,3 +309,55 @@ def test_role_degree_stats_cross_join_graph(spark):
     got = {r.role: (r.n_turns, r.sum_degree, r.max_degree)
            for r in role_degree_stats(t, ids, g).collect()}
     assert got == {"user": (2, 2, 1), "assistant": (1, 2, 2)}
+
+
+def test_temporal_reachability_matches_dp(spark):
+    import random
+
+    from louvain_fast_move_cuda_spark.operators.temporal import temporal_reachability
+
+    rng = random.Random(41)
+    n = 60
+    links = [
+        (rng.randrange(n), rng.randrange(n), rng.randrange(100, 200))
+        for _ in range(250)
+    ]
+    links = [(a, b, t) for a, b, t in links if a != b]
+    seeds = [(v, v, 100 + v) for v in range(0, n, 7)]
+    H = 4
+    # hop-bounded earliest-arrival DP (Wu et al. 2014)
+    arr = {(l, v): t for l, v, t in seeds}
+    for _ in range(H):
+        nxt = dict(arr)
+        for a, b, t in links:
+            for (l, v), av in arr.items():
+                if v == a and t >= av and t < nxt.get((l, b), 10**9):
+                    nxt[(l, b)] = t
+        arr = nxt
+    got = {
+        (r.landmark, r.vertex): r.arr_us
+        for r in temporal_reachability(
+            spark.createDataFrame(links, "a long, b long, ts_us long"),
+            spark.createDataFrame(seeds, "landmark long, vertex long, arr_us long"),
+            max_hops=H,
+        ).collect()
+    }
+    assert got == arr
+
+
+def test_temporal_reachability_respects_time_order(spark):
+    from louvain_fast_move_cuda_spark.operators.temporal import temporal_reachability
+
+    # 0 -t10-> 1 -t5-> 2: the second link fires BEFORE the first, so a
+    # path 0->1->2 is not time-respecting; 2 must be unreachable from 0
+    links = [(0, 1, 10), (1, 2, 5)]
+    seeds = [(0, 0, 0)]
+    got = {
+        (r.landmark, r.vertex): r.arr_us
+        for r in temporal_reachability(
+            spark.createDataFrame(links, "a long, b long, ts_us long"),
+            spark.createDataFrame(seeds, "landmark long, vertex long, arr_us long"),
+            max_hops=5,
+        ).collect()
+    }
+    assert got == {(0, 0): 0, (0, 1): 10}
