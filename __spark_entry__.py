@@ -1014,6 +1014,18 @@ def q_harmonic_centrality(spark, sf_dir):
     return harmonic_centrality(g, seed_mod=257, max_hops=5)
 
 
+def q_weighted_distances(spark, sf_dir):
+    """Hop-bounded weighted shortest paths (Bellman-Ford) from the
+    landmark set over the weighted-merge graph — integer weights make
+    every distance an exact int64."""
+    from louvain_fast_move_cuda_spark.operators.distances import (
+        weighted_landmark_distances,
+    )
+
+    g = _weighted_graph(spark, sf_dir)
+    return weighted_landmark_distances(g, seed_mod=257, max_hops=5)
+
+
 def q_temporal_reachability(spark, sf_dir):
     """Hop-bounded earliest-arrival reachability over the DIRECTED
     timestamped transcript links — influence flows only forward in
@@ -1716,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": q_harmonic_centrality,
         "closeness_centrality": q_closeness_centrality,
         "temporal_reachability": q_temporal_reachability,
+        "weighted_distances": q_weighted_distances,
         "effective_diameter": q_effective_diameter,
         "stress_centrality": q_stress_centrality,
         "mis": q_mis,
@@ -2528,6 +2541,32 @@ def _temporal_reach_sql(seed_mod: int = 257, max_hops: int = 6) -> str:
         )
     tail = f"SELECT landmark, vertex, arr_us FROM tb{max_hops}"
     return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + "\n" + tail
+
+
+def _weighted_dist_sql(seed_mod: int = 257, max_hops: int = 5) -> str:
+    """Unroll operators/distances.py::weighted_landmark_distances —
+    hop-bounded Bellman-Ford over the weighted-merge graph: per round
+    one expansion (dist + weight) UNION ALL the carried state,
+    min-merged per (landmark, vertex). Integer weights -> exact int64
+    states; the engine's delta expansion walks the identical state
+    sequence and early-stops only at the true fixpoint."""
+    parts = [
+        f"""wb0 AS MATERIALIZED (
+  SELECT id AS landmark, id AS vertex, CAST(0 AS BIGINT) AS dist
+  FROM wdeg WHERE id % {seed_mod} = 0)"""
+    ]
+    for r in range(max_hops):
+        parts.append(
+            f"""wb{r + 1} AS MATERIALIZED (
+  SELECT landmark, vertex, min(dist) AS dist FROM (
+    SELECT landmark, vertex, dist FROM wb{r}
+    UNION ALL
+    SELECT s.landmark, e.dst AS vertex, s.dist + CAST(e.weight AS BIGINT) AS dist
+    FROM wb{r} s JOIN wsym e ON e.src = s.vertex)
+  GROUP BY 1, 2)"""
+        )
+    tail = f"SELECT landmark, vertex, dist FROM wb{max_hops}"
+    return f"{_GRAPH_CTE},{_WEIGHTED_GRAPH_CTE}\n" + ",\n".join(parts) + "\n" + tail
 
 
 def _coloring_sql(salt: int = 0, max_rounds: int = 16) -> str:
@@ -3368,6 +3407,7 @@ FROM vol v LEFT JOIN intra i ON v.community = i.community
         "harmonic_centrality": _landmark_sql(max_hops=5, seed_mod=257, harmonic=True),
         "closeness_centrality": _landmark_sql(max_hops=5, seed_mod=257, closeness=True),
         "temporal_reachability": _temporal_reach_sql(seed_mod=257, max_hops=6),
+        "weighted_distances": _weighted_dist_sql(seed_mod=257, max_hops=5),
         "effective_diameter": _landmark_sql(max_hops=5, seed_mod=257, eff_pct=90),
         "stress_centrality": _stress_sql(seed_mod=101, max_hops=4),
         "mis": _mis_sql(salt=0, max_rounds=12),

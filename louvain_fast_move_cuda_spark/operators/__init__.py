@@ -5,6 +5,7 @@ from .distances import (  # noqa: F401
     harmonic_centrality,
     landmark_distances,
     stress_centrality,
+    weighted_landmark_distances,
 )
 from .graphstats import coreness, katz_centrality, rich_club  # noqa: F401
 from .coloring import greedy_coloring  # noqa: F401

@@ -351,3 +351,69 @@ def effective_diameter(
             F.max("max_sampled_dist").alias("max_sampled_dist"),
         )
     )
+
+
+def weighted_landmark_distances(
+    graph: GraphTables, seed_mod: int = 101, max_hops: int = 6
+) -> DataFrame:
+    """(landmark, vertex, dist) — hop-bounded WEIGHTED shortest-path
+    distances from every landmark (vid % seed_mod == 0): min total edge
+    weight over paths of at most ``max_hops`` links. The weighted twin
+    of :func:`landmark_distances`: with the weighted-merge graph's
+    integer-valued weights every distance is an exact int64, so the
+    fixed-round Bellman-Ford states are engine-exact.
+
+    Round r is the exact Bellman-Ford state (min weight over <= r-hop
+    paths); expansion only from rows improved last round (delta
+    expansion walks the identical state sequence), ONE shuffle join +
+    min-merge per round, early stop at the true fixpoint. Bounded-hop
+    semantics as in landmark_distances — ``max_hops`` IS the contract,
+    no truncation raise. Negative weights are rejected: with a hop
+    bound the DP stays well-defined, but a "distance" that a longer
+    path could lower below zero has no useful contract.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = (
+        graph.edges.select("src", "dst", F.col("weight").cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    if e.filter(F.col("w") < 0).limit(1).count() > 0:
+        raise ValueError("weighted_landmark_distances requires nonnegative weights")
+    best = (
+        graph.vertices.select(F.col("id").alias("landmark"))
+        .filter(F.col("landmark") % F.lit(seed_mod) == 0)
+        .select(
+            "landmark",
+            F.col("landmark").alias("vertex"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = best
+    for _h in range(max_hops):
+        cand = (
+            frontier.join(e, frontier["vertex"] == e["src"])
+            .groupBy("landmark", F.col("dst").alias("vertex"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("dist"))
+        )
+        improved = (
+            cand.join(
+                best.select("landmark", "vertex", F.col("dist").alias("prev")),
+                ["landmark", "vertex"],
+                "left",
+            )
+            .filter(F.col("prev").isNull() | (F.col("dist") < F.col("prev")))
+            .select("landmark", "vertex", "dist")
+            .localCheckpoint(eager=True)
+        )
+        if improved.count() == 0:
+            break  # true fixpoint: further rounds are identity
+        best = (
+            best.unionByName(improved)
+            .groupBy("landmark", "vertex")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return best

@@ -192,3 +192,61 @@ def test_closeness_centrality_matches_bfs_sum(spark):
         assert got[v][1] == sum(terms)
         want = round(len(terms) / sum(terms), 9) if terms else 0.0
         assert abs(got[v][2] - want) < 1e-12
+
+
+def test_weighted_landmark_distances_matches_dp(spark):
+    import random
+
+    from louvain_fast_move_cuda_spark.operators.distances import (
+        weighted_landmark_distances,
+    )
+    from louvain_fast_move_cuda_spark.sources.edges import build_graph
+
+    rng = random.Random(47)
+    n, H = 80, 4
+    edges = []
+    seen = set()
+    for _ in range(220):
+        a, b = rng.randrange(n), rng.randrange(n)
+        key = (min(a, b), max(a, b))
+        if a == b or key in seen:
+            continue
+        seen.add(key)
+        edges.append((a, b, float(rng.randrange(1, 9))))
+    g = build_graph(
+        spark.createDataFrame(edges, "a long, b long, w double"),
+        relabel=False,
+        weight="w",
+    )
+    # hop-bounded Bellman-Ford replay (symmetric edges)
+    sym = [(a, b, int(w)) for a, b, w in edges] + [(b, a, int(w)) for a, b, w in edges]
+    want = {(l, l): 0 for l in range(0, n, 9)}
+    for _ in range(H):
+        nxt = dict(want)
+        for a, b, w in sym:
+            for (l, v), dv in want.items():
+                if v == a and dv + w < nxt.get((l, b), 10**9):
+                    nxt[(l, b)] = dv + w
+        want = nxt
+    got = {
+        (r.landmark, r.vertex): r.dist
+        for r in weighted_landmark_distances(g, seed_mod=9, max_hops=H).collect()
+    }
+    assert got == want
+
+
+def test_weighted_landmark_distances_rejects_negative(spark):
+    import pytest
+
+    from louvain_fast_move_cuda_spark.operators.distances import (
+        weighted_landmark_distances,
+    )
+    from louvain_fast_move_cuda_spark.sources.edges import build_graph
+
+    g = build_graph(
+        spark.createDataFrame([(0, 1, -2.0)], "a long, b long, w double"),
+        relabel=False,
+        weight="w",
+    )
+    with pytest.raises(ValueError, match="nonnegative"):
+        weighted_landmark_distances(g)
