@@ -119,3 +119,105 @@ def test_quantile_sketch_rank_interval_consistent(spark, values, k):
             assert r.within_bound
         elif r.rank_err > bound + 1e-9:
             assert not r.within_bound
+
+
+@given(edges=_edges_strategy(), salt=st.integers(0, 1000))
+@_SET
+def test_coloring_proper_and_bounded(spark, edges, salt):
+    from louvain_fast_move_cuda_spark.operators.coloring import greedy_coloring
+
+    g = _gt(spark, edges)
+    got = {r.id: r.color for r in greedy_coloring(g, salt=salt, max_rounds=40).collect()}
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    for a, b in edges:
+        if a != b:
+            assert got[a] != got[b], f"edge ({a},{b}) monochromatic"
+    for v, ns in nbrs.items():
+        assert 0 <= got[v] <= len(ns), f"{v} colored past the greedy bound"
+
+
+@given(edges=_edges_strategy())
+@_SET
+def test_coreness_bounds_and_kcore_consistency(spark, edges):
+    from louvain_fast_move_cuda_spark.operators.graphstats import coreness
+
+    g = _gt(spark, edges)
+    got = {r.id: r.coreness for r in coreness(g, max_rounds=40).collect()}
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    for v, ns in nbrs.items():
+        assert 0 <= got[v] <= len(ns)
+        # a vertex's core number is at most 1 + the count of neighbors
+        # with core number >= its own (h-index fixpoint property)
+        c = got[v]
+        if c > 0:
+            assert sum(1 for w in ns if got[w] >= c) >= c
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25), st.integers(1, 9)),
+        min_size=1,
+        max_size=70,
+    ).filter(lambda es: any(a != b for a, b, _ in es))
+)
+@_SET
+def test_msf_is_spanning_forest_of_minimum_weight(spark, edges):
+    from louvain_fast_move_cuda_spark.operators.mst import minimum_spanning_forest
+
+    g = build_graph(
+        spark.createDataFrame(
+            [(a, b, float(w)) for a, b, w in edges], "a long, b long, w double"
+        ),
+        relabel=False,
+        weight="w",
+    )
+    rows = minimum_spanning_forest(g, max_rounds=16).collect()
+    got = {(r.src, r.dst) for r in rows}
+    # weights of the canonical merged graph (duplicates sum)
+    wsum = defaultdict(float)
+    verts = set()
+    for a, b, w in edges:
+        if a != b:
+            wsum[(min(a, b), max(a, b))] += float(w)
+            verts.update((a, b))
+
+    # union-find over the chosen edges: acyclic + spans each component
+    parent = {v: v for v in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in got:
+        rs, rd = find(s), find(d)
+        assert rs != rd, f"cycle through ({s},{d})"
+        parent[rs] = rd
+    # same number of components as the input graph (Kruskal count)
+    kp = {v: v for v in verts}
+
+    def kfind(x):
+        while kp[x] != x:
+            kp[x] = kp[kp[x]]
+            x = kp[x]
+        return x
+
+    n_merges = 0
+    total = 0.0
+    for (a, b), w in sorted(wsum.items(), key=lambda kv: (kv[1], kv[0])):
+        ra, rb = kfind(a), kfind(b)
+        if ra != rb:
+            kp[ra] = rb
+            n_merges += 1
+            total += w
+    assert len(got) == n_merges
+    assert abs(sum(wsum[e] for e in got) - total) < 1e-9
