@@ -6,7 +6,8 @@ Usage (packaged via scripts/submit.sh):
         --output /path/to/out [--checkpoint-dir /path/to/ckpt]
 
 --algo: pagerank | cc | lpa | triangles | hits | pagerank_directed |
-        double_sweep | quad_census
+        double_sweep | quad_census | mis | stress | node2vec |
+        coloring | coreness | msf | closeness
 Input: --transcripts (transcript parquet) | --events (driver events
 table) | --edge-file (whitespace edge-list text, reference GraphHost
 ingest; with --weighted / --skip-lines).
@@ -83,6 +84,7 @@ def main():
             "pagerank", "cc", "lpa", "triangles",
             "hits", "pagerank_directed", "double_sweep", "quad_census",
             "mis", "stress", "node2vec",
+            "coloring", "coreness", "msf", "closeness",
         ],
     )
     ap.add_argument("--transcripts")
@@ -156,6 +158,45 @@ def main():
 
         out = node2vec_walks(g, length=args.max_iter or 6, seed_mod=7)
         summary["n_walk_rows"] = out.count()
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps(summary))
+        return
+    if args.algo == "coloring":
+        from louvain_fast_move_cuda_spark.operators.coloring import greedy_coloring
+
+        out = greedy_coloring(g, max_rounds=args.max_iter or 32)
+        summary["n_colors"] = out.agg(F.countDistinct("color")).collect()[0][0]
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps(summary))
+        return
+    if args.algo == "coreness":
+        from louvain_fast_move_cuda_spark.operators.graphstats import coreness
+
+        out = coreness(g, max_rounds=args.max_iter or 32)
+        summary["max_coreness"] = int(out.agg(F.max("coreness")).collect()[0][0])
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps(summary))
+        return
+    if args.algo == "msf":
+        from louvain_fast_move_cuda_spark.operators.mst import minimum_spanning_forest
+
+        out = minimum_spanning_forest(g, max_rounds=args.max_iter or 16)
+        agg = out.agg(
+            F.count("*").alias("n"), F.sum("weight").alias("w")
+        ).collect()[0]
+        summary["n_forest_edges"] = int(agg["n"])
+        summary["forest_weight"] = float(agg["w"]) if agg["w"] is not None else 0.0
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps(summary))
+        return
+    if args.algo == "closeness":
+        from louvain_fast_move_cuda_spark.operators.distances import (
+            closeness_centrality,
+        )
+
+        out = closeness_centrality(g, seed_mod=101, max_hops=args.max_iter or 6)
+        top = out.orderBy(F.desc("closeness_r9"), F.asc("id")).first()
+        summary["top_closeness_id"] = int(top["id"]) if top is not None else None
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps(summary))
         return
