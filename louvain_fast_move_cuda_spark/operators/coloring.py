@@ -46,13 +46,20 @@ from .mis import _PACK, _priority
 
 
 def greedy_coloring(
-    graph: GraphTables, salt: int = 0, max_rounds: int = 16
+    graph: GraphTables, salt: int = 0, max_rounds: int = 16, checkpointer=None
 ) -> DataFrame:
     """(id, color) — the deterministic Jones-Plassmann greedy coloring
     under the static mixer-priority order; a proper coloring (no edge
     joins two same-colored vertices) with color count <= max degree + 1.
     Raises RuntimeError if ``max_rounds`` rounds leave uncolored
-    vertices."""
+    vertices.
+
+    ``checkpointer``: optional plans.checkpoint
+    .VertexIterationCheckpointer — every round durably commits the
+    accumulated (id, color) table; a fresh call resumes from the latest
+    committed round (rounds depend only on the colored set and the
+    static priorities, so resumed output is identical — and a run that
+    RAISED at its budget keeps its committed rounds for the retry)."""
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     edges = graph.edges.select("src", "dst").localCheckpoint(eager=True)
@@ -64,10 +71,28 @@ def greedy_coloring(
         .localCheckpoint(eager=True)
     )
     e = edges  # uncolored-by-uncolored subgraph, shrunk per round
-    colored_parts: list[DataFrame] = []
     colored: DataFrame | None = None  # accumulated (id, color)
     converged = False
-    for _r in range(max_rounds):
+    start_round = 0
+    if checkpointer is not None:
+        state = checkpointer.load_latest(graph.edges.sparkSession)
+        if state is not None:
+            it, saved, metric = state
+            colored = saved.localCheckpoint(eager=True)
+            start_round = it + 1
+            converged = bool(metric.get("converged"))
+            if not converged:
+                und = und.join(colored.select("id"), "id", "left_anti").localCheckpoint(
+                    eager=True
+                )
+                e = (
+                    e.join(und.select(F.col("id").alias("src")), "src", "left_semi")
+                    .join(und.select(F.col("id").alias("dst")), "dst", "left_semi")
+                    .localCheckpoint(eager=True)
+                )
+    for _r in range(start_round, max_rounds):
+        if converged:
+            break
         nb = (
             e.join(und.select(F.col("id").alias("dst"), F.col("ky").alias("kd")), "dst")
             .groupBy(F.col("src").alias("id"))
@@ -106,13 +131,17 @@ def greedy_coloring(
                 "id", F.coalesce("color", F.lit(0)).alias("color")
             )
         newly = newly.localCheckpoint(eager=True)
-        colored_parts.append(newly)
         colored = (
             newly if colored is None else colored.unionByName(newly)
         ).localCheckpoint(eager=True)
         und = und.join(newly.select("id"), "id", "left_anti").localCheckpoint(eager=True)
-        if und.count() == 0:
-            converged = True
+        n_und = und.count()
+        converged = n_und == 0
+        if checkpointer is not None:
+            checkpointer.save(
+                _r, colored, {"n_uncolored": n_und, "converged": converged}
+            )
+        if converged:
             break
         e = (
             e.join(und.select(F.col("id").alias("src")), "src", "left_semi")

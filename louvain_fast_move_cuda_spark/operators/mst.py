@@ -55,14 +55,25 @@ from ..sources.edges import GraphTables
 
 
 def minimum_spanning_forest(
-    graph: GraphTables, max_rounds: int = 12, on_truncate: str = "raise"
+    graph: GraphTables,
+    max_rounds: int = 12,
+    on_truncate: str = "raise",
+    checkpointer=None,
 ) -> DataFrame:
     """(src, dst, weight) — the unique minimum spanning forest of the
     weighted graph under the ``(weight, src, dst)`` total order; one row
     per forest edge (n_vertices - n_components rows in total).
     Raises RuntimeError if cross-component edges remain after
     ``max_rounds`` Borůvka rounds (pass ``on_truncate='ignore'`` to
-    accept the partial forest)."""
+    accept the partial forest).
+
+    ``checkpointer``: optional plans.checkpoint
+    .VertexIterationCheckpointer — every round durably commits one
+    packed state table (kind='comp' rows carry (id, comp); kind='edge'
+    rows carry the forest chosen so far); a fresh call resumes from the
+    latest committed round. Rounds depend only on the component map and
+    the static edge table, and the MSF is unique under the total order,
+    so resumed output is identical."""
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     if on_truncate not in ("raise", "ignore"):
@@ -76,7 +87,45 @@ def minimum_spanning_forest(
     comp = graph.vertices.select("id", F.col("id").alias("comp"))
     chosen_parts: list[DataFrame] = []
     converged = False
-    for _ in range(max_rounds):
+    start_round = 0
+    if checkpointer is not None:
+        state = checkpointer.load_latest(graph.edges.sparkSession)
+        if state is not None:
+            it, saved, metric = state
+            saved = saved.localCheckpoint(eager=True)
+            comp = saved.filter(F.col("kind") == "comp").select(
+                F.col("a").alias("id"), F.col("b").alias("comp")
+            )
+            prior = saved.filter(F.col("kind") == "edge").select(
+                F.col("a").alias("src"), F.col("b").alias("dst"), F.col("w").alias("weight")
+            )
+            chosen_parts.append(prior)
+            start_round = it + 1
+            converged = bool(metric.get("converged"))
+
+    def _save(rnd: int, conv: bool, n_active: int) -> None:
+        if checkpointer is None:
+            return
+        packed = comp.select(
+            F.lit("comp").alias("kind"),
+            F.col("id").alias("a"),
+            F.col("comp").alias("b"),
+            F.lit(None).cast("double").alias("w"),
+        )
+        for df in chosen_parts:
+            packed = packed.unionByName(
+                df.select(
+                    F.lit("edge").alias("kind"),
+                    F.col("src").alias("a"),
+                    F.col("dst").alias("b"),
+                    F.col("weight").alias("w"),
+                )
+            )
+        checkpointer.save(rnd, packed, {"converged": conv, "n_active": n_active})
+
+    for _rnd in range(start_round, max_rounds):
+        if converged:
+            break
         e = (
             edges.join(
                 comp.select(F.col("id").alias("src"), F.col("comp").alias("cs")), "src"
@@ -101,6 +150,7 @@ def minimum_spanning_forest(
         n_active = best.count()  # the round's ONE driver action
         if n_active == 0:
             converged = True
+            _save(_rnd, True, 0)
             break
         chosen_parts.append(
             best.select(
@@ -157,6 +207,7 @@ def minimum_spanning_forest(
             .select("id", F.coalesce("p", "comp").alias("comp"))
             .localCheckpoint(eager=True)
         )
+        _save(_rnd, False, n_active)
     if not converged and on_truncate == "raise":
         # the budget ran out with the last round still choosing edges;
         # confirm whether that round happened to finish the forest

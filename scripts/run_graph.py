@@ -164,7 +164,7 @@ def main():
     if args.algo == "coloring":
         from louvain_fast_move_cuda_spark.operators.coloring import greedy_coloring
 
-        out = greedy_coloring(g, max_rounds=args.max_iter or 32)
+        out = greedy_coloring(g, max_rounds=args.max_iter or 32, checkpointer=ckpt)
         summary["n_colors"] = out.agg(F.countDistinct("color")).collect()[0][0]
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps(summary))
@@ -180,7 +180,7 @@ def main():
     if args.algo == "msf":
         from louvain_fast_move_cuda_spark.operators.mst import minimum_spanning_forest
 
-        out = minimum_spanning_forest(g, max_rounds=args.max_iter or 16)
+        out = minimum_spanning_forest(g, max_rounds=args.max_iter or 16, checkpointer=ckpt)
         agg = out.agg(
             F.count("*").alias("n"), F.sum("weight").alias("w")
         ).collect()[0]

@@ -183,3 +183,51 @@ def test_pagerank_lpa_cc_resume_mid_iteration(spark, tmp_path):
         raise AssertionError("expected ValueError for mismatched algo tag")
     except ValueError:
         pass
+
+
+def test_coloring_msf_resume_mid_iteration(spark, tmp_path):
+    """Coloring + MSF resume from a committed round bit-identically —
+    including after a budget-exhausted run that RAISED (its committed
+    rounds survive for the retry)."""
+    import pytest
+
+    from louvain_fast_move_cuda_spark.operators.coloring import greedy_coloring
+    from louvain_fast_move_cuda_spark.operators.mst import minimum_spanning_forest
+    from louvain_fast_move_cuda_spark.plans.checkpoint import (
+        VertexIterationCheckpointer,
+    )
+
+    edges = powerlaw_graph(n=100, m_attach=2, seed=13)
+    g = build_graph(spark.createDataFrame(edges, "a long, b long"), relabel=False)
+
+    # --- coloring: budget-exhausted run raises but commits its rounds --
+    ck = VertexIterationCheckpointer(str(tmp_path / "col"), algo="coloring")
+    with pytest.raises(RuntimeError, match="converge"):
+        greedy_coloring(g, max_rounds=1, checkpointer=ck)
+    resumed = sorted(
+        map(tuple, greedy_coloring(g, max_rounds=30, checkpointer=ck).collect())
+    )
+    fresh = sorted(map(tuple, greedy_coloring(g, max_rounds=30).collect()))
+    assert resumed == fresh
+    # resuming a CONVERGED checkpoint is a no-op returning the fixpoint
+    again = sorted(
+        map(tuple, greedy_coloring(g, max_rounds=30, checkpointer=ck).collect())
+    )
+    assert again == fresh
+
+    # --- msf: 1 round, resume to completion (unique forest) ------------
+    wg = build_graph(
+        spark.createDataFrame(
+            [(a, b, float((a * 7 + b) % 5 + 1)) for a, b in edges],
+            "a long, b long, w double",
+        ),
+        relabel=False,
+        weight="w",
+    )
+    ck = VertexIterationCheckpointer(str(tmp_path / "msf"), algo="msf")
+    minimum_spanning_forest(wg, max_rounds=1, on_truncate="ignore", checkpointer=ck)
+    resumed = sorted(
+        map(tuple, minimum_spanning_forest(wg, checkpointer=ck).collect())
+    )
+    fresh = sorted(map(tuple, minimum_spanning_forest(wg).collect()))
+    assert resumed == fresh
