@@ -629,7 +629,10 @@ def katz_centrality(
 
 
 def coreness(
-    graph: GraphTables, max_rounds: int = 20, on_truncate: str = "raise"
+    graph: GraphTables,
+    max_rounds: int = 20,
+    on_truncate: str = "raise",
+    checkpointer=None,
 ) -> DataFrame:
     """(id, coreness) — the core number of EVERY vertex (the largest k
     such that v belongs to the k-core), via the h-index iteration of
@@ -650,6 +653,12 @@ def coreness(
     budget. ``on_truncate`` follows the k_core contract: a truncated
     run OVERSTATES coreness (values still descending), so ``"raise"``
     (default) refuses to return it.
+
+    ``checkpointer``: optional plans.checkpoint
+    .VertexIterationCheckpointer — every round durably commits the
+    (id, c) descent state; a fresh call resumes the identical monotone
+    sequence from the latest committed round (a budget-exhausted run
+    that raised keeps its committed rounds for the retry).
     """
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
@@ -664,7 +673,19 @@ def coreness(
         .localCheckpoint(eager=True)
     )
     converged = False
-    for _ in range(max_rounds):
+    start_round = 0
+    # descent state is one (id, c) table; rounds depend on nothing else,
+    # so a resumed run replays the identical monotone sequence
+    if checkpointer is not None:
+        state = checkpointer.load_latest(graph.edges.sparkSession)
+        if state is not None:
+            it, saved, metric = state
+            c = saved.localCheckpoint(eager=True)
+            start_round = it + 1
+            converged = bool(metric.get("converged"))
+    for _rnd in range(start_round, max_rounds):
+        if converged:
+            break
         nv = edges.join(
             c.select(F.col("id").alias("dst"), F.col("c").alias("cv")), "dst"
         ).select("src", "cv")
@@ -683,8 +704,10 @@ def coreness(
             .count()
         )
         c = nxt
-        if changed == 0:
-            converged = True
+        converged = changed == 0
+        if checkpointer is not None:
+            checkpointer.save(_rnd, c, {"changed": changed, "converged": converged})
+        if converged:
             break
     if not converged and on_truncate == "raise":
         raise RuntimeError(

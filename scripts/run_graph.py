@@ -172,7 +172,7 @@ def main():
     if args.algo == "coreness":
         from louvain_fast_move_cuda_spark.operators.graphstats import coreness
 
-        out = coreness(g, max_rounds=args.max_iter or 32)
+        out = coreness(g, max_rounds=args.max_iter or 32, checkpointer=ckpt)
         summary["max_coreness"] = int(out.agg(F.max("coreness")).collect()[0][0])
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps(summary))

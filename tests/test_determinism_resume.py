@@ -231,3 +231,26 @@ def test_coloring_msf_resume_mid_iteration(spark, tmp_path):
     )
     fresh = sorted(map(tuple, minimum_spanning_forest(wg).collect()))
     assert resumed == fresh
+
+
+def test_coreness_resume_mid_iteration(spark, tmp_path):
+    import pytest
+
+    from louvain_fast_move_cuda_spark.operators.graphstats import coreness
+    from louvain_fast_move_cuda_spark.plans.checkpoint import (
+        VertexIterationCheckpointer,
+    )
+
+    # long path: the h-index descent needs many rounds, so 1 round raises
+    g = build_graph(
+        spark.createDataFrame([(i, i + 1) for i in range(25)], "a long, b long"),
+        relabel=False,
+    )
+    ck = VertexIterationCheckpointer(str(tmp_path / "core"), algo="coreness")
+    with pytest.raises(RuntimeError, match="converge"):
+        coreness(g, max_rounds=1, checkpointer=ck)
+    resumed = sorted(map(tuple, coreness(g, max_rounds=40, checkpointer=ck).collect()))
+    fresh = sorted(map(tuple, coreness(g, max_rounds=40).collect()))
+    assert resumed == fresh
+    again = sorted(map(tuple, coreness(g, max_rounds=40, checkpointer=ck).collect()))
+    assert again == fresh
