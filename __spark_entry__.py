@@ -1494,6 +1494,22 @@ def q_tpch_q5(spark, sf_dir):
     )
 
 
+def q_tpch_q6(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.tpch import forecast_revenue_change
+
+    return forecast_revenue_change(spark.read.parquet(f"{sf_dir}/lineitem.parquet"))
+
+
+def q_tpch_q18(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.tpch import large_volume_customers
+
+    return large_volume_customers(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
 def q_bigram_lm_scores(spark, sf_dir):
     from louvain_fast_move_cuda_spark.operators.textstats import bigram_lm_scores
 
@@ -1692,6 +1708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q18": q_tpch_q18,
         "value_quantiles": q_value_quantiles,
         "rolling_activity": q_rolling_activity,
         "simhash_near_dupes": q_simhash_near_dupes,
@@ -3730,6 +3748,25 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name
+""",
+        "tpch_q6": """
+SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round(l_discount * 100) AS BIGINT)), 0) AS BIGINT) AS revenue_e4,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_quantity < 24
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+""",
+        "tpch_q18": """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) > 250
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_c, sum_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
 """,
         # OLAP rollup over (event_type, day); gid disambiguates rolled-up
         # nulls; both engines use the grouping(a,b) bitmask convention

@@ -115,3 +115,66 @@ def local_supplier_volume(
         .groupBy("n_name")
         .agg(F.sum(revenue_e4).alias("revenue_e4"))
     )
+
+
+def forecast_revenue_change(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    discount_pct: int = 6,
+    max_qty: int = 24,
+) -> DataFrame:
+    """TPC-H Q6: revenue increase from eliminating selected discounts —
+    one filter + one global sum. The discount band is expressed in
+    integer basis points (``discount_pct`` ± 1) so the predicate is
+    exact, and the revenue Σ ep_cents·disc_pct runs in fixed-point e4
+    like Q1. The whole query is a single scan with every predicate
+    pushed to parquet; the shuffle carries ONE partial row per
+    partition."""
+    d_p = F.round(F.col("l_discount") * 100).cast("long")
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * d_p
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+            & (F.col("l_quantity") < F.lit(max_qty))
+        )
+        .filter(
+            (d_p >= F.lit(discount_pct - 1)) & (d_p <= F.lit(discount_pct + 1))
+        )
+        .agg(
+            F.coalesce(F.sum(rev_e4), F.lit(0)).alias("revenue_e4"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: int = 250,
+) -> DataFrame:
+    """TPC-H Q18: customers whose single orders exceed ``min_qty`` total
+    quantity. The HAVING subquery is one partial-aggregated groupBy on
+    the fact table; only the (tiny) qualifying order-key set joins back
+    to orders/customer — broadcast-sized by construction at any SF,
+    because qualifying orders are the extreme tail. All quantities are
+    integers; o_totalprice bridges as exact cents."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > F.lit(min_qty))
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("o_totalprice_c"),
+            "sum_qty",
+        )
+    )

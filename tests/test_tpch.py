@@ -98,3 +98,58 @@ def test_local_supplier_volume_nation_loop(spark):
     # line via s8 (FRANCE, EUROPE) fails both the loop and the region.
     # order 200: s9 nation 20 = cust 2 nation -> INDIA.
     assert out == {"JAPAN": 1000 * 100 + 7000 * 100, "INDIA": 5000 * 90}
+
+
+def test_forecast_revenue_change_band_and_bounds(spark):
+    from louvain_fast_move_cuda_spark.operators.tpch import forecast_revenue_change
+
+    d = dt.datetime(1996, 6, 1)
+    rows = [
+        # in band (5-7%), qty < 24 -> counted
+        (1, 1, 1, 1, 10.0, 100.00, 0.06, 0.0, "A", "F", d),
+        (2, 1, 1, 1, 23.0, 50.00, 0.05, 0.0, "A", "F", d),
+        # discount out of band -> excluded
+        (3, 1, 1, 1, 10.0, 100.00, 0.08, 0.0, "A", "F", d),
+        # quantity at the bound -> excluded (strict <)
+        (4, 1, 1, 1, 24.0, 100.00, 0.06, 0.0, "A", "F", d),
+        # outside the date window -> excluded
+        (5, 1, 1, 1, 10.0, 100.00, 0.06, 0.0, "A", "F", dt.datetime(1997, 6, 1)),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    r = forecast_revenue_change(li).collect()[0]
+    assert r.n_lines == 2
+    assert r.revenue_e4 == 10000 * 6 + 5000 * 5  # cents * pct
+
+
+def test_large_volume_customers_having_threshold(spark):
+    from louvain_fast_move_cuda_spark.operators.tpch import large_volume_customers
+
+    d = dt.datetime(1996, 6, 1)
+    li = spark.createDataFrame(
+        [(1, 1, 1, 1, 200.0, 1.0, 0.0, 0.0, "A", "F", d),
+         (1, 2, 1, 2, 60.0, 1.0, 0.0, 0.0, "A", "F", d),
+         (2, 1, 1, 1, 250.0, 1.0, 0.0, 0.0, "A", "F", d)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    orders = spark.createDataFrame(
+        [(1, 7, "O", 1234.56, d, "1-URGENT"), (2, 8, "O", 99.99, d, "2-HIGH")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    cust = spark.createDataFrame(
+        [(7, "Alice", 1, 0.0, "BUILDING"), (8, "Bob", 1, 0.0, "BUILDING")],
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    got = large_volume_customers(cust, orders, li, min_qty=250).collect()
+    # order 1 sums to 260 (> 250); order 2 is exactly 250 -> excluded
+    assert len(got) == 1
+    r = got[0]
+    assert (r.c_name, r.o_orderkey, r.sum_qty, r.o_totalprice_c) == ("Alice", 1, 260, 123456)
