@@ -354,7 +354,7 @@ def effective_diameter(
 
 
 def weighted_landmark_distances(
-    graph: GraphTables, seed_mod: int = 101, max_hops: int = 6
+    graph: GraphTables, seed_mod: int = 101, max_hops: int = 6, checkpointer=None
 ) -> DataFrame:
     """(landmark, vertex, dist) — hop-bounded WEIGHTED shortest-path
     distances from every landmark (vid % seed_mod == 0): min total edge
@@ -371,6 +371,12 @@ def weighted_landmark_distances(
     no truncation raise. Negative weights are rejected: with a hop
     bound the DP stays well-defined, but a "distance" that a longer
     path could lower below zero has no useful contract.
+
+    ``checkpointer``: optional plans.checkpoint
+    .VertexIterationCheckpointer — every hop durably commits one packed
+    state table (kind='best' the distance map, kind='frontier' last
+    hop's improvements); a fresh call resumes the identical Bellman-Ford
+    state sequence from the latest committed hop.
     """
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
@@ -391,7 +397,34 @@ def weighted_landmark_distances(
         .localCheckpoint(eager=True)
     )
     frontier = best
-    for _h in range(max_hops):
+    start_hop = 0
+    fixpoint = False
+    if checkpointer is not None:
+        state = checkpointer.load_latest(graph.edges.sparkSession)
+        if state is not None:
+            it, saved, metric = state
+            saved = saved.localCheckpoint(eager=True)
+            best = saved.filter(F.col("kind") == "best").select(
+                "landmark", "vertex", "dist"
+            )
+            frontier = saved.filter(F.col("kind") == "frontier").select(
+                "landmark", "vertex", "dist"
+            )
+            start_hop = it + 1
+            fixpoint = bool(metric.get("fixpoint"))
+
+    def _save(hop: int, fx: bool, n_improved: int) -> None:
+        if checkpointer is None:
+            return
+        packed = best.select(F.lit("best").alias("kind"), "landmark", "vertex", "dist")
+        packed = packed.unionByName(
+            frontier.select(F.lit("frontier").alias("kind"), "landmark", "vertex", "dist")
+        )
+        checkpointer.save(hop, packed, {"fixpoint": fx, "n_improved": n_improved})
+
+    for _h in range(start_hop, max_hops):
+        if fixpoint:
+            break
         cand = (
             frontier.join(e, frontier["vertex"] == e["src"])
             .groupBy("landmark", F.col("dst").alias("vertex"))
@@ -407,7 +440,10 @@ def weighted_landmark_distances(
             .select("landmark", "vertex", "dist")
             .localCheckpoint(eager=True)
         )
-        if improved.count() == 0:
+        n_improved = improved.count()
+        if n_improved == 0:
+            fixpoint = True
+            _save(_h, True, 0)
             break  # true fixpoint: further rounds are identity
         best = (
             best.unionByName(improved)
@@ -416,4 +452,5 @@ def weighted_landmark_distances(
             .localCheckpoint(eager=True)
         )
         frontier = improved
+        _save(_h, False, n_improved)
     return best

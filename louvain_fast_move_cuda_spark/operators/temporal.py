@@ -419,7 +419,7 @@ def derive_temporal_links(transcripts: DataFrame, ids: DataFrame) -> DataFrame:
 
 
 def temporal_reachability(
-    links: DataFrame, seeds: DataFrame, max_hops: int = 6
+    links: DataFrame, seeds: DataFrame, max_hops: int = 6, checkpointer=None
 ) -> DataFrame:
     """(landmark, vertex, arr_us) — hop-bounded EARLIEST-ARRIVAL times
     over a temporal graph (Wu et al. 2014, "Path Problems in Temporal
@@ -443,13 +443,48 @@ def temporal_reachability(
     ``links``: (a, b, ts_us) directed; ``seeds``: (landmark, vertex,
     arr_us) start rows, normally vertex = landmark and arr_us = the
     landmark turn's own timestamp. All state is int64 — engine-exact.
+
+    ``checkpointer``: optional plans.checkpoint
+    .VertexIterationCheckpointer — every hop durably commits one packed
+    state table (kind='best' carries the arrival map, kind='frontier'
+    last hop's improvements); a fresh call resumes the identical
+    Bellman-Ford state sequence from the latest committed hop.
     """
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
     e = links.select("a", "b", "ts_us").localCheckpoint(eager=True)
     best = seeds.select("landmark", "vertex", "arr_us").localCheckpoint(eager=True)
     frontier = best
-    for _h in range(max_hops):
+    start_hop = 0
+    fixpoint = False
+    if checkpointer is not None:
+        state = checkpointer.load_latest(links.sparkSession)
+        if state is not None:
+            it, saved, metric = state
+            saved = saved.localCheckpoint(eager=True)
+            best = saved.filter(F.col("kind") == "best").select(
+                "landmark", "vertex", "arr_us"
+            )
+            frontier = saved.filter(F.col("kind") == "frontier").select(
+                "landmark", "vertex", "arr_us"
+            )
+            start_hop = it + 1
+            fixpoint = bool(metric.get("fixpoint"))
+
+    def _save(hop: int, fx: bool, n_improved: int) -> None:
+        if checkpointer is None:
+            return
+        packed = best.select(F.lit("best").alias("kind"), "landmark", "vertex", "arr_us")
+        packed = packed.unionByName(
+            frontier.select(
+                F.lit("frontier").alias("kind"), "landmark", "vertex", "arr_us"
+            )
+        )
+        checkpointer.save(hop, packed, {"fixpoint": fx, "n_improved": n_improved})
+
+    for _h in range(start_hop, max_hops):
+        if fixpoint:
+            break
         cand = (
             frontier.join(e, frontier["vertex"] == e["a"])
             .filter(F.col("ts_us") >= F.col("arr_us"))
@@ -468,7 +503,10 @@ def temporal_reachability(
             .select("landmark", "vertex", "arr_us")
             .localCheckpoint(eager=True)
         )
-        if improved.count() == 0:
+        n_improved = improved.count()
+        if n_improved == 0:
+            fixpoint = True
+            _save(_h, True, 0)
             break  # true fixpoint: further rounds are identity
         best = (
             best.unionByName(improved)
@@ -477,4 +515,5 @@ def temporal_reachability(
             .localCheckpoint(eager=True)
         )
         frontier = improved
+        _save(_h, False, n_improved)
     return best

@@ -254,3 +254,58 @@ def test_coreness_resume_mid_iteration(spark, tmp_path):
     assert resumed == fresh
     again = sorted(map(tuple, coreness(g, max_rounds=40, checkpointer=ck).collect()))
     assert again == fresh
+
+
+def test_bellman_ford_family_resume_mid_hop(spark, tmp_path):
+    """temporal_reachability and weighted_landmark_distances resume the
+    identical Bellman-Ford state sequence from a committed hop."""
+    from louvain_fast_move_cuda_spark.operators.distances import (
+        weighted_landmark_distances,
+    )
+    from louvain_fast_move_cuda_spark.operators.temporal import temporal_reachability
+    from louvain_fast_move_cuda_spark.plans.checkpoint import (
+        VertexIterationCheckpointer,
+    )
+
+    import random
+
+    rng = random.Random(53)
+    links = [
+        (rng.randrange(40), rng.randrange(40), rng.randrange(100, 200))
+        for _ in range(150)
+    ]
+    links = [(a, b, t) for a, b, t in links if a != b]
+    seeds = [(v, v, 100 + v) for v in range(0, 40, 6)]
+    ldf = spark.createDataFrame(links, "a long, b long, ts_us long")
+    sdf = spark.createDataFrame(seeds, "landmark long, vertex long, arr_us long")
+    ck = VertexIterationCheckpointer(str(tmp_path / "tr"), algo="temporal")
+    temporal_reachability(ldf, sdf, max_hops=1, checkpointer=ck).collect()
+    resumed = sorted(
+        map(tuple, temporal_reachability(ldf, sdf, max_hops=5, checkpointer=ck).collect())
+    )
+    fresh = sorted(map(tuple, temporal_reachability(ldf, sdf, max_hops=5).collect()))
+    assert resumed == fresh
+
+    edges = powerlaw_graph(n=90, m_attach=2, seed=19)
+    wg = build_graph(
+        spark.createDataFrame(
+            [(a, b, float((a + 2 * b) % 4 + 1)) for a, b in edges],
+            "a long, b long, w double",
+        ),
+        relabel=False,
+        weight="w",
+    )
+    ck = VertexIterationCheckpointer(str(tmp_path / "wd"), algo="wdist")
+    weighted_landmark_distances(wg, seed_mod=11, max_hops=1, checkpointer=ck).collect()
+    resumed = sorted(
+        map(
+            tuple,
+            weighted_landmark_distances(
+                wg, seed_mod=11, max_hops=5, checkpointer=ck
+            ).collect(),
+        )
+    )
+    fresh = sorted(
+        map(tuple, weighted_landmark_distances(wg, seed_mod=11, max_hops=5).collect())
+    )
+    assert resumed == fresh
