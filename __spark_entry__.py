@@ -1606,6 +1606,24 @@ def q_ann_ivf(spark, sf_dir):
     return res.select("query_id", "neighbor_id", F.col("rank").alias("rnk"))
 
 
+def q_kmeans_clusters(spark, sf_dir):
+    """Spherical k-means cluster labels for EVERY embedding — the IVF
+    index's assignment surface exposed as a clustering operator. The
+    centroids (engine-trained, deterministic) materialize as the
+    bridged artifact; the oracle independently recomputes every
+    vector's argmax-cosine assignment with the same (sim desc, cid asc)
+    tie-break."""
+    from louvain_fast_move_cuda_spark.operators.similarity import ivf_assign
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents, assigned = ivf_assign(emb, n_centroids=16)
+    _materialize_for_oracle(cents, "kmeans_centroids")
+    return assigned.select(F.col("id").alias("vec_id"), "cid")
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     from louvain_fast_move_cuda_spark.operators.dedup import (
         winnow_fingerprints_from_hashes,
@@ -1793,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "knn_label_eval": q_knn_label_eval,
         "ann_ivf": q_ann_ivf,
+        "kmeans_clusters": q_kmeans_clusters,
         "embedding_near_dupes": q_embedding_near_dupes,
     }
 
@@ -4328,6 +4347,31 @@ SELECT query_id, neighbor_id, rnk FROM (
   FROM scored
 )
 WHERE rnk <= 5
+""",
+        # argmax-cosine assignment recomputed from the bridged centroids
+        # with the engine's (sim desc, cid asc) tie-break; the cosine is
+        # the same left-fold double expression as the Spark side
+        "kmeans_clusters": f"""
+WITH c AS (
+  SELECT * FROM read_parquet('{_ORACLE_MAT_DIR}/kmeans_centroids.parquet/*.parquet')
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(range(1, len(e.vec) + 1), i -> e.vec[i] * c.cv[i]))
+           / (sqrt(list_sum(list_transform(e.vec, x -> x * x)))
+              * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS sim
+  FROM e CROSS JOIN c
+)
+SELECT vec_id, cid FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+  FROM scored
+)
+WHERE rn = 1
 """,
         # mirrors operators/multimodal.py::synthesize_media (kind/meta are
         # arithmetic functions of doc_id; payload = UTF-8 text bytes)
