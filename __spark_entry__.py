@@ -1014,6 +1014,61 @@ def q_harmonic_centrality(spark, sf_dir):
     return harmonic_centrality(g, seed_mod=257, max_hops=5)
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Graph-evolution diff: the link graph derived AS OF the event-time
+    midpoint (turns with ts <= (min+max)/2, same reply/tool lead
+    derivation over the surviving turns, vids from the FULL table so
+    both snapshots share one id space) full-outer-joined against the
+    final graph. Per edge: status 'added' (final only), 'removed'
+    (snapshot only — a later-arriving turn rewired a lead chain
+    through it), or 'persistent'. All integer state; the cutoff is
+    exact integer micros arithmetic, so both engines pick the identical
+    turn set."""
+    t, ids, _ = _graph(spark, sf_dir)
+    tt = t.join(ids, ["conv_id", "turn_idx"]).select(
+        "conv_id", "turn_idx", "tool", "vid",
+        F.unix_micros(F.to_utc_timestamp("ts", "UTC")).alias("ts_us"),
+    )
+    b = tt.agg(
+        F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
+    ).collect()[0]
+    cutoff = (int(b["lo"]) + int(b["hi"])) // 2
+
+    def links(turns):
+        w_conv = Window.partitionBy("conv_id").orderBy("turn_idx")
+        reply = (
+            turns.withColumn("b", F.lead("vid").over(w_conv))
+            .filter(F.col("b").isNotNull())
+            .select(F.col("vid").alias("a"), "b")
+        )
+        w_tool = Window.partitionBy("tool").orderBy("ts_us", "conv_id", "turn_idx")
+        tool = (
+            turns.filter(F.col("tool").isNotNull())
+            .withColumn("b", F.lead("vid").over(w_tool))
+            .filter(F.col("b").isNotNull())
+            .select(F.col("vid").alias("a"), "b")
+        )
+        raw = reply.unionByName(tool)
+        return raw.filter(F.col("a") != F.col("b")).select(
+            F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")
+        ).distinct()
+
+    old = links(tt.filter(F.col("ts_us") <= F.lit(cutoff)))
+    new = links(tt)
+    return (
+        old.withColumn("in_old", F.lit(1))
+        .join(new.withColumn("in_new", F.lit(1)), ["src", "dst"], "full_outer")
+        .select(
+            "src",
+            "dst",
+            F.when(F.col("in_old").isNull(), F.lit("added"))
+            .when(F.col("in_new").isNull(), F.lit("removed"))
+            .otherwise(F.lit("persistent"))
+            .alias("status"),
+        )
+    )
+
+
 def q_weighted_distances(spark, sf_dir):
     """Hop-bounded weighted shortest paths (Bellman-Ford) from the
     landmark set over the weighted-merge graph — integer weights make
@@ -1765,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closeness_centrality": q_closeness_centrality,
         "temporal_reachability": q_temporal_reachability,
         "weighted_distances": q_weighted_distances,
+        "snapshot_diff": q_snapshot_diff,
         "effective_diameter": q_effective_diameter,
         "stress_centrality": q_stress_centrality,
         "mis": q_mis,
@@ -2578,6 +2634,40 @@ def _temporal_reach_sql(seed_mod: int = 257, max_hops: int = 6) -> str:
         )
     tail = f"SELECT landmark, vertex, arr_us FROM tb{max_hops}"
     return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + "\n" + tail
+
+
+_SNAPSHOT_DIFF_SQL = f"""
+{_GRAPH_CTE},
+dt AS MATERIALIZED (
+  SELECT vid, conv_id, turn_idx, tool, epoch_us(ts) AS ts_us FROM ids),
+cut AS MATERIALIZED (SELECT (min(ts_us) + max(ts_us)) // 2 AS c FROM dt),
+old_t AS MATERIALIZED (SELECT * FROM dt WHERE ts_us <= (SELECT c FROM cut)),
+old_raw AS (
+  SELECT a, b FROM (
+    SELECT vid AS a, lead(vid) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS b
+    FROM old_t) WHERE b IS NOT NULL
+  UNION ALL
+  SELECT a, b FROM (
+    SELECT vid AS a, lead(vid) OVER (PARTITION BY tool ORDER BY ts_us, conv_id, turn_idx) AS b
+    FROM old_t WHERE tool IS NOT NULL) WHERE b IS NOT NULL),
+oldl AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS src, greatest(a, b) AS dst FROM old_raw WHERE a <> b),
+new_raw AS (
+  SELECT a, b FROM (
+    SELECT vid AS a, lead(vid) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS b
+    FROM dt) WHERE b IS NOT NULL
+  UNION ALL
+  SELECT a, b FROM (
+    SELECT vid AS a, lead(vid) OVER (PARTITION BY tool ORDER BY ts_us, conv_id, turn_idx) AS b
+    FROM dt WHERE tool IS NOT NULL) WHERE b IS NOT NULL),
+newl AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS src, greatest(a, b) AS dst FROM new_raw WHERE a <> b)
+SELECT coalesce(o.src, n.src) AS src, coalesce(o.dst, n.dst) AS dst,
+       CASE WHEN o.src IS NULL THEN 'added'
+            WHEN n.src IS NULL THEN 'removed'
+            ELSE 'persistent' END AS status
+FROM oldl o FULL OUTER JOIN newl n ON o.src = n.src AND o.dst = n.dst
+"""
 
 
 def _weighted_dist_sql(seed_mod: int = 257, max_hops: int = 5) -> str:
@@ -3445,6 +3535,7 @@ FROM vol v LEFT JOIN intra i ON v.community = i.community
         "closeness_centrality": _landmark_sql(max_hops=5, seed_mod=257, closeness=True),
         "temporal_reachability": _temporal_reach_sql(seed_mod=257, max_hops=6),
         "weighted_distances": _weighted_dist_sql(seed_mod=257, max_hops=5),
+        "snapshot_diff": _SNAPSHOT_DIFF_SQL,
         "effective_diameter": _landmark_sql(max_hops=5, seed_mod=257, eff_pct=90),
         "stress_centrality": _stress_sql(seed_mod=101, max_hops=4),
         "mis": _mis_sql(salt=0, max_rounds=12),
