@@ -1014,6 +1014,38 @@ def q_harmonic_centrality(spark, sf_dir):
     return harmonic_centrality(g, seed_mod=257, max_hops=5)
 
 
+def q_landmark_ecc(spark, sf_dir):
+    """Per-landmark bounded eccentricity profile: reach count and max
+    distance within the hop budget — the radius/diameter summary of the
+    landmark sample (all integers)."""
+    from louvain_fast_move_cuda_spark.operators.distances import landmark_distances
+
+    _, _, g = _graph(spark, sf_dir)
+    d = landmark_distances(g, seed_mod=257, max_hops=5)
+    return d.groupBy("landmark").agg(
+        F.count("*").alias("n_reached"),
+        F.max("dist").alias("ecc_bounded"),
+        F.sum("dist").cast("long").alias("sum_dist"),
+    )
+
+
+def q_degree_mixing(spark, sf_dir):
+    """Degree-mixing matrix: for every directed edge, the (src degree,
+    dst degree) pair counted — the joint distribution behind
+    assortativity, exposed as a profiling table (all integers)."""
+    _, _, g = _graph(spark, sf_dir)
+    deg = g.edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    return (
+        g.edges.select("src", "dst")
+        .join(deg.select(F.col("id").alias("src"), F.col("d").alias("ds")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("dd")), "dst")
+        .groupBy("ds", "dd")
+        .agg(F.count("*").alias("n_edges"))
+    )
+
+
 def q_snapshot_diff(spark, sf_dir):
     """Graph-evolution diff: the link graph derived AS OF the event-time
     midpoint (turns with ts <= (min+max)/2, same reply/tool lead
@@ -1821,6 +1853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reachability": q_temporal_reachability,
         "weighted_distances": q_weighted_distances,
         "snapshot_diff": q_snapshot_diff,
+        "landmark_ecc": q_landmark_ecc,
+        "degree_mixing": q_degree_mixing,
         "effective_diameter": q_effective_diameter,
         "stress_centrality": q_stress_centrality,
         "mis": q_mis,
@@ -3536,6 +3570,20 @@ FROM vol v LEFT JOIN intra i ON v.community = i.community
         "temporal_reachability": _temporal_reach_sql(seed_mod=257, max_hops=6),
         "weighted_distances": _weighted_dist_sql(seed_mod=257, max_hops=5),
         "snapshot_diff": _SNAPSHOT_DIFF_SQL,
+        # reuses the unrolled landmark BFS; integer aggregates per landmark
+        "landmark_ecc": _landmark_sql(max_hops=5, seed_mod=257).replace(
+            "SELECT landmark, vertex, dist FROM dists",
+            """SELECT landmark, count(*) AS n_reached, max(dist) AS ecc_bounded,
+       CAST(sum(dist) AS BIGINT) AS sum_dist
+FROM dists GROUP BY landmark""",
+        ),
+        "degree_mixing": f"""
+{_GRAPH_CTE},
+dcnt AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
+SELECT d1.d AS ds, d2.d AS dd, count(*) AS n_edges
+FROM sym e JOIN dcnt d1 ON e.src = d1.id JOIN dcnt d2 ON e.dst = d2.id
+GROUP BY 1, 2
+""",
         "effective_diameter": _landmark_sql(max_hops=5, seed_mod=257, eff_pct=90),
         "stress_centrality": _stress_sql(seed_mod=101, max_hops=4),
         "mis": _mis_sql(salt=0, max_rounds=12),
