@@ -1014,6 +1014,15 @@ def q_harmonic_centrality(spark, sf_dir):
     return harmonic_centrality(g, seed_mod=257, max_hops=5)
 
 
+def q_ego_networks(spark, sf_dir):
+    """Induced radius-2 ego subgraphs around the landmark set — the
+    subgraph-extraction verb (all integers)."""
+    from louvain_fast_move_cuda_spark.operators.distances import ego_networks
+
+    _, _, g = _graph(spark, sf_dir)
+    return ego_networks(g, seed_mod=1009, radius=2)
+
+
 def q_landmark_ecc(spark, sf_dir):
     """Per-landmark bounded eccentricity profile: reach count and max
     distance within the hop budget — the radius/diameter summary of the
@@ -1855,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "landmark_ecc": q_landmark_ecc,
         "degree_mixing": q_degree_mixing,
+        "ego_networks": q_ego_networks,
         "effective_diameter": q_effective_diameter,
         "stress_centrality": q_stress_centrality,
         "mis": q_mis,
@@ -3584,6 +3594,15 @@ SELECT d1.d AS ds, d2.d AS dd, count(*) AS n_edges
 FROM sym e JOIN dcnt d1 ON e.src = d1.id JOIN dcnt d2 ON e.dst = d2.id
 GROUP BY 1, 2
 """,
+        # induced radius-2 balls: canonical edges with BOTH endpoints in
+        # the same landmark's BFS membership (reuses the unrolled BFS)
+        "ego_networks": _landmark_sql(max_hops=2, seed_mod=1009).replace(
+            "SELECT landmark, vertex, dist FROM dists",
+            """SELECT m1.landmark, e.src, e.dst
+FROM canon e
+JOIN dists m1 ON e.src = m1.vertex
+JOIN dists m2 ON e.dst = m2.vertex AND m2.landmark = m1.landmark""",
+        ),
         "effective_diameter": _landmark_sql(max_hops=5, seed_mod=257, eff_pct=90),
         "stress_centrality": _stress_sql(seed_mod=101, max_hops=4),
         "mis": _mis_sql(salt=0, max_rounds=12),

@@ -2,6 +2,7 @@ from .louvain import LouvainResult, louvain  # noqa: F401
 from .pagerank import pagerank, personalized_pagerank  # noqa: F401
 from .distances import (  # noqa: F401
     closeness_centrality,
+    ego_networks,
     harmonic_centrality,
     landmark_distances,
     stress_centrality,

@@ -454,3 +454,27 @@ def weighted_landmark_distances(
         frontier = improved
         _save(_h, False, n_improved)
     return best
+
+
+def ego_networks(
+    graph: GraphTables, seed_mod: int = 101, radius: int = 2
+) -> DataFrame:
+    """(landmark, src, dst) — the INDUCED edge set of every landmark's
+    radius-ball: canonical (src < dst) edges whose both endpoints lie
+    within ``radius`` hops of the landmark. The subgraph-extraction
+    verb: ego networks are the standard unit for neighborhood
+    visualization, GNN subgraph batching, and local-structure audits.
+
+    Plan: the shared landmark BFS builds the membership table once;
+    the edge list then semi-joins membership on BOTH endpoints keyed by
+    (landmark, vertex) — two equi-joins, no per-landmark rescan of the
+    graph. Output is Σ_l |E(ball_l)| rows; seed_mod and radius are the
+    size knobs (bounded-radius contract as in landmark_distances)."""
+    d = landmark_distances(graph, seed_mod=seed_mod, max_hops=radius)
+    m = d.select("landmark", "vertex")
+    half = graph.edges.filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return (
+        half.join(m.withColumnRenamed("vertex", "src"), "src")
+        .join(m.withColumnRenamed("vertex", "dst"), ["landmark", "dst"], "left_semi")
+        .select("landmark", "src", "dst")
+    )
