@@ -1014,6 +1014,17 @@ def q_harmonic_centrality(spark, sf_dir):
     return harmonic_centrality(g, seed_mod=257, max_hops=5)
 
 
+def q_s_core(spark, sf_dir):
+    """s-core of the weighted-merge graph: peel vertices with total
+    incident weight < 2 — the weighted generalization of k_core (a
+    weight-2 pendant edge SURVIVES here, unlike in k_core); all
+    integer strengths."""
+    from louvain_fast_move_cuda_spark.operators.graphstats import s_core
+
+    g = _weighted_graph(spark, sf_dir)
+    return s_core(g, s=2, max_rounds=30)
+
+
 def q_ego_networks(spark, sf_dir):
     """Induced radius-2 ego subgraphs around the landmark set — the
     subgraph-extraction verb (all integers)."""
@@ -1865,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_ecc": q_landmark_ecc,
         "degree_mixing": q_degree_mixing,
         "ego_networks": q_ego_networks,
+        "s_core": q_s_core,
         "effective_diameter": q_effective_diameter,
         "stress_centrality": q_stress_centrality,
         "mis": q_mis,
@@ -3132,6 +3144,30 @@ def _k_core_sql(k: int, rounds: int) -> str:
     )
 
 
+def _s_core_sql(s: int, rounds: int) -> str:
+    """Unrolled weighted peel (operators/graphstats.py::s_core) — the
+    k_core unroll with integer strength sums over wsym in place of
+    degree counts; same monotone-fixpoint equivalence argument."""
+    parts = [
+        "se0 AS MATERIALIZED (SELECT src, dst, CAST(weight AS BIGINT) AS w FROM wsym)"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"sk{i} AS MATERIALIZED (SELECT src AS v FROM se{i - 1} "
+            f"GROUP BY src HAVING sum(w) >= {s})"
+        )
+        parts.append(
+            f"se{i} AS MATERIALIZED (SELECT e.src, e.dst, e.w FROM se{i - 1} e "
+            f"JOIN sk{i} a ON e.src = a.v JOIN sk{i} b ON e.dst = b.v)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{_GRAPH_CTE},{_WEIGHTED_GRAPH_CTE}\n{body}\n"
+        f"SELECT src AS id, CAST(sum(w) AS BIGINT) AS core_strength "
+        f"FROM se{rounds} GROUP BY src"
+    )
+
+
 def _k_truss_sql(k: int, rounds: int) -> str:
     """Unrolled support-peel rounds (operators/graphstats.py::k_truss).
 
@@ -3450,6 +3486,7 @@ LEFT JOIN kc4 ON d.id = kc4.id
         "msf": _msf_sql(rounds=16, dmax=17),
         "coloring": _coloring_sql(salt=0, max_rounds=24),
         "k_core": _k_core_sql(k=2, rounds=20),
+        "s_core": _s_core_sql(s=2, rounds=20),
         "k_truss": _k_truss_sql(k=3, rounds=10),
         # directed-pair reciprocity over rawpairs (pre-canonicalization)
         "reciprocity": f"""

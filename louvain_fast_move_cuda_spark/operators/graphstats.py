@@ -720,3 +720,55 @@ def coreness(
         .join(c, "id", "left")
         .select("id", F.coalesce("c", F.lit(0)).alias("coreness"))
     )
+
+
+def s_core(
+    graph: GraphTables,
+    s: int = 3,
+    max_rounds: int = 30,
+    on_truncate: str = "raise",
+) -> DataFrame:
+    """(id, core_strength: long) — the s-core (Eidsaa & Almaas 2013):
+    the maximal subgraph where every vertex has total incident WEIGHT
+    >= s within it, with each survivor's strength inside the core. The
+    weighted generalization of :func:`k_core` (which it reduces to on a
+    unit-weight graph); same iterative peel, same monotone-fixpoint /
+    truncation-guard contract (a truncated peel is a SUPERSET).
+
+    Weights must be integer-valued (the weighted-merge graph's counts):
+    they are cast to int64 so the peel predicate and the reported
+    strengths are exact in any engine.
+    """
+    if on_truncate not in ("raise", "ignore"):
+        raise ValueError(f"on_truncate must be 'raise' or 'ignore', got {on_truncate!r}")
+    edges = (
+        graph.edges.select("src", "dst", F.col("weight").cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    prev_n = None
+    converged = False
+    for _ in range(max_rounds):
+        st = edges.groupBy(F.col("src").alias("v")).agg(F.sum("w").alias("d"))
+        keep = st.filter(F.col("d") >= s).select("v").localCheckpoint(eager=True)
+        n = keep.count()
+        if prev_n is not None and n == prev_n:
+            converged = True
+            break
+        prev_n = n
+        edges = (
+            edges.join(keep.select(F.col("v").alias("src")), "src", "left_semi")
+            .join(keep.select(F.col("v").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    if not converged and on_truncate == "raise":
+        st = edges.groupBy(F.col("src").alias("v")).agg(F.sum("w").alias("d"))
+        converged = st.filter(F.col("d") >= s).count() == prev_n
+    if not converged and on_truncate == "raise":
+        raise RuntimeError(
+            f"s_core did not reach its fixpoint within max_rounds={max_rounds}; "
+            "the result would be a superset of the s-core. Raise max_rounds, or "
+            "pass on_truncate='ignore' to accept the truncated peel."
+        )
+    return edges.groupBy(F.col("src").alias("id")).agg(
+        F.sum("w").alias("core_strength")
+    )

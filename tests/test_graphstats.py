@@ -423,3 +423,23 @@ def test_coreness_nonconvergence_raises(spark):
     assert max(got.values()) >= 1  # truncated descent, values still high
     full = {r.id: r.coreness for r in coreness(g).collect()}
     assert set(full.values()) == {1}  # a path is exactly its 1-core
+
+
+def test_s_core_weighted_peel_by_hand(spark):
+    from louvain_fast_move_cuda_spark.operators.graphstats import s_core
+    from louvain_fast_move_cuda_spark.sources.edges import build_graph
+
+    # triangle with unit weights + a weight-3 pendant: under s=3 the
+    # pendant pair SURVIVES (strength 3) while triangle vertices have
+    # strength 2 and peel away — the opposite of the unweighted 2-core
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0), (3, 4, 3.0)]
+    g = build_graph(
+        spark.createDataFrame(edges, "a long, b long, w double"),
+        relabel=False,
+        weight="w",
+    )
+    got = {r.id: r.core_strength for r in s_core(g, s=3).collect()}
+    assert got == {3: 3, 4: 3}
+    # s=2: everything survives (triangle strength 2, pendant 3)
+    got2 = {r.id: r.core_strength for r in s_core(g, s=2).collect()}
+    assert got2 == {0: 2, 1: 2, 2: 2, 3: 3, 4: 3}
