@@ -1014,6 +1014,15 @@ def q_harmonic_centrality(spark, sf_dir):
     return harmonic_centrality(g, seed_mod=257, max_hops=5)
 
 
+def q_matching(spark, sf_dir):
+    """Deterministic maximal matching — mutual mixer-min proposals,
+    integer-exact in any engine."""
+    from louvain_fast_move_cuda_spark.operators.matching import maximal_matching
+
+    _, _, g = _graph(spark, sf_dir)
+    return maximal_matching(g, salt=0, max_rounds=16)
+
+
 def q_s_core(spark, sf_dir):
     """s-core of the weighted-merge graph: peel vertices with total
     incident weight < 2 — the weighted generalization of k_core (a
@@ -1877,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_mixing": q_degree_mixing,
         "ego_networks": q_ego_networks,
         "s_core": q_s_core,
+        "matching": q_matching,
         "effective_diameter": q_effective_diameter,
         "stress_centrality": q_stress_centrality,
         "mis": q_mis,
@@ -2811,6 +2821,34 @@ FROM deg d LEFT JOIN gcol{max_rounds - 1} c ON d.id = c.id"""
     return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + "\n" + tail
 
 
+def _matching_sql(salt: int = 0, max_rounds: int = 16) -> str:
+    """Unroll operators/matching.py::maximal_matching — per round the
+    mixer-min proposal (key embeds the id, so ordering by it alone is
+    the engine's struct-min), the mutual self-join, and the frontier
+    shrink. Rounds past convergence are no-ops on empty sets."""
+    parts = ["me0 AS MATERIALIZED (SELECT src, dst FROM sym)"]
+    for r in range(max_rounds):
+        key = (
+            f"((((dst * dst % 1000003) * 10007 + (dst % 1000003) * 97"
+            f" + {r} * 31 + {salt}) % 999983) * 2147483648 + dst)"
+        )
+        parts.append(
+            f"""mpp{r} AS MATERIALIZED (
+  SELECT src, dst AS to_v FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY {key}) AS rn
+    FROM me{r}) WHERE rn = 1),
+mm{r} AS MATERIALIZED (
+  SELECT a.src AS u, a.to_v AS v FROM mpp{r} a JOIN mpp{r} b
+  ON a.src = b.to_v AND a.to_v = b.src WHERE a.src < a.to_v),
+mg{r} AS MATERIALIZED (SELECT u AS id FROM mm{r} UNION ALL SELECT v AS id FROM mm{r}),
+me{r + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM me{r} e
+  WHERE e.src NOT IN (SELECT id FROM mg{r}) AND e.dst NOT IN (SELECT id FROM mg{r}))"""
+        )
+    union = "\nUNION ALL ".join(f"SELECT u, v FROM mm{r}" for r in range(max_rounds))
+    return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + "\n" + union
+
+
 def _coreness_sql(rounds: int = 16) -> str:
     """Unroll operators/graphstats.py::coreness — per round one
     neighbor-value join + one per-vertex h-index window (max of
@@ -3487,6 +3525,7 @@ LEFT JOIN kc4 ON d.id = kc4.id
         "coloring": _coloring_sql(salt=0, max_rounds=24),
         "k_core": _k_core_sql(k=2, rounds=20),
         "s_core": _s_core_sql(s=2, rounds=20),
+        "matching": _matching_sql(salt=0, max_rounds=16),
         "k_truss": _k_truss_sql(k=3, rounds=10),
         # directed-pair reciprocity over rawpairs (pre-canonicalization)
         "reciprocity": f"""

@@ -1,0 +1,96 @@
+"""Deterministic distributed maximal matching — the BSP pairing
+primitive (Israeli & Itai 1986's random-proposal scheme with the repo's
+portable mixer in place of RNG), the standard building block for
+coarsening seeds, load pairing, and scheduling.
+
+Not in the CUDA reference (Louvain-only, /root/reference/main.cu);
+added §2.11-style analytics surface. Round: every unmatched vertex
+PROPOSES to its unmatched neighbor with the minimum (mixer(neighbor,
+round), neighbor) key; mutual proposals become matches; matched
+vertices and their incident edges leave; repeat on the shrinking
+remainder until no unmatched-unmatched edges remain (maximality: no
+edge joins two unmatched vertices at convergence).
+
+Determinism: the proposal key reuses the MIS module's quadratic mixer —
+nonlinear in the vertex id (an affine key is monotone along
+consecutive-id reply chains, degenerating to one match per round on a
+path; measured in mis.py) — packed with the id into one int64, so the
+per-vertex argmin is a plain integer min identical in any engine, and
+the key re-randomizes each round (Israeli-Itai's progress argument:
+mutual-min pairs remove an expected constant fraction of edges).
+
+Scale: per round ONE edge->key join + ONE per-vertex integer min
+(partial-aggregated) + one self-join of the (vertex, proposal) table to
+find mutual pairs + two semi-joins to shrink the frontier.
+``max_rounds`` follows the k_core contract: the engine raises if
+unmatched-unmatched edges remain at the budget (a non-maximal matching
+silently breaks the caller's cover guarantee), and the fixed-round
+oracle unrolls the same budget — rounds past convergence are no-ops on
+empty sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.edges import GraphTables
+from .mis import _PACK, _priority
+
+
+def maximal_matching(
+    graph: GraphTables, salt: int = 0, max_rounds: int = 16
+) -> DataFrame:
+    """(u, v) with u < v — one deterministic maximal matching: no vertex
+    appears twice, and every edge of the graph touches a matched vertex
+    at convergence. Raises RuntimeError if unmatched-unmatched edges
+    remain after ``max_rounds`` rounds."""
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    e = graph.edges.select("src", "dst").localCheckpoint(eager=True)
+    matched_parts: list[DataFrame] = []
+    converged = False
+    for r in range(max_rounds):
+        # proposal key of the DST endpoint, re-randomized per round
+        kd = _priority(F.col("dst"), F.lit(r), salt) * F.lit(_PACK) + F.col("dst")
+        prop = (
+            e.select("src", "dst", kd.alias("kd"))
+            .groupBy("src")
+            .agg(F.min(F.struct(F.col("kd"), F.col("dst"))).alias("m"))
+            .select("src", F.col("m.dst").alias("to"))
+        )
+        # mutual proposals: src -> to and to -> src
+        back = prop.select(F.col("src").alias("to"), F.col("to").alias("src"))
+        pairs = (
+            prop.join(back, ["src", "to"], "left_semi")
+            .filter(F.col("src") < F.col("to"))
+            .select(F.col("src").alias("u"), F.col("to").alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        if pairs.count() == 0:
+            # mutual-min always matches the globally minimal key pair,
+            # so an empty round means no unmatched-unmatched edges exist
+            converged = True
+            break
+        matched_parts.append(pairs)
+        gone = pairs.select(F.col("u").alias("id")).unionByName(
+            pairs.select(F.col("v").alias("id"))
+        )
+        e = (
+            e.join(gone.select(F.col("id").alias("src")), "src", "left_anti")
+            .join(gone.select(F.col("id").alias("dst")), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    if not converged:
+        raise RuntimeError(
+            f"maximal_matching did not converge in {max_rounds} rounds; the "
+            "partial matching would not be maximal. Raise max_rounds."
+        )
+    if not matched_parts:
+        return graph.edges.filter(F.lit(False)).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        )
+    out = matched_parts[0]
+    for df in matched_parts[1:]:
+        out = out.unionByName(df)
+    return out

@@ -198,3 +198,67 @@ def test_hits_matches_numpy_l1_normalized(spark):
     # L1 invariant: each column sums to 1
     assert math.isclose(sum(h for h, _ in got.values()), 1.0, abs_tol=1e-7)
     assert math.isclose(sum(a for _, a in got.values()), 1.0, abs_tol=1e-7)
+
+
+def test_maximal_matching_proper_and_maximal(spark):
+    from collections import defaultdict
+
+    from louvain_fast_move_cuda_spark.operators.matching import maximal_matching
+    from louvain_fast_move_cuda_spark.operators.mis import _PACK
+    from louvain_fast_move_cuda_spark.operators.walks import _M, _P
+    from louvain_fast_move_cuda_spark.sources.edges import build_graph
+
+    from oracle import powerlaw_graph
+
+    edges = powerlaw_graph(n=140, m_attach=2, seed=37)
+    g = build_graph(spark.createDataFrame(edges, "a long, b long"), relabel=False)
+    got = {(r.u, r.v) for r in maximal_matching(g, salt=0).collect()}
+
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    # properness: matched pairs are real edges, no vertex twice
+    seen = set()
+    for u, v in got:
+        assert v in nbrs[u]
+        assert u not in seen and v not in seen
+        seen.update((u, v))
+    # maximality: every edge touches a matched vertex
+    for a, b in edges:
+        if a != b:
+            assert a in seen or b in seen, (a, b)
+
+    # exact replay of the mutual-min rounds (determinism)
+    def key(v, r):
+        return (((v * v % _P) * 10007 + (v % _P) * 97 + r * 31) % _M) * _PACK + v
+
+    live = {v: set(ns) for v, ns in nbrs.items()}
+    want = set()
+    r = 0
+    while any(live.values()):
+        prop = {v: min(ns, key=lambda w: key(w, r)) for v, ns in live.items() if ns}
+        pairs = {(u, v) for u, v in prop.items() if prop.get(v) == u and u < v}
+        assert pairs, "replay stalled"
+        want |= pairs
+        gone = {x for p in pairs for x in p}
+        live = {v: ns - gone for v, ns in live.items() if v not in gone}
+        r += 1
+    assert got == want
+
+
+def test_maximal_matching_path_and_raise(spark):
+    import pytest
+
+    from louvain_fast_move_cuda_spark.operators.matching import maximal_matching
+    from louvain_fast_move_cuda_spark.sources.edges import build_graph
+
+    g = build_graph(
+        spark.createDataFrame([(i, i + 1) for i in range(60)], "a long, b long"),
+        relabel=False,
+    )
+    got = {(r.u, r.v) for r in maximal_matching(g).collect()}
+    assert len(got) >= 15  # a maximal matching on P61 has >= 15 edges
+    with pytest.raises(RuntimeError, match="converge"):
+        maximal_matching(g, max_rounds=1)
