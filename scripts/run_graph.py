@@ -7,7 +7,7 @@ Usage (packaged via scripts/submit.sh):
 
 --algo: pagerank | cc | lpa | triangles | hits | pagerank_directed |
         double_sweep | quad_census | mis | stress | node2vec |
-        coloring | coreness | msf | closeness
+        coloring | coreness | msf | closeness | matching
 Input: --transcripts (transcript parquet) | --events (driver events
 table) | --edge-file (whitespace edge-list text, reference GraphHost
 ingest; with --weighted / --skip-lines).
@@ -84,7 +84,7 @@ def main():
             "pagerank", "cc", "lpa", "triangles",
             "hits", "pagerank_directed", "double_sweep", "quad_census",
             "mis", "stress", "node2vec",
-            "coloring", "coreness", "msf", "closeness",
+            "coloring", "coreness", "msf", "closeness", "matching",
         ],
     )
     ap.add_argument("--transcripts")
@@ -186,6 +186,14 @@ def main():
         ).collect()[0]
         summary["n_forest_edges"] = int(agg["n"])
         summary["forest_weight"] = float(agg["w"]) if agg["w"] is not None else 0.0
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps(summary))
+        return
+    if args.algo == "matching":
+        from louvain_fast_move_cuda_spark.operators.matching import maximal_matching
+
+        out = maximal_matching(g, max_rounds=args.max_iter or 16)
+        summary["n_matched_pairs"] = out.count()
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps(summary))
         return
