@@ -1023,6 +1023,17 @@ def q_matching(spark, sf_dir):
     return maximal_matching(g, salt=0, max_rounds=16)
 
 
+def q_weighted_matching(spark, sf_dir):
+    """Preis locally-heaviest-edge matching (1/2-approx max weight) on
+    the weighted-merge graph — integer keys, mixer tie-breaks."""
+    from louvain_fast_move_cuda_spark.operators.matching import (
+        greedy_weighted_matching,
+    )
+
+    g = _weighted_graph(spark, sf_dir)
+    return greedy_weighted_matching(g, salt=0, max_rounds=20)
+
+
 def q_s_core(spark, sf_dir):
     """s-core of the weighted-merge graph: peel vertices with total
     incident weight < 2 — the weighted generalization of k_core (a
@@ -1887,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ego_networks": q_ego_networks,
         "s_core": q_s_core,
         "matching": q_matching,
+        "weighted_matching": q_weighted_matching,
         "effective_diameter": q_effective_diameter,
         "stress_centrality": q_stress_centrality,
         "mis": q_mis,
@@ -2849,6 +2861,36 @@ me{r + 1} AS MATERIALIZED (
     return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + "\n" + union
 
 
+def _weighted_matching_sql(salt: int = 0, max_rounds: int = 20) -> str:
+    """Unroll operators/matching.py::greedy_weighted_matching — the
+    matching unroll over wsym with the edge key weight*2^31 +
+    mixer(src+dst, round); ORDER BY key DESC, dst DESC replicates the
+    engine's struct-max ((ek, dst) is unique per src)."""
+    parts = [
+        "we0 AS MATERIALIZED (SELECT src, dst, CAST(weight AS BIGINT) AS w FROM wsym)"
+    ]
+    for r in range(max_rounds):
+        key = (
+            f"(w * 2147483648 + (((src + dst) * (src + dst) % 1000003) * 10007"
+            f" + ((src + dst) % 1000003) * 97 + {r} * 31 + {salt}) % 999983)"
+        )
+        parts.append(
+            f"""wpp{r} AS MATERIALIZED (
+  SELECT src, dst AS to_v, w FROM (
+    SELECT src, dst, w, row_number() OVER (PARTITION BY src ORDER BY {key} DESC, dst DESC) AS rn
+    FROM we{r}) WHERE rn = 1),
+wmm{r} AS MATERIALIZED (
+  SELECT a.src AS u, a.to_v AS v, a.w FROM wpp{r} a JOIN wpp{r} b
+  ON a.src = b.to_v AND a.to_v = b.src WHERE a.src < a.to_v),
+wmg{r} AS MATERIALIZED (SELECT u AS id FROM wmm{r} UNION ALL SELECT v AS id FROM wmm{r}),
+we{r + 1} AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w FROM we{r} e
+  WHERE e.src NOT IN (SELECT id FROM wmg{r}) AND e.dst NOT IN (SELECT id FROM wmg{r}))"""
+        )
+    union = "\nUNION ALL ".join(f"SELECT u, v, w FROM wmm{r}" for r in range(max_rounds))
+    return f"{_GRAPH_CTE},{_WEIGHTED_GRAPH_CTE}\n" + ",\n".join(parts) + "\n" + union
+
+
 def _coreness_sql(rounds: int = 16) -> str:
     """Unroll operators/graphstats.py::coreness — per round one
     neighbor-value join + one per-vertex h-index window (max of
@@ -3526,6 +3568,7 @@ LEFT JOIN kc4 ON d.id = kc4.id
         "k_core": _k_core_sql(k=2, rounds=20),
         "s_core": _s_core_sql(s=2, rounds=20),
         "matching": _matching_sql(salt=0, max_rounds=16),
+        "weighted_matching": _weighted_matching_sql(salt=0, max_rounds=20),
         "k_truss": _k_truss_sql(k=3, rounds=10),
         # directed-pair reciprocity over rawpairs (pre-canonicalization)
         "reciprocity": f"""

@@ -10,7 +10,7 @@ from .distances import (  # noqa: F401
 )
 from .graphstats import coreness, katz_centrality, rich_club  # noqa: F401
 from .coloring import greedy_coloring  # noqa: F401
-from .matching import maximal_matching  # noqa: F401
+from .matching import greedy_weighted_matching, maximal_matching  # noqa: F401
 from .mis import maximal_independent_set  # noqa: F401
 from .mst import minimum_spanning_forest  # noqa: F401
 from .walks import (  # noqa: F401

@@ -94,3 +94,78 @@ def maximal_matching(
     for df in matched_parts[1:]:
         out = out.unionByName(df)
     return out
+
+
+def greedy_weighted_matching(
+    graph: GraphTables, salt: int = 0, max_rounds: int = 20
+) -> DataFrame:
+    """(u, v, weight) with u < v — the locally-heaviest-edge matching
+    (Preis 1999 / Manne-Bisseling's distributed variant): every
+    unmatched vertex proposes along its maximum-key incident edge;
+    mutual proposals match; repeat. Guarantees a 1/2-approximation of
+    the maximum-weight matching (every matched edge is locally heaviest
+    at match time) and maximality.
+
+    The edge key is (weight, mixer(src + dst, round)) packed into one
+    int64: weight dominates (cast to int64 — the weighted-merge counts
+    are integer-valued; the pack bounds them to < 2^31, raised loudly by
+    ANSI overflow otherwise), and the PER-ROUND mixer breaks weight
+    ties. The tie-break is load-bearing on this data: most merge
+    weights are 1, and an id-based tie order is monotone along
+    consecutive-id reply chains — one match per round on a path. The
+    round-salted mixer re-randomizes ties (Israeli-Itai progress) while
+    never reordering distinct weights; the globally maximal key edge is
+    always mutual, so an empty round proves maximality.
+    """
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
+    e = graph.edges.select(
+        "src", "dst", F.col("weight").cast("long").alias("w")
+    ).localCheckpoint(eager=True)
+    matched_parts: list[DataFrame] = []
+    converged = False
+    for r in range(max_rounds):
+        # symmetric edge key: identical from both endpoints' rows
+        ek = F.col("w") * F.lit(_PACK) + _priority(
+            F.col("src") + F.col("dst"), F.lit(r), salt
+        )
+        prop = (
+            e.select("src", "dst", "w", ek.alias("ek"))
+            .groupBy("src")
+            .agg(F.max(F.struct("ek", "dst", "w")).alias("m"))
+            .select("src", F.col("m.dst").alias("to"), F.col("m.w").alias("w"))
+        )
+        back = prop.select(F.col("src").alias("to"), F.col("to").alias("src"))
+        pairs = (
+            prop.join(back, ["src", "to"], "left_semi")
+            .filter(F.col("src") < F.col("to"))
+            .select(F.col("src").alias("u"), F.col("to").alias("v"), "w")
+            .localCheckpoint(eager=True)
+        )
+        if pairs.count() == 0:
+            converged = True
+            break
+        matched_parts.append(pairs)
+        gone = pairs.select(F.col("u").alias("id")).unionByName(
+            pairs.select(F.col("v").alias("id"))
+        )
+        e = (
+            e.join(gone.select(F.col("id").alias("src")), "src", "left_anti")
+            .join(gone.select(F.col("id").alias("dst")), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    if not converged:
+        raise RuntimeError(
+            f"greedy_weighted_matching did not converge in {max_rounds} rounds; "
+            "the partial matching would not be maximal. Raise max_rounds."
+        )
+    if not matched_parts:
+        return graph.edges.filter(F.lit(False)).select(
+            F.col("src").alias("u"),
+            F.col("dst").alias("v"),
+            F.col("weight").cast("long").alias("w"),
+        )
+    out = matched_parts[0]
+    for df in matched_parts[1:]:
+        out = out.unionByName(df)
+    return out
