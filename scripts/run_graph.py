@@ -7,7 +7,8 @@ Usage (packaged via scripts/submit.sh):
 
 --algo: pagerank | cc | lpa | triangles | hits | pagerank_directed |
         double_sweep | quad_census | mis | stress | node2vec |
-        coloring | coreness | msf | closeness | matching
+        coloring | coreness | msf | closeness | matching |
+        weighted_matching | s_core
 Input: --transcripts (transcript parquet) | --events (driver events
 table) | --edge-file (whitespace edge-list text, reference GraphHost
 ingest; with --weighted / --skip-lines).
@@ -85,6 +86,7 @@ def main():
             "hits", "pagerank_directed", "double_sweep", "quad_census",
             "mis", "stress", "node2vec",
             "coloring", "coreness", "msf", "closeness", "matching",
+            "weighted_matching", "s_core",
         ],
     )
     ap.add_argument("--transcripts")
@@ -194,6 +196,28 @@ def main():
 
         out = maximal_matching(g, max_rounds=args.max_iter or 16)
         summary["n_matched_pairs"] = out.count()
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps(summary))
+        return
+    if args.algo == "weighted_matching":
+        from louvain_fast_move_cuda_spark.operators.matching import (
+            greedy_weighted_matching,
+        )
+
+        # weights come from --weighted edge files; transcript ingest is
+        # unit-weight, where this degenerates to a mixer-tie matching
+        out = greedy_weighted_matching(g, max_rounds=args.max_iter or 20)
+        agg = out.agg(F.count("*").alias("n"), F.sum("w").alias("tw")).collect()[0]
+        summary["n_matched_pairs"] = int(agg["n"])
+        summary["matched_weight"] = int(agg["tw"]) if agg["tw"] is not None else 0
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps(summary))
+        return
+    if args.algo == "s_core":
+        from louvain_fast_move_cuda_spark.operators.graphstats import s_core
+
+        out = s_core(g, s=2, max_rounds=args.max_iter or 30)
+        summary["n_in_s_core"] = out.count()
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps(summary))
         return
