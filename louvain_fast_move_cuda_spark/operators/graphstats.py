@@ -113,6 +113,7 @@ def k_core(
     k: int = 2,
     max_rounds: int = 30,
     on_truncate: str = "raise",
+    checkpointer=None,
 ) -> DataFrame:
     """(id, core_degree: long) — vertices of the k-core (the maximal
     subgraph where every vertex has degree >= k within it) with their
@@ -137,12 +138,27 @@ def k_core(
     edges = graph.edges.select("src", "dst").localCheckpoint(eager=True)
     prev_n = None
     converged = False
-    for _ in range(max_rounds):
+    start_round = 0
+    # the peel state is exactly the survivor edge set (CC's contracted-
+    # edges pattern): a resumed run replays the identical monotone peel
+    if checkpointer is not None:
+        state = checkpointer.load_latest(graph.edges.sparkSession)
+        if state is not None:
+            it, saved, metric = state
+            edges = saved.localCheckpoint(eager=True)
+            start_round = it + 1
+            prev_n = metric.get("n_keep")
+            converged = bool(metric.get("converged"))
+    for _rnd in range(start_round, max_rounds):
+        if converged:
+            break
         deg = edges.groupBy(F.col("src").alias("v")).agg(F.count("*").alias("d"))
         keep = deg.filter(F.col("d") >= k).select("v").localCheckpoint(eager=True)
         n = keep.count()
         if prev_n is not None and n == prev_n:
             converged = True
+            if checkpointer is not None:
+                checkpointer.save(_rnd, edges, {"n_keep": n, "converged": True})
             break
         prev_n = n
         edges = (
@@ -150,6 +166,8 @@ def k_core(
             .join(keep.select(F.col("v").alias("dst")), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
+        if checkpointer is not None:
+            checkpointer.save(_rnd, edges, {"n_keep": n, "converged": False})
     if not converged and on_truncate == "raise":
         # a peel can hit its fixpoint exactly at max_rounds with no spare
         # round to observe the repeat; one extra O(1)-result count settles
@@ -727,6 +745,7 @@ def s_core(
     s: int = 3,
     max_rounds: int = 30,
     on_truncate: str = "raise",
+    checkpointer=None,
 ) -> DataFrame:
     """(id, core_strength: long) — the s-core (Eidsaa & Almaas 2013):
     the maximal subgraph where every vertex has total incident WEIGHT
@@ -747,12 +766,25 @@ def s_core(
     )
     prev_n = None
     converged = False
-    for _ in range(max_rounds):
+    start_round = 0
+    if checkpointer is not None:
+        state = checkpointer.load_latest(graph.edges.sparkSession)
+        if state is not None:
+            it, saved, metric = state
+            edges = saved.localCheckpoint(eager=True)
+            start_round = it + 1
+            prev_n = metric.get("n_keep")
+            converged = bool(metric.get("converged"))
+    for _rnd in range(start_round, max_rounds):
+        if converged:
+            break
         st = edges.groupBy(F.col("src").alias("v")).agg(F.sum("w").alias("d"))
         keep = st.filter(F.col("d") >= s).select("v").localCheckpoint(eager=True)
         n = keep.count()
         if prev_n is not None and n == prev_n:
             converged = True
+            if checkpointer is not None:
+                checkpointer.save(_rnd, edges, {"n_keep": n, "converged": True})
             break
         prev_n = n
         edges = (
@@ -760,6 +792,8 @@ def s_core(
             .join(keep.select(F.col("v").alias("dst")), "dst", "left_semi")
             .localCheckpoint(eager=True)
         )
+        if checkpointer is not None:
+            checkpointer.save(_rnd, edges, {"n_keep": n, "converged": False})
     if not converged and on_truncate == "raise":
         st = edges.groupBy(F.col("src").alias("v")).agg(F.sum("w").alias("d"))
         converged = st.filter(F.col("d") >= s).count() == prev_n

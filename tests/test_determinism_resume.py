@@ -309,3 +309,34 @@ def test_bellman_ford_family_resume_mid_hop(spark, tmp_path):
         map(tuple, weighted_landmark_distances(wg, seed_mod=11, max_hops=5).collect())
     )
     assert resumed == fresh
+
+
+def test_peel_family_resume_mid_round(spark, tmp_path):
+    """k_core and s_core resume the identical monotone peel from a
+    committed round (the survivor edge set is the whole state)."""
+    from louvain_fast_move_cuda_spark.operators.graphstats import k_core, s_core
+    from louvain_fast_move_cuda_spark.plans.checkpoint import (
+        VertexIterationCheckpointer,
+    )
+
+    # long path: peels one layer per round from each end
+    path = [(i, i + 1) for i in range(30)]
+    g = build_graph(spark.createDataFrame(path, "a long, b long"), relabel=False)
+    ck = VertexIterationCheckpointer(str(tmp_path / "kc"), algo="k_core")
+    k_core(g, k=2, max_rounds=3, on_truncate="ignore", checkpointer=ck).collect()
+    resumed = sorted(map(tuple, k_core(g, k=2, checkpointer=ck).collect()))
+    fresh = sorted(map(tuple, k_core(g, k=2).collect()))
+    assert resumed == fresh == []  # a path has an empty 2-core
+
+    wg = build_graph(
+        spark.createDataFrame(
+            [(a, b, float(b % 3 + 1)) for a, b in path], "a long, b long, w double"
+        ),
+        relabel=False,
+        weight="w",
+    )
+    ck = VertexIterationCheckpointer(str(tmp_path / "sc"), algo="s_core")
+    s_core(wg, s=3, max_rounds=2, on_truncate="ignore", checkpointer=ck).collect()
+    resumed = sorted(map(tuple, s_core(wg, s=3, checkpointer=ck).collect()))
+    fresh = sorted(map(tuple, s_core(wg, s=3).collect()))
+    assert resumed == fresh
