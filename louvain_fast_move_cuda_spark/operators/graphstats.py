@@ -407,6 +407,7 @@ def k_truss(
     k: int = 4,
     max_rounds: int = 20,
     on_truncate: str = "raise",
+    checkpointer=None,
 ) -> DataFrame:
     """(src, dst, support: long) — edges of the k-truss (the maximal
     subgraph where every edge sits in >= k-2 triangles WITHIN the
@@ -436,7 +437,16 @@ def k_truss(
         .localCheckpoint(eager=True)
     )
     prev_n = None
-    for _ in range(max_rounds):
+    start_round = 0
+    # survivor-edge-set state, same resume shape as k_core/s_core
+    if checkpointer is not None:
+        state = checkpointer.load_latest(graph.edges.sparkSession)
+        if state is not None:
+            it, saved, metric = state
+            edges = saved.localCheckpoint(eager=True)
+            start_round = it + 1
+            prev_n = metric.get("n_keep")
+    for _rnd in range(start_round, max_rounds):
         sup = edge_support(edges).localCheckpoint(eager=True)
         keep = sup.filter(F.col("support") >= k - 2)
         n = keep.count()
@@ -447,6 +457,8 @@ def k_truss(
             return keep
         prev_n = n
         edges = keep.select("src", "dst").localCheckpoint(eager=True)
+        if checkpointer is not None:
+            checkpointer.save(_rnd, edges, {"n_keep": n, "converged": False})
     # cap exhausted: recompute support on the FINAL edge set (the loop's
     # sup describes the pre-filter set) and apply one more filter — if
     # nothing would drop, the peel hit its fixpoint exactly at

@@ -340,3 +340,18 @@ def test_peel_family_resume_mid_round(spark, tmp_path):
     resumed = sorted(map(tuple, s_core(wg, s=3, checkpointer=ck).collect()))
     fresh = sorted(map(tuple, s_core(wg, s=3).collect()))
     assert resumed == fresh
+
+
+def test_k_truss_resume_mid_round(spark, tmp_path):
+    from louvain_fast_move_cuda_spark.operators.graphstats import k_truss
+    from louvain_fast_move_cuda_spark.plans.checkpoint import (
+        VertexIterationCheckpointer,
+    )
+
+    edges = powerlaw_graph(n=120, m_attach=3, seed=11)
+    g = build_graph(spark.createDataFrame(edges, "a long, b long"), relabel=False)
+    ck = VertexIterationCheckpointer(str(tmp_path / "kt"), algo="k_truss")
+    k_truss(g, k=3, max_rounds=1, on_truncate="ignore", checkpointer=ck).collect()
+    resumed = sorted(map(tuple, k_truss(g, k=3, checkpointer=ck).collect()))
+    fresh = sorted(map(tuple, k_truss(g, k=3).collect()))
+    assert resumed == fresh
