@@ -59,21 +59,57 @@ def _priority(vid, rnd, salt: int):
 
 
 def maximal_independent_set(
-    graph: GraphTables, salt: int = 0, max_rounds: int = 12
+    graph: GraphTables, salt: int = 0, max_rounds: int = 12, checkpointer=None
 ) -> DataFrame:
     """(id, in_mis) — one deterministic Luby MIS over the symmetric
     graph. Independence and maximality both hold at convergence:
     no edge joins two in_mis vertices, and every out vertex has an
     in_mis neighbor. Raises RuntimeError if ``max_rounds`` BSP rounds
     leave undecided vertices (raise, never truncate: a partial result
-    would not be maximal)."""
+    would not be maximal).
+
+    ``checkpointer``: optional plans.checkpoint
+    .VertexIterationCheckpointer — every round durably commits one
+    packed state table (kind='und' the undecided set, kind='mis' the
+    winners so far; the undecided-by-undecided edge set is re-derived
+    by two semi-joins on resume); rounds depend only on (round index,
+    undecided set), so a resumed run replays identically — including
+    after a budget-exhausted run that raised."""
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     edges = graph.edges.select("src", "dst")
     und = graph.vertices.select("id").localCheckpoint(eager=True)
     e = edges.localCheckpoint(eager=True)
     mis_parts: list[DataFrame] = []
-    for r in range(max_rounds):
+    start_round = 0
+    done = False
+    if checkpointer is not None:
+        state = checkpointer.load_latest(graph.edges.sparkSession)
+        if state is not None:
+            it, saved, metric = state
+            saved = saved.localCheckpoint(eager=True)
+            und = saved.filter(F.col("kind") == "und").select("id")
+            mis_parts.append(saved.filter(F.col("kind") == "mis").select("id"))
+            start_round = it + 1
+            done = bool(metric.get("converged"))
+            if not done:
+                e = (
+                    e.join(und.select(F.col("id").alias("src")), "src", "left_semi")
+                    .join(und.select(F.col("id").alias("dst")), "dst", "left_semi")
+                    .localCheckpoint(eager=True)
+                )
+
+    def _save(rnd: int, conv: bool, n_und: int) -> None:
+        if checkpointer is None:
+            return
+        packed = und.select(F.lit("und").alias("kind"), "id")
+        for df in mis_parts:
+            packed = packed.unionByName(df.select(F.lit("mis").alias("kind"), "id"))
+        checkpointer.save(rnd, packed, {"converged": conv, "n_undecided": n_und})
+
+    for r in range(start_round, max_rounds):
+        if done:
+            break
         key = _priority(F.col("id"), F.lit(r), salt) * F.lit(_PACK) + F.col("id")
         p = und.select("id", key.alias("key"))
         # e is already undecided-by-undecided (shrunk at the end of the
@@ -99,7 +135,9 @@ def maximal_independent_set(
             und.join(winners.unionByName(dropped), "id", "left_anti")
             .localCheckpoint(eager=True)
         )
-        if und.count() == 0:
+        n_und = und.count()
+        _save(r, n_und == 0, n_und)
+        if n_und == 0:
             break
         e = (
             e.join(und.select(F.col("id").alias("src")), "src", "left_semi")

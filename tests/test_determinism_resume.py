@@ -355,3 +355,27 @@ def test_k_truss_resume_mid_round(spark, tmp_path):
     resumed = sorted(map(tuple, k_truss(g, k=3, checkpointer=ck).collect()))
     fresh = sorted(map(tuple, k_truss(g, k=3).collect()))
     assert resumed == fresh
+
+
+def test_mis_resume_mid_round(spark, tmp_path):
+    import pytest
+
+    from louvain_fast_move_cuda_spark.operators.mis import maximal_independent_set
+    from louvain_fast_move_cuda_spark.plans.checkpoint import (
+        VertexIterationCheckpointer,
+    )
+
+    edges = powerlaw_graph(n=130, m_attach=2, seed=3)
+    g = build_graph(spark.createDataFrame(edges, "a long, b long"), relabel=False)
+    ck = VertexIterationCheckpointer(str(tmp_path / "mis"), algo="mis")
+    with pytest.raises(RuntimeError, match="converge"):
+        maximal_independent_set(g, max_rounds=1, checkpointer=ck)
+    resumed = sorted(
+        map(tuple, maximal_independent_set(g, max_rounds=12, checkpointer=ck).collect())
+    )
+    fresh = sorted(map(tuple, maximal_independent_set(g, max_rounds=12).collect()))
+    assert resumed == fresh
+    again = sorted(
+        map(tuple, maximal_independent_set(g, max_rounds=12, checkpointer=ck).collect())
+    )
+    assert again == fresh
