@@ -39,18 +39,58 @@ from .mis import _PACK, _priority
 
 
 def maximal_matching(
-    graph: GraphTables, salt: int = 0, max_rounds: int = 16
+    graph: GraphTables, salt: int = 0, max_rounds: int = 16, checkpointer=None
 ) -> DataFrame:
     """(u, v) with u < v — one deterministic maximal matching: no vertex
     appears twice, and every edge of the graph touches a matched vertex
     at convergence. Raises RuntimeError if unmatched-unmatched edges
-    remain after ``max_rounds`` rounds."""
+    remain after ``max_rounds`` rounds.
+
+    ``checkpointer``: optional plans.checkpoint
+    .VertexIterationCheckpointer — every round durably commits the
+    matched pairs so far (the unmatched-by-unmatched edge set is
+    re-derived by two anti-joins on resume); rounds depend only on
+    (round index, unmatched set), so a resumed run replays identically."""
     if max_rounds < 1:
         raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     e = graph.edges.select("src", "dst").localCheckpoint(eager=True)
     matched_parts: list[DataFrame] = []
     converged = False
-    for r in range(max_rounds):
+    start_round = 0
+    if checkpointer is not None:
+        state = checkpointer.load_latest(graph.edges.sparkSession)
+        if state is not None:
+            it, saved, metric = state
+            saved = saved.localCheckpoint(eager=True)
+            matched_parts.append(saved)
+            start_round = it + 1
+            converged = bool(metric.get("converged"))
+            if not converged:
+                gone = saved.select(F.col("u").alias("id")).unionByName(
+                    saved.select(F.col("v").alias("id"))
+                )
+                e = (
+                    e.join(gone.select(F.col("id").alias("src")), "src", "left_anti")
+                    .join(gone.select(F.col("id").alias("dst")), "dst", "left_anti")
+                    .localCheckpoint(eager=True)
+                )
+
+    def _save(rnd: int, conv: bool) -> None:
+        if checkpointer is None:
+            return
+        if matched_parts:
+            packed = matched_parts[0]
+            for df in matched_parts[1:]:
+                packed = packed.unionByName(df)
+        else:
+            packed = graph.edges.filter(F.lit(False)).select(
+                F.col("src").alias("u"), F.col("dst").alias("v")
+            )
+        checkpointer.save(rnd, packed, {"converged": conv})
+
+    for r in range(start_round, max_rounds):
+        if converged:
+            break
         # proposal key of the DST endpoint, re-randomized per round
         kd = _priority(F.col("dst"), F.lit(r), salt) * F.lit(_PACK) + F.col("dst")
         prop = (
@@ -71,6 +111,7 @@ def maximal_matching(
             # mutual-min always matches the globally minimal key pair,
             # so an empty round means no unmatched-unmatched edges exist
             converged = True
+            _save(r, True)
             break
         matched_parts.append(pairs)
         gone = pairs.select(F.col("u").alias("id")).unionByName(
@@ -81,6 +122,7 @@ def maximal_matching(
             .join(gone.select(F.col("id").alias("dst")), "dst", "left_anti")
             .localCheckpoint(eager=True)
         )
+        _save(r, False)
     if not converged:
         raise RuntimeError(
             f"maximal_matching did not converge in {max_rounds} rounds; the "

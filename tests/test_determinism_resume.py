@@ -379,3 +379,25 @@ def test_mis_resume_mid_round(spark, tmp_path):
         map(tuple, maximal_independent_set(g, max_rounds=12, checkpointer=ck).collect())
     )
     assert again == fresh
+
+
+def test_matching_resume_mid_round(spark, tmp_path):
+    import pytest
+
+    from louvain_fast_move_cuda_spark.operators.matching import maximal_matching
+    from louvain_fast_move_cuda_spark.plans.checkpoint import (
+        VertexIterationCheckpointer,
+    )
+
+    g = build_graph(
+        spark.createDataFrame([(i, i + 1) for i in range(50)], "a long, b long"),
+        relabel=False,
+    )
+    ck = VertexIterationCheckpointer(str(tmp_path / "match"), algo="matching")
+    with pytest.raises(RuntimeError, match="converge"):
+        maximal_matching(g, max_rounds=1, checkpointer=ck)
+    resumed = sorted(
+        map(tuple, maximal_matching(g, max_rounds=16, checkpointer=ck).collect())
+    )
+    fresh = sorted(map(tuple, maximal_matching(g, max_rounds=16).collect()))
+    assert resumed == fresh
