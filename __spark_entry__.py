@@ -1042,7 +1042,10 @@ def q_s_core(spark, sf_dir):
     from louvain_fast_move_cuda_spark.operators.graphstats import s_core
 
     g = _weighted_graph(spark, sf_dir)
-    return s_core(g, s=2, max_rounds=30)
+    # same contract as q_k_core: max_rounds mirrors the oracle's
+    # unrolled round count (_s_core_sql(s=2, rounds=20)) so a peel that
+    # converges past the shared cap can't diverge from the oracle
+    return s_core(g, s=2, max_rounds=20, on_truncate="ignore")
 
 
 def q_ego_networks(spark, sf_dir):
@@ -2507,7 +2510,8 @@ cumh AS (
          max(dist) OVER () AS mx
   FROM hist)"""
         )
-        tail = f"""SELECT max(tot) AS n_pairs, min(dist) AS eff_diameter_p{eff_pct},
+        tail = f"""SELECT CAST(max(tot) AS BIGINT) AS n_pairs,
+       min(dist) AS eff_diameter_p{eff_pct},
        max(mx) AS max_sampled_dist
 FROM cumh WHERE cum >= ceil(tot * {eff_pct} / 100.0)"""
         return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + "\n" + tail
@@ -3520,25 +3524,30 @@ one AS (SELECT * FROM
        sum(CASE WHEN ds > 4 AND dd > 4 THEN 1 ELSE 0 END) AS e4,
        sum(CASE WHEN ds > 8 AND dd > 8 THEN 1 ELSE 0 END) AS e8,
        sum(CASE WHEN ds > 16 AND dd > 16 THEN 1 ELSE 0 END) AS e16 FROM pd) ea)
-SELECT 1 AS k, coalesce(n1, 0) AS n_rich, coalesce(e1, 0) AS e_rich,
+SELECT 1 AS k, CAST(coalesce(n1, 0) AS BIGINT) AS n_rich,
+       CAST(coalesce(e1, 0) AS BIGINT) AS e_rich,
        CASE WHEN coalesce(n1, 0) >= 2
-            THEN round(2.0 * coalesce(e1, 0) / (n1 * (n1 - 1)), 9) END AS phi_r9
+            THEN round(2e0 * coalesce(e1, 0) / (n1 * (n1 - 1)), 9) END AS phi_r9
 FROM one
-UNION ALL SELECT 2 AS k, coalesce(n2, 0) AS n_rich, coalesce(e2, 0) AS e_rich,
+UNION ALL SELECT 2 AS k, CAST(coalesce(n2, 0) AS BIGINT) AS n_rich,
+       CAST(coalesce(e2, 0) AS BIGINT) AS e_rich,
        CASE WHEN coalesce(n2, 0) >= 2
-            THEN round(2.0 * coalesce(e2, 0) / (n2 * (n2 - 1)), 9) END AS phi_r9
+            THEN round(2e0 * coalesce(e2, 0) / (n2 * (n2 - 1)), 9) END AS phi_r9
 FROM one
-UNION ALL SELECT 4 AS k, coalesce(n4, 0) AS n_rich, coalesce(e4, 0) AS e_rich,
+UNION ALL SELECT 4 AS k, CAST(coalesce(n4, 0) AS BIGINT) AS n_rich,
+       CAST(coalesce(e4, 0) AS BIGINT) AS e_rich,
        CASE WHEN coalesce(n4, 0) >= 2
-            THEN round(2.0 * coalesce(e4, 0) / (n4 * (n4 - 1)), 9) END AS phi_r9
+            THEN round(2e0 * coalesce(e4, 0) / (n4 * (n4 - 1)), 9) END AS phi_r9
 FROM one
-UNION ALL SELECT 8 AS k, coalesce(n8, 0) AS n_rich, coalesce(e8, 0) AS e_rich,
+UNION ALL SELECT 8 AS k, CAST(coalesce(n8, 0) AS BIGINT) AS n_rich,
+       CAST(coalesce(e8, 0) AS BIGINT) AS e_rich,
        CASE WHEN coalesce(n8, 0) >= 2
-            THEN round(2.0 * coalesce(e8, 0) / (n8 * (n8 - 1)), 9) END AS phi_r9
+            THEN round(2e0 * coalesce(e8, 0) / (n8 * (n8 - 1)), 9) END AS phi_r9
 FROM one
-UNION ALL SELECT 16 AS k, coalesce(n16, 0) AS n_rich, coalesce(e16, 0) AS e_rich,
+UNION ALL SELECT 16 AS k, CAST(coalesce(n16, 0) AS BIGINT) AS n_rich,
+       CAST(coalesce(e16, 0) AS BIGINT) AS e_rich,
        CASE WHEN coalesce(n16, 0) >= 2
-            THEN round(2.0 * coalesce(e16, 0) / (n16 * (n16 - 1)), 9) END AS phi_r9
+            THEN round(2e0 * coalesce(e16, 0) / (n16 * (n16 - 1)), 9) END AS phi_r9
 FROM one
 """,
         # truncated Katz: integer walk counts (sparse mat-vec per hop)
@@ -3546,16 +3555,16 @@ FROM one
         "katz": f"""
 {_GRAPH_CTE},
 kc0 AS (SELECT id, CAST(1 AS BIGINT) AS c FROM deg),
-kc1 AS (SELECT e.dst AS id, sum(c.c) AS c FROM sym e JOIN kc0 c ON e.src = c.id GROUP BY 1),
-kc2 AS (SELECT e.dst AS id, sum(c.c) AS c FROM sym e JOIN kc1 c ON e.src = c.id GROUP BY 1),
-kc3 AS (SELECT e.dst AS id, sum(c.c) AS c FROM sym e JOIN kc2 c ON e.src = c.id GROUP BY 1),
-kc4 AS (SELECT e.dst AS id, sum(c.c) AS c FROM sym e JOIN kc3 c ON e.src = c.id GROUP BY 1)
+kc1 AS (SELECT e.dst AS id, CAST(sum(c.c) AS BIGINT) AS c FROM sym e JOIN kc0 c ON e.src = c.id GROUP BY 1),
+kc2 AS (SELECT e.dst AS id, CAST(sum(c.c) AS BIGINT) AS c FROM sym e JOIN kc1 c ON e.src = c.id GROUP BY 1),
+kc3 AS (SELECT e.dst AS id, CAST(sum(c.c) AS BIGINT) AS c FROM sym e JOIN kc2 c ON e.src = c.id GROUP BY 1),
+kc4 AS (SELECT e.dst AS id, CAST(sum(c.c) AS BIGINT) AS c FROM sym e JOIN kc3 c ON e.src = c.id GROUP BY 1)
 SELECT d.id,
-       coalesce(kc1.c, 0) AS w1,
-       coalesce(kc2.c, 0) AS w2,
-       coalesce(kc3.c, 0) AS w3,
-       coalesce(kc4.c, 0) AS w4,
-       round(0.05 * coalesce(kc1.c, 0) + 0.0025000000000000005 * coalesce(kc2.c, 0) + 0.00012500000000000003 * coalesce(kc3.c, 0) + 6.250000000000001e-06 * coalesce(kc4.c, 0), 9) AS katz_r9
+       coalesce(kc1.c, CAST(0 AS BIGINT)) AS w1,
+       coalesce(kc2.c, CAST(0 AS BIGINT)) AS w2,
+       coalesce(kc3.c, CAST(0 AS BIGINT)) AS w3,
+       coalesce(kc4.c, CAST(0 AS BIGINT)) AS w4,
+       round(5e-2 * coalesce(kc1.c, 0) + 2.5000000000000005e-3 * coalesce(kc2.c, 0) + 1.2500000000000003e-4 * coalesce(kc3.c, 0) + 6.250000000000001e-06 * coalesce(kc4.c, 0), 9) AS katz_r9
 FROM deg d
 LEFT JOIN kc1 ON d.id = kc1.id
 LEFT JOIN kc2 ON d.id = kc2.id
@@ -3886,7 +3895,8 @@ hops AS (
   FROM transcripts
 )
 SELECT tool, count(*) AS n_calls,
-       sum(next_us - us) AS sum_gap_us, max(next_us - us) AS max_gap_us
+       CAST(sum(next_us - us) AS BIGINT) AS sum_gap_us,
+       CAST(max(next_us - us) AS BIGINT) AS max_gap_us
 FROM hops WHERE tool IS NOT NULL AND next_us IS NOT NULL
 GROUP BY tool
 """,
@@ -3905,11 +3915,11 @@ GROUP BY t.role
         # classic pivot/crosstab — explicit value list, zeros for absent
         "events_pivot": """
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
 FROM events GROUP BY user_id
 """,
         # count-min sketch over the materialized bucket table: cell
@@ -3971,8 +3981,8 @@ est AS (SELECT q_pct, samp.value AS est_value
         FROM qs JOIN samp
           ON samp.r = greatest(1, CAST(ceil(q_pct / 100.0 * s_n) AS BIGINT))),
 chk AS (SELECT q_pct, est_value, count(*) AS n,
-               sum(CASE WHEN hv.value < est_value THEN 1 ELSE 0 END) AS rank_lo,
-               sum(CASE WHEN hv.value <= est_value THEN 1 ELSE 0 END) AS rank_hi
+               CAST(sum(CASE WHEN hv.value < est_value THEN 1 ELSE 0 END) AS BIGINT) AS rank_lo,
+               CAST(sum(CASE WHEN hv.value <= est_value THEN 1 ELSE 0 END) AS BIGINT) AS rank_hi
         FROM hv CROSS JOIN est GROUP BY 1, 2),
 r AS (
   SELECT *, CASE WHEN ceil(q_pct / 100.0 * n) < rank_lo + 1
@@ -4362,7 +4372,8 @@ FROM read_parquet('{_ORACLE_MAT_DIR}/split_hashes.parquet/*.parquet')
 """,
         "source_rollup": f"""
 WITH q AS ({_quality_sql()})
-SELECT d.source, d.lang, count(*) AS n_docs, sum(d.n_chars) AS total_chars,
+SELECT d.source, d.lang, count(*) AS n_docs,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
        round(CAST(sum(CAST(round(q.quality * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
              / (CAST(count(*) AS DOUBLE) * 1000000.0), 9) AS mean_quality_r9
 FROM documents d JOIN q USING (doc_id)
@@ -4379,7 +4390,8 @@ GROUP BY 1, 2
         "sequence_pack": r"""
 WITH s AS (
   SELECT doc_id,
-         len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS n_tokens
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))
+              AS INTEGER) AS n_tokens
   FROM documents
 ),
 c AS (

@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
+from louvain_fast_move_cuda_spark.plans.oracle_types import type_mismatches  # noqa: E402
 from louvain_fast_move_cuda_spark.session import get_spark  # noqa: E402
 
 TABLES = [
@@ -63,9 +64,10 @@ def main():
             print(f"[rows-only ] {name}: {len(srows)} rows in {time.time()-t0:.1f}s")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = [tuple(r) for r in res.fetchall()]
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = list(rel.types)
+            drows = [tuple(r) for r in rel.fetchall()]
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"DUCKDB ERROR: {e}"))
             print(f"[FAIL-duck ] {name}: {e}")
@@ -73,6 +75,10 @@ def main():
         msgs = []
         if sorted(scols) != sorted(dcols):
             msgs.append(f"cols spark={scols} duck={dcols}")
+        # the driver's hash canonicalization is type-sensitive (r4:
+        # HUGEINT/DECIMAL vs BIGINT/DOUBLE failed on bit-equal values),
+        # so the local gate must be too
+        msgs.extend(type_mismatches(sdf.schema, dcols, dtypes))
         if len(srows) != len(drows):
             msgs.append(f"rows spark={len(srows)} duck={len(drows)}")
         if not msgs:

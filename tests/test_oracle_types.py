@@ -1,0 +1,84 @@
+"""Oracle TYPE discipline — every oracle_sql() must bind in DuckDB to
+exactly the Spark result types.
+
+Round-4 driver failures (rich_club, katz, tool_latency, events_pivot,
+quantile_sketch) were bit-equal VALUES with mismatched TYPES: a naked
+``sum(bigint)`` in DuckDB yields HUGEINT and ``2.0 * x`` yields DECIMAL,
+while Spark emits BIGINT/DOUBLE, and the driver's hash canonicalization
+distinguishes them.  This test binds each oracle (no execution beyond
+what the Spark fn materializes) and fails on ANY naked aggregate, so a
+type gap can never again pass the local sweep and fail the driver.
+"""
+
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from louvain_fast_move_cuda_spark.plans.oracle_types import (  # noqa: E402
+    duck_to_spark,
+    type_mismatches,
+)
+from tests.conftest import SF_DIR  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    yield con
+    con.close()
+
+
+def test_duck_to_spark_mapping():
+    assert duck_to_spark("BIGINT") == ("bigint",)
+    assert duck_to_spark("HUGEINT") is None          # the r4 failure mode
+    assert duck_to_spark("DECIMAL(38,1)") == ("decimal(38,1)",)
+    assert duck_to_spark("VARCHAR[]") == ("array<string>",)
+    # DuckDB TIMESTAMP is tz-naive: matches both Spark flavors
+    assert "timestamp_ntz" in duck_to_spark("TIMESTAMP")
+
+
+def test_naked_aggregate_is_caught(spark, duck):
+    """A naked sum() over BIGINT must be flagged (HUGEINT != bigint)."""
+    sdf = spark.range(3).selectExpr("sum(id) AS s")
+    rel = duck.sql("SELECT sum(x) AS s FROM (VALUES (1), (2)) t(x)")
+    msgs = type_mismatches(sdf.schema, rel.columns, rel.types)
+    assert msgs and "HUGEINT" in msgs[0]
+    rel2 = duck.sql("SELECT CAST(sum(x) AS BIGINT) AS s FROM (VALUES (1)) t(x)")
+    assert type_mismatches(sdf.schema, rel2.columns, rel2.types) == []
+
+
+def test_every_oracle_binds_to_spark_types(spark, duck):
+    """All registry oracles bind to the exact Spark output types."""
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    bad = []
+    for name, fn in qs.items():
+        if name not in oracles:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR)  # materializes oracle parquet inputs
+        except Exception as e:  # noqa: BLE001
+            bad.append(f"{name}: SPARK ERROR {e}")
+            continue
+        try:
+            rel = duck.sql(oracles[name])
+        except Exception as e:  # noqa: BLE001
+            bad.append(f"{name}: DUCKDB BIND ERROR {str(e)[:200]}")
+            continue
+        for m in type_mismatches(sdf.schema, rel.columns, rel.types):
+            bad.append(f"{name}: {m}")
+    assert not bad, "oracle type mismatches:\n" + "\n".join(bad)
