@@ -1799,8 +1799,40 @@ def q_embedding_near_dupes(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cosine", 9).alias("cos_r9"))
 
 
+# The driver samples a PREFIX of queries() (CORRECTNESS_r04 == exactly
+# the first 50 of the r4 registry, in order), so registry order decides
+# which queries earn a driver-oracle row each round. Front-load, in
+# priority order: the flagship full-Louvain gates (hard-oracled since
+# r4 but never driver-confirmed), the five r4 hash_match fixes, and
+# every query that has never had a driver row. Everything else keeps
+# its documented grouping below.
+_DRIVER_SAMPLE_PRIORITY = [
+    # flagship: full multi-level Louvain, labels + DuckDB-recomputed Q
+    "louvain_communities", "louvain_communities_local",
+    "louvain_communities_weighted",
+    # r4 driver hash_match failures, fixed by oracle type casts
+    "rich_club", "katz", "tool_latency", "events_pivot", "quantile_sketch",
+    # latent type-cast fixes (never sampled; would have failed)
+    "effective_diameter", "source_rollup", "sequence_pack",
+    # never driver-sampled graph/walk operators
+    "s_core", "matching", "weighted_matching", "mis", "stress_centrality",
+    "pagerank_directed", "pagerank_personalized", "community_metrics",
+    "jaccard_links", "landmark_distances", "harmonic_centrality",
+    "closeness_centrality", "temporal_reachability", "weighted_distances",
+    "snapshot_diff", "landmark_ecc", "degree_mixing", "ego_networks",
+    "random_walks", "weighted_random_walks", "skipgram_pairs",
+    "neighbor_sample",
+    # never driver-sampled curation / text / similarity operators
+    "doc_communities", "winnow_fingerprints", "top_terms", "rarity_scores",
+    "decontaminate", "dup_spans", "hash_split", "lang_confusion",
+    "repetition_scores", "vocab_coverage", "stratified_sample",
+    "bigram_lm_scores", "knn_label_eval", "kmeans_clusters",
+    "rolling_activity", "simhash_near_dupes", "curation_verdicts",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    base = {
         # sources / scans (SURVEY.md §2.1) + per-turn text invariant
         "transcripts": q_transcripts,
         "edge_list": q_edge_list,
@@ -1951,6 +1983,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "embedding_near_dupes": q_embedding_near_dupes,
     }
+    ordered = {k: base[k] for k in _DRIVER_SAMPLE_PRIORITY}
+    ordered.update(base)  # already-placed keys keep their slot
+    return ordered
 
 
 # --------------------------------------------------------------------------
@@ -2967,8 +3002,21 @@ mp{r}_0 AS MATERIALIZED (
   SELECT c0.id, coalesce(pp.p, c0.comp) AS comp
   FROM mcomp{r} c0 LEFT JOIN mp{r}_{d_total} pp ON c0.comp = pp.c)"""
         )
+    # loud guard instead of a silently-incomplete contraction: if the
+    # graph outgrows the doubling budget (> 2^dmax vertices), the
+    # pointer chase could leave a tree-internal edge looking cross-
+    # component and put a cycle in the oracle forest (the ENGINE sizes
+    # its doubling from the live component count and stays correct) —
+    # fail the oracle run explicitly rather than hash-mismatch
+    parts.append(
+        f"""mguard AS MATERIALIZED (
+  SELECT CASE WHEN (SELECT count(*) FROM wdeg) > {1 << dmax}
+              THEN error('msf oracle: graph exceeds 2^{dmax} vertices; raise dmax')
+              ELSE 1 END AS ok)"""
+    )
     union = "\nUNION ALL ".join(
-        f"SELECT src, dst, w AS weight FROM mchosen{r}" for r in range(rounds)
+        f"SELECT src, dst, w AS weight FROM mchosen{r}, mguard WHERE mguard.ok = 1"
+        for r in range(rounds)
     )
     return f"{_GRAPH_CTE},{_WEIGHTED_GRAPH_CTE}\n" + ",\n".join(parts) + "\n" + union
 

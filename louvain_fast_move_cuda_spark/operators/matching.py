@@ -124,6 +124,11 @@ def maximal_matching(
         )
         _save(r, False)
     if not converged:
+        # the final budgeted round can match pairs AND empty the edge
+        # set; an empty residual proves maximality (same O(1) confirm
+        # as minimum_spanning_forest / the k_core-family peels)
+        converged = e.limit(1).count() == 0
+    if not converged:
         raise RuntimeError(
             f"maximal_matching did not converge in {max_rounds} rounds; the "
             "partial matching would not be maximal. Raise max_rounds."
@@ -150,9 +155,10 @@ def greedy_weighted_matching(
 
     The edge key is (weight, mixer(src + dst, round)) packed into one
     int64: weight dominates (cast to int64 — the weighted-merge counts
-    are integer-valued; the pack bounds them to < 2^31, raised loudly by
-    ANSI overflow otherwise), and the PER-ROUND mixer breaks weight
-    ties. The tie-break is load-bearing on this data: most merge
+    are integer-valued; the pack bounds them to < 2^31, checked
+    explicitly below rather than trusting session ANSI mode — with ANSI
+    off an overflow would silently wrap and reorder proposals), and the
+    PER-ROUND mixer breaks weight ties. The tie-break is load-bearing on this data: most merge
     weights are 1, and an id-based tie order is monotone along
     consecutive-id reply chains — one match per round on a path. The
     round-salted mixer re-randomizes ties (Israeli-Itai progress) while
@@ -164,6 +170,14 @@ def greedy_weighted_matching(
     e = graph.edges.select(
         "src", "dst", F.col("weight").cast("long").alias("w")
     ).localCheckpoint(eager=True)
+    # explicit w < 2^31 precondition (one cheap scan, like
+    # weighted_landmark_distances' negative-weight check): the packed
+    # key w * 2^31 + mixer must fit in int64 regardless of ANSI mode
+    if e.filter(F.col("w") >= F.lit(_PACK)).limit(1).count() > 0:
+        raise ValueError(
+            f"greedy_weighted_matching requires integer weights < 2^31 "
+            f"(= {_PACK}) so the (weight, tie-break) pack fits in int64"
+        )
     matched_parts: list[DataFrame] = []
     converged = False
     for r in range(max_rounds):
@@ -196,6 +210,9 @@ def greedy_weighted_matching(
             .join(gone.select(F.col("id").alias("dst")), "dst", "left_anti")
             .localCheckpoint(eager=True)
         )
+    if not converged:
+        # same budget-edge confirm as maximal_matching
+        converged = e.limit(1).count() == 0
     if not converged:
         raise RuntimeError(
             f"greedy_weighted_matching did not converge in {max_rounds} rounds; "

@@ -349,3 +349,50 @@ def test_greedy_weighted_matching_half_approx_and_replay(spark):
         }
         r += 1
     assert got == want
+
+
+def test_matching_converges_exactly_at_budget(spark):
+    """A round that matches pairs AND empties the edge set can land on
+    the last budgeted round; the empty residual proves maximality and
+    must return, not raise (same confirm as the k_core-family peels)."""
+    from louvain_fast_move_cuda_spark.operators.matching import (
+        greedy_weighted_matching,
+        maximal_matching,
+    )
+    from louvain_fast_move_cuda_spark.sources.edges import build_graph
+
+    g = build_graph(
+        spark.createDataFrame([(0, 1)], "a long, b long"), relabel=False
+    )
+    got = {(r.u, r.v) for r in maximal_matching(g, max_rounds=1).collect()}
+    assert got == {(0, 1)}
+
+    gw = build_graph(
+        spark.createDataFrame([(0, 1, 3.0)], "a long, b long, w double"),
+        relabel=False,
+        weight="w",
+    )
+    gotw = {(r.u, r.v, r.w) for r in
+            greedy_weighted_matching(gw, max_rounds=1).collect()}
+    assert gotw == {(0, 1, 3)}
+
+
+def test_weighted_matching_rejects_overflowing_weights(spark):
+    """w >= 2^31 would wrap the (weight, tie-break) int64 pack with ANSI
+    off and silently reorder proposals — must raise up front."""
+    import pytest
+
+    from louvain_fast_move_cuda_spark.operators.matching import (
+        greedy_weighted_matching,
+    )
+    from louvain_fast_move_cuda_spark.sources.edges import build_graph
+
+    g = build_graph(
+        spark.createDataFrame(
+            [(0, 1, float(2**31))], "a long, b long, w double"
+        ),
+        relabel=False,
+        weight="w",
+    )
+    with pytest.raises(ValueError, match="2\\^31"):
+        greedy_weighted_matching(g)
