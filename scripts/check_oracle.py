@@ -94,7 +94,10 @@ def main():
             failures.append((name, "; ".join(msgs)))
             print(f"[FAIL      ] {name}: {'; '.join(msgs)[:400]}")
         else:
-            print(f"[OK        ] {name}: {len(srows)} rows in {time.time()-t0:.1f}s")
+            print(
+                f"[OK        ] {name}: {len(srows)} rows, types-ok, "
+                f"in {time.time()-t0:.1f}s"
+            )
 
     print(f"\n{len(failures)} failures")
     for n, m in failures:

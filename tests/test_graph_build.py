@@ -3,6 +3,8 @@
 Mirrors reference semantics graph.cu:17-87 / graph.cuh:58-99 (SURVEY.md §2.1).
 """
 
+import os
+
 from pyspark.sql import functions as F
 
 from louvain_fast_move_cuda_spark.sources.edges import (
@@ -181,3 +183,35 @@ def test_edge_file_skip_lines_per_file(spark, tmp_path):
     raw = read_edge_file(spark, str(d), skip_lines=1)
     rows = sorted((r.a, r.b) for r in raw.collect())
     assert rows == [(0, 1), (1, 2), (2, 3), (3, 4)]
+
+
+def test_reference_graph_script_dedups_duplicate_lines(tmp_path):
+    """scripts/check_reference_graph.py on a user file with REPEATED
+    edge lines: the engine dedups them (canonicalize_edges, weight 1),
+    so the script must canonical-dedup the raw pairs before the oracle
+    too — duplicating only SOME lines would otherwise skew the oracle's
+    weights and produce a false parity failure (ADVICE r4 #4).
+
+    Runs the script end-to-end in a subprocess (it owns and stops its
+    Spark session, so it must not share the suite's)."""
+    import json
+    import subprocess
+    import sys
+
+    # two triangles + a bridge; 3 of the 7 lines repeated (a uniform
+    # duplication would leave Q invariant and mask the bug)
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    lines = [f"{a} {b}" for a, b in edges] + ["0 1", "1 0", "3 4"]
+    p = tmp_path / "dup.edge"
+    p.write_text("\n".join(lines) + "\n")
+    proc = subprocess.run(
+        [sys.executable, "scripts/check_reference_graph.py",
+         "--edge-file", str(p), "--master", "local[2]"],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    out = proc.stdout.strip().splitlines()[-1]
+    rep = json.loads(out)
+    assert rep["ok"], rep
+    assert proc.returncode == 0
+    assert rep["n_links"] == 7  # duplicates merged, both orientations
