@@ -621,6 +621,63 @@ def _write_time_ordered_chunks(turns: DataFrame, in_dir: str, n_chunks: int = 4)
             os.utime(dst, (1_700_000_000 + c, 1_700_000_000 + c))
 
 
+def _write_ordered_edge_chunks(half: DataFrame, in_dir: str, n_chunks: int = 4):
+    """Same trick as _write_time_ordered_chunks for canonical (src, dst)
+    half-edge tables: chunk files in strict (src, dst) order with
+    increasing mtimes, so maxFilesPerTrigger=1 replays them as ordered
+    micro-batches."""
+    import os
+    import shutil
+
+    os.makedirs(in_dir, exist_ok=True)
+    base = os.path.dirname(in_dir)
+    w = Window.orderBy("src", "dst")
+    chunked = half.select("src", "dst").withColumn("_c", F.ntile(n_chunks).over(w))
+    for c in range(1, n_chunks + 1):
+        stage = f"{base}/estage{c}"
+        chunked.filter(F.col("_c") == c).drop("_c").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        parts = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        for i, f_name in enumerate(parts):
+            dst = f"{in_dir}/{c:03d}_{i:03d}.parquet"
+            shutil.move(f"{stage}/{f_name}", dst)
+            os.utime(dst, (1_700_000_000 + c, 1_700_000_000 + c))
+
+
+def q_streaming_cc(spark, sf_dir):
+    """Incremental connected components under the driver oracle: the
+    canonical half-edge table replayed as 4 micro-batches through
+    streaming/cc_stream.py's contract-by-labels maintainer (per batch:
+    endpoints map through the committed labels snapshot, batch CC runs
+    on the CONTRACTED delta only, a broadcast root map composes — work
+    scales with the delta, never the accumulated graph). The final
+    snapshot must equal the batch star-rounds oracle BIT-EXACTLY
+    (component = min reachable vid is a graph invariant). Vertices that
+    never appear in any edge (single-turn conversations) are unioned in
+    with component = self to complete the vertex universe the batch
+    oracle covers — the maintainer itself only ever sees edges."""
+    import tempfile
+
+    from louvain_fast_move_cuda_spark.streaming.cc_stream import (
+        read_labels,
+        run_incremental_cc,
+    )
+
+    _, _, g = _graph(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="spark_graft_ccstream_")
+    half = g.edges.filter(F.col("src") < F.col("dst")).select("src", "dst")
+    _write_ordered_edge_chunks(half, f"{base}/in", n_chunks=4)
+    run_incremental_cc(spark, f"{base}/in", f"{base}/labels", f"{base}/ck")
+    labels = read_labels(spark, f"{base}/labels")
+    isolated = (
+        g.vertices.select("id")
+        .join(labels.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("component"))
+    )
+    return labels.unionByName(isolated)
+
+
 def _write_doc_ordered_chunks(docs: DataFrame, in_dir: str, n_chunks: int = 4):
     """Same trick as _write_time_ordered_chunks for (doc_id, text)
     corpora: chunk files in strict doc_id order with increasing mtimes,
@@ -1820,8 +1877,10 @@ _DRIVER_SAMPLE_PRIORITY = [
     "jaccard_links", "landmark_distances", "harmonic_centrality",
     "closeness_centrality", "temporal_reachability", "weighted_distances",
     "snapshot_diff", "landmark_ecc", "degree_mixing", "ego_networks",
-    "random_walks", "weighted_random_walks", "skipgram_pairs",
-    "neighbor_sample",
+    "random_walks", "skipgram_pairs", "neighbor_sample",
+    # round-5 operator: incremental CC over streaming edges (bit-exact
+    # vs the batch star-rounds oracle on micro-batch replay)
+    "streaming_cc",
     # never driver-sampled curation / text / similarity operators
     "doc_communities", "winnow_fingerprints", "top_terms", "rarity_scores",
     "decontaminate", "dup_spans", "hash_split", "lang_confusion",
@@ -1852,6 +1911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_turn_rates": q_streaming_turn_rates,
         "streaming_dedup": q_streaming_dedup,
         "streaming_sessions": q_streaming_sessions,
+        "streaming_cc": q_streaming_cc,
         # descriptive graph statistics (graphstats.py)
         "clustering_coefficient": q_clustering_coefficient,
         "assortativity": q_assortativity,
@@ -3823,6 +3883,9 @@ wdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS k FROM wsym GROUP BY src)
         ),
         "cc_full": _cc_star_sql(rounds=8),
         "cc_full_local": _cc_star_sql(rounds=8),
+        # incremental CC over the micro-batch replay: the maintained
+        # snapshot must reproduce the batch star rounds bit-exactly
+        "streaming_cc": _cc_star_sql(rounds=8),
         # full multi-level Louvain loop, hard-gated since round 4 (was
         # rows-only): labels round-trip + DuckDB-recomputed partition Q
         # vs the engine's claimed modularity; the _local twin is checked

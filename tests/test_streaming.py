@@ -153,3 +153,63 @@ def test_streaming_sessions_state_survives_restart(spark, tmp_path_factory):
 
     got = {r.event_id: r.session_id for r in spark.read.parquet(out_dir).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4}
+
+
+def test_incremental_cc_matches_batch_and_survives_restart(spark, tmp_path_factory):
+    """streaming/cc_stream.py: labels maintained by per-batch contraction
+    equal the batch CC labels bit-exactly (component = min reachable vid,
+    a graph invariant), including across a stream restart with new files
+    landed in between — the durable state is the committed labels
+    snapshot + the streaming checkpoint."""
+    from louvain_fast_move_cuda_spark.operators.components import (
+        connected_components,
+    )
+    from louvain_fast_move_cuda_spark.sources.edges import build_graph
+    from louvain_fast_move_cuda_spark.streaming.cc_stream import (
+        read_labels,
+        run_incremental_cc,
+    )
+    from oracle import powerlaw_graph
+
+    tmp = tmp_path_factory.mktemp("ccstream")
+    in_dir, labels_dir, ck_dir = str(tmp / "in"), str(tmp / "lab"), str(tmp / "ck")
+    import os as _os
+    _os.makedirs(in_dir, exist_ok=True)
+
+    edges = sorted({(min(a, b), max(a, b))
+                    for a, b in powerlaw_graph(n=300, m_attach=2, seed=11)
+                    if a != b})
+    # 4 chunk files; merges MUST span chunks for the contraction to be
+    # exercised (a powerlaw graph sliced by edge order guarantees it)
+    chunks = [edges[i::4] for i in range(4)]
+
+    def land(i, chunk):
+        spark.createDataFrame(chunk, "src long, dst long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/stage{i}")
+        part = [f for f in _os.listdir(f"{tmp}/stage{i}") if f.endswith(".parquet")][0]
+        _os.rename(f"{tmp}/stage{i}/{part}", f"{in_dir}/{i:03d}.parquet")
+        _os.utime(f"{in_dir}/{i:03d}.parquet", (1_700_000_000 + i,) * 2)
+
+    land(0, chunks[0])
+    land(1, chunks[1])
+    run_incremental_cc(spark, in_dir, labels_dir, ck_dir)  # drains 2 batches
+    mid = {(r.id, r.component) for r in read_labels(spark, labels_dir).collect()}
+    g_mid = build_graph(
+        spark.createDataFrame(chunks[0] + chunks[1], "a long, b long"),
+        relabel=False,
+    )
+    want_mid = {(r.id, r.component)
+                for r in connected_components(g_mid).collect()
+                if r.id in {x for p in mid for x in (p[0],)}}
+    assert mid == {p for p in want_mid}
+
+    land(2, chunks[2])
+    land(3, chunks[3])
+    run_incremental_cc(spark, in_dir, labels_dir, ck_dir)  # RESTART: resumes
+    got = {(r.id, r.component) for r in read_labels(spark, labels_dir).collect()}
+    g_all = build_graph(
+        spark.createDataFrame(edges, "a long, b long"), relabel=False
+    )
+    want = {(r.id, r.component) for r in connected_components(g_all).collect()}
+    assert got == want  # bit-exact: same min-vid invariant, incl. vertices
