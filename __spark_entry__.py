@@ -678,6 +678,32 @@ def q_streaming_cc(spark, sf_dir):
     return labels.unionByName(isolated)
 
 
+def q_streaming_triangles(spark, sf_dir):
+    """Incremental triangle counting under the driver oracle: the
+    canonical half-edge table replayed as 4 micro-batches through
+    streaming/triangle_stream.py (per batch: three disjoint
+    |new-edges|-bounded joins attribute each triangle to the batch whose
+    edge completed it — work never scales with the accumulated graph;
+    state is APPEND-ONLY per-batch edge files). Output: one row per
+    batch with the delta and running total. The oracle recomputes the
+    same attribution in SQL: ntile(4) over (src, dst) reproduces the
+    replay's chunking exactly, and each canonical triangle belongs to
+    the batch of its max-chunk edge."""
+    import tempfile
+
+    from louvain_fast_move_cuda_spark.streaming.triangle_stream import (
+        read_triangle_counts,
+        run_incremental_triangles,
+    )
+
+    _, _, g = _graph(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="spark_graft_tristream_")
+    half = g.edges.filter(F.col("src") < F.col("dst")).select("src", "dst")
+    _write_ordered_edge_chunks(half, f"{base}/in", n_chunks=4)
+    run_incremental_triangles(spark, f"{base}/in", f"{base}/state", f"{base}/ck")
+    return read_triangle_counts(spark, f"{base}/state")
+
+
 def _write_doc_ordered_chunks(docs: DataFrame, in_dir: str, n_chunks: int = 4):
     """Same trick as _write_time_ordered_chunks for (doc_id, text)
     corpora: chunk files in strict doc_id order with increasing mtimes,
@@ -1912,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "streaming_sessions": q_streaming_sessions,
         "streaming_cc": q_streaming_cc,
+        "streaming_triangles": q_streaming_triangles,
         # descriptive graph statistics (graphstats.py)
         "clustering_coefficient": q_clustering_coefficient,
         "assortativity": q_assortativity,
@@ -3886,6 +3913,29 @@ wdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS k FROM wsym GROUP BY src)
         # incremental CC over the micro-batch replay: the maintained
         # snapshot must reproduce the batch star rounds bit-exactly
         "streaming_cc": _cc_star_sql(rounds=8),
+        # incremental triangles: ntile(4) over (src, dst) reproduces the
+        # replay's chunking; each canonical triangle e1=(a,b) e2=(b,c)
+        # e3=(a,c) belongs to the batch of its max-chunk edge — the
+        # per-batch deltas and running totals must match exactly
+        "streaming_triangles": f"""
+{_GRAPH_CTE},
+ce AS (SELECT src, dst, ntile(4) OVER (ORDER BY src, dst) AS c FROM canon),
+tri AS (
+  SELECT greatest(e1.c, e2.c, e3.c) AS cmax
+  FROM ce e1 JOIN ce e2 ON e1.dst = e2.src
+  JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+d AS (SELECT cmax AS batch_ord, CAST(count(*) AS BIGINT) AS delta_triangles
+      FROM tri GROUP BY 1),
+ne AS (SELECT c AS batch_ord, CAST(count(*) AS BIGINT) AS n_new_edges
+       FROM ce GROUP BY 1)
+SELECT CAST(ne.batch_ord AS BIGINT) AS batch_ord,
+       ne.n_new_edges,
+       CAST(coalesce(d.delta_triangles, 0) AS BIGINT) AS delta_triangles,
+       CAST(sum(coalesce(d.delta_triangles, 0))
+            OVER (ORDER BY ne.batch_ord) AS BIGINT) AS total_triangles
+FROM ne LEFT JOIN d USING (batch_ord)
+""",
         # full multi-level Louvain loop, hard-gated since round 4 (was
         # rows-only): labels round-trip + DuckDB-recomputed partition Q
         # vs the engine's claimed modularity; the _local twin is checked

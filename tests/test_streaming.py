@@ -213,3 +213,58 @@ def test_incremental_cc_matches_batch_and_survives_restart(spark, tmp_path_facto
     )
     want = {(r.id, r.component) for r in connected_components(g_all).collect()}
     assert got == want  # bit-exact: same min-vid invariant, incl. vertices
+
+
+def test_incremental_triangles_match_batch_and_survive_restart(spark, tmp_path_factory):
+    """streaming/triangle_stream.py: per-batch deltas attribute every
+    triangle to the batch whose edge completed it, totals equal the
+    batch count, and state (append-only edge batches) survives a stream
+    restart with new files landing in between."""
+    from louvain_fast_move_cuda_spark.operators.triangles import triangle_count
+    from louvain_fast_move_cuda_spark.sources.edges import build_graph
+    from louvain_fast_move_cuda_spark.streaming.triangle_stream import (
+        read_triangle_counts,
+        run_incremental_triangles,
+    )
+    from oracle import powerlaw_graph
+
+    import os as _os
+
+    tmp = tmp_path_factory.mktemp("tristream")
+    in_dir, state_dir, ck_dir = str(tmp / "in"), str(tmp / "st"), str(tmp / "ck")
+    _os.makedirs(in_dir, exist_ok=True)
+
+    edges = sorted({(min(a, b), max(a, b))
+                    for a, b in powerlaw_graph(n=200, m_attach=3, seed=23)
+                    if a != b})
+    quarter = (len(edges) + 3) // 4
+    chunks = [edges[i * quarter:(i + 1) * quarter] for i in range(4)]
+
+    def land(i, chunk):
+        spark.createDataFrame(chunk, "src long, dst long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/stage{i}")
+        part = [f for f in _os.listdir(f"{tmp}/stage{i}") if f.endswith(".parquet")][0]
+        _os.rename(f"{tmp}/stage{i}/{part}", f"{in_dir}/{i:03d}.parquet")
+        _os.utime(f"{in_dir}/{i:03d}.parquet", (1_700_000_000 + i,) * 2)
+
+    land(0, chunks[0])
+    land(1, chunks[1])
+    run_incremental_triangles(spark, in_dir, state_dir, ck_dir)
+    land(2, chunks[2])
+    land(3, chunks[3])
+    run_incremental_triangles(spark, in_dir, state_dir, ck_dir)  # RESTART
+
+    rows = {r.batch_ord: r for r in read_triangle_counts(spark, state_dir).collect()}
+    assert sorted(rows) == [1, 2, 3, 4]
+    # per-batch deltas == batch-count differences over the prefixes
+    prefix_counts = []
+    for k in range(1, 5):
+        pref = [e for c in chunks[:k] for e in c]
+        g = build_graph(spark.createDataFrame(pref, "a long, b long"), relabel=False)
+        prefix_counts.append(triangle_count(g))
+    for k in range(1, 5):
+        want_delta = prefix_counts[k - 1] - (prefix_counts[k - 2] if k > 1 else 0)
+        assert rows[k].delta_triangles == want_delta, k
+        assert rows[k].total_triangles == prefix_counts[k - 1], k
+        assert rows[k].n_new_edges == len(chunks[k - 1]), k
