@@ -1665,6 +1665,80 @@ def q_quantile_sketch(spark, sf_dir):
     return quantile_sketch(hv, k=1024)
 
 
+def q_hll_distinct(spark, sf_dir):
+    """Per-(event_type, key) HyperLogLog distinct sketch with the exact
+    distinct count alongside — completes the sketch family (CMS =
+    frequency, KMV = global distinct, quantile = order statistics,
+    HLL = grouped mergeable distinct). event_id cardinalities land on
+    the raw-estimate branch, user_id on the linear-counting branch, so
+    both correction regimes are driver-checked."""
+    from louvain_fast_move_cuda_spark.operators.sketch import hll_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    keyed = _materialize_for_oracle(
+        ev.select(
+            "event_type",
+            F.lit("event_id").alias("key_col"),
+            F.xxhash64("event_id").alias("h"),
+        ).unionAll(
+            ev.select(
+                "event_type",
+                F.lit("user_id").alias("key_col"),
+                F.xxhash64("user_id").alias("h"),
+            )
+        ),
+        "hll_keyed",
+    )
+    return hll_distinct(keyed, ["event_type", "key_col"])
+
+
+def q_kmv_intersect(spark, sf_dir):
+    """Bottom-k (theta-style) set-operation estimates between the
+    5-word-shingle sets of even and odd documents — Jaccard /
+    intersection / union estimates with the exact overlap computed
+    alongside. The sketch-based contamination-screen primitive."""
+    from louvain_fast_move_cuda_spark.operators.dedup import shingles
+    from louvain_fast_move_cuda_spark.operators.sketch import kmv_intersect
+
+    sh = _materialize_for_oracle(
+        shingles(_docs(spark, sf_dir), k=5).select(
+            "id", F.col("shingle").alias("h")
+        ),
+        "kmv_ab",
+    )
+    return kmv_intersect(
+        sh.filter(F.col("id") % 2 == 0),
+        sh.filter(F.col("id") % 2 == 1),
+        k=1024,
+    )
+
+
+def q_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership screen: odd documents' shingles probed
+    against a 2^20-bit / 4-probe filter built from even documents'
+    shingles, with the exact semi-join truth alongside — zero false
+    negatives is the hard checked invariant, the FP rate is reported
+    against the (1-e^(-kn/m))^k expectation."""
+    from louvain_fast_move_cuda_spark.operators.dedup import shingles
+    from louvain_fast_move_cuda_spark.operators.sketch import (
+        bloom_membership,
+        cms_buckets,
+    )
+
+    sh = shingles(_docs(spark, sf_dir), k=5).select(
+        "id", F.col("shingle").alias("h")
+    )
+    build = sh.filter(F.col("id") % 2 == 0).select("h").distinct()
+    probe = sh.filter(F.col("id") % 2 == 1).select("h").distinct()
+    bpos = _materialize_for_oracle(
+        cms_buckets(build, depth=4, width=1048576), "bloom_build"
+    )
+    ppos = _materialize_for_oracle(
+        cms_buckets(probe, depth=4, width=1048576), "bloom_probe"
+    )
+    return bloom_membership(bpos, ppos)
+
+
 def q_table_profile(spark, sf_dir):
     from louvain_fast_move_cuda_spark.operators.profile import table_profile
 
@@ -1904,15 +1978,17 @@ _DRIVER_SAMPLE_PRIORITY = [
     "closeness_centrality", "temporal_reachability", "weighted_distances",
     "snapshot_diff", "landmark_ecc", "degree_mixing", "ego_networks",
     "random_walks", "skipgram_pairs", "neighbor_sample",
-    # round-5 operator: incremental CC over streaming edges (bit-exact
-    # vs the batch star-rounds oracle on micro-batch replay)
-    "streaming_cc",
+    # round-5 operators: incremental CC / triangle counting over
+    # streaming edges (bit-exact vs batch oracles on micro-batch
+    # replay) and the grouped HLL distinct sketch
+    "streaming_cc", "streaming_triangles", "hll_distinct",
     # never driver-sampled curation / text / similarity operators
     "doc_communities", "winnow_fingerprints", "top_terms", "rarity_scores",
     "decontaminate", "dup_spans", "hash_split", "lang_confusion",
     "repetition_scores", "vocab_coverage", "stratified_sample",
     "bigram_lm_scores", "knn_label_eval", "kmeans_clusters",
-    "rolling_activity", "simhash_near_dupes", "curation_verdicts",
+    "simhash_near_dupes",
+    # (rolling_activity / curation_verdicts rotate into round 6's prefix)
 ]
 
 
@@ -1972,6 +2048,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks": q_node2vec_walks,
         "kmv_distinct": q_kmv_distinct,
         "quantile_sketch": q_quantile_sketch,
+        "hll_distinct": q_hll_distinct,
+        "kmv_intersect": q_kmv_intersect,
+        "bloom_membership": q_bloom_membership,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -3494,6 +3573,17 @@ FROM lab, qq, meta
 
 
 def oracle_sql() -> dict[str, str]:
+    # HLL fragments imported from the operator so the rank ladder and
+    # estimate expressions are the SAME text Spark F.expr()s
+    from louvain_fast_move_cuda_spark.operators.sketch import (
+        hll_est_sql,
+        hll_rank_sql,
+        hll_raw_est_sql,
+    )
+
+    hll_rank = hll_rank_sql("body")
+    hll_raw = hll_raw_est_sql("s_scaled")
+    hll_est = hll_est_sql("s_scaled", "n_zero_registers")
     return {
         "transcripts": f"""
 WITH {_T.strip()}
@@ -4156,6 +4246,132 @@ r AS (
 SELECT q_pct, est_value, n, rank_lo, rank_hi,
        round(err, 9) AS rank_err, err <= 0.0625 AS within_bound
 FROM r
+""",
+        # grouped HLL distinct sketch: register index = low 8 bits of
+        # the clamped hash, register value = max trailing-zero rank
+        # (shared CASE-ladder text), scaled-BIGINT register sum, one
+        # double division + (small-range branch) one ln, r9-rounded
+        "hll_distinct": f"""
+WITH k AS (SELECT event_type, key_col, h
+           FROM read_parquet('{_ORACLE_MAT_DIR}/hll_keyed.parquet/*.parquet')),
+b AS (SELECT event_type, key_col,
+             ((h % 2305843009213693952) + 2305843009213693952)
+               % 2305843009213693952 AS u
+      FROM k),
+c AS (SELECT event_type, key_col, u % 256 AS idx,
+             (u - u % 256) // 256 AS body
+      FROM b),
+r AS (SELECT event_type, key_col, idx, max({hll_rank}) AS m
+      FROM c GROUP BY 1, 2, 3),
+p AS (SELECT event_type, key_col,
+             CAST(sum(CAST(18014398509481984.0E0
+                           / power(2.0E0, CAST(m AS DOUBLE)) AS BIGINT))
+                  AS BIGINT) AS s_obs,
+             CAST(count(*) AS BIGINT) AS nreg
+      FROM r GROUP BY 1, 2),
+e AS (SELECT event_type, key_col,
+             CAST(count(DISTINCT h) AS BIGINT) AS n_exact
+      FROM k GROUP BY 1, 2),
+j AS (SELECT e.event_type, e.key_col, e.n_exact,
+             CAST(256 - p.nreg AS BIGINT) AS n_zero_registers,
+             CAST(p.s_obs + (256 - p.nreg) * 18014398509481984 AS BIGINT)
+               AS s_scaled
+      FROM e JOIN p USING (event_type, key_col)),
+f AS (SELECT *, {hll_raw} AS raw, {hll_est} AS est FROM j),
+g AS (SELECT *, CASE WHEN n_exact = 0 THEN 0.0
+                     ELSE abs(est - n_exact) / n_exact END AS rel
+      FROM f)
+SELECT event_type, key_col, n_exact, n_zero_registers, s_scaled,
+       round(raw, 9) AS raw_est, round(est, 9) AS hll_est,
+       round(rel, 9) AS rel_err, rel <= 0.26 AS within_bound
+FROM g
+""",
+        # bottom-k set-operation estimates between the even/odd doc
+        # shingle sets: re-sketched union threshold, survivor overlap,
+        # exact truth alongside — divisions of integer-valued doubles
+        "kmv_intersect": f"""
+WITH t AS (SELECT id, h FROM read_parquet('{_ORACLE_MAT_DIR}/kmv_ab.parquet/*.parquet')),
+da AS (SELECT DISTINCT h FROM t WHERE id % 2 = 0),
+db AS (SELECT DISTINCT h FROM t WHERE id % 2 = 1),
+ka AS (SELECT h FROM da ORDER BY h LIMIT 1024),
+kb AS (SELECT h FROM db ORDER BY h LIMIT 1024),
+ku AS (SELECT h FROM (SELECT DISTINCT h FROM
+        (SELECT h FROM ka UNION ALL SELECT h FROM kb))
+       ORDER BY h LIMIT 1024),
+ks AS (SELECT max(h) AS tau, CAST(count(*) AS BIGINT) AS n_in_k FROM ku),
+cm AS (SELECT CAST(count(*) AS BIGINT) AS common_in_k
+       FROM ku JOIN ka USING (h) JOIN kb USING (h)),
+na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM da),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM db),
+ni AS (SELECT CAST(count(*) AS BIGINT) AS n_inter_exact
+       FROM da JOIN db USING (h)),
+e AS (SELECT *,
+        CAST(n_a + n_b - n_inter_exact AS BIGINT) AS n_union_exact,
+        CASE WHEN n_in_k < 1024 THEN CAST(n_in_k AS DOUBLE)
+             ELSE 1023.0E0 / (tau / 18446744073709551616.0E0 + 0.5E0)
+        END AS u_est,
+        CASE WHEN n_in_k = 0 THEN 0.0E0
+             ELSE CAST(common_in_k AS DOUBLE) / CAST(n_in_k AS DOUBLE)
+        END AS j_est
+      FROM na, nb, ni, ks, cm),
+f AS (SELECT *,
+        CASE WHEN n_union_exact = 0 THEN 0.0E0
+             ELSE CAST(n_inter_exact AS DOUBLE)
+                  / CAST(n_union_exact AS DOUBLE)
+        END AS j_exact
+      FROM e)
+SELECT n_a, n_b, n_inter_exact, n_union_exact, 1024 AS k_used,
+       tau, n_in_k, common_in_k,
+       round(u_est, 9) AS union_est,
+       round(j_est, 9) AS jaccard_est,
+       round(j_est * u_est, 9) AS inter_est,
+       round(abs(j_est - j_exact), 9) AS jacc_err,
+       abs(j_est - j_exact) <= 0.125E0 AS within_bound
+FROM f
+""",
+        # Bloom membership screen from the materialized position tables:
+        # filter = build side's distinct buckets; positive iff ALL of a
+        # probe key's positions hit; exact truth via distinct-key join
+        "bloom_membership": f"""
+WITH bp AS (SELECT h, row_idx, bucket
+            FROM read_parquet('{_ORACLE_MAT_DIR}/bloom_build.parquet/*.parquet')),
+pp AS (SELECT h, row_idx, bucket
+       FROM read_parquet('{_ORACLE_MAT_DIR}/bloom_probe.parquet/*.parquet')),
+bits AS (SELECT DISTINCT bucket FROM bp),
+bk AS (SELECT DISTINCT h FROM bp),
+ppos AS (SELECT DISTINCT h, bucket FROM pp),
+perkey AS (
+  SELECT p.h,
+         count(*) AS n_pos,
+         sum(CASE WHEN bits.bucket IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM ppos p LEFT JOIN bits ON p.bucket = bits.bucket
+  GROUP BY p.h
+),
+truth AS (
+  SELECT pk.h, pk.n_hit = pk.n_pos AS positive,
+         bk.h IS NOT NULL AS member
+  FROM perkey pk LEFT JOIN bk ON pk.h = bk.h
+),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n_build FROM bk),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_probe,
+         CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT) AS n_true_members,
+         CAST(sum(CASE WHEN positive THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_positive,
+         CAST(sum(CASE WHEN positive AND NOT member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+         CAST(sum(CASE WHEN member AND NOT positive THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+  FROM truth
+)
+SELECT n_build, n_probe, n_true_members, n_bloom_positive,
+       n_false_pos, n_false_neg,
+       round(CASE WHEN n_probe - n_true_members = 0 THEN 0.0E0
+                  ELSE CAST(n_false_pos AS DOUBLE)
+                       / CAST(n_probe - n_true_members AS DOUBLE) END,
+             9) AS fp_rate,
+       round(power(1.0E0 - exp(0.0E0 - (4.0E0 * CAST(n_build AS DOUBLE))
+                               / 1048576.0E0), 4.0E0), 9)
+         AS fp_bound_theoretical,
+       n_false_neg = 0 AS no_false_negatives
+FROM nb, agg
 """,
         # ANALYZE-style column profile — exact integers only
         "table_profile": """

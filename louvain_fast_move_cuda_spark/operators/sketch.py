@@ -21,8 +21,135 @@ against the cell table (broadcast-sized for any practical d*w).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# HLL geometry: 2^8 = 256 registers; hashes are clamped to [0, 2^61) so
+# every bit op below is plain nonneg integer arithmetic (identical in
+# Spark SQL and DuckDB -- no engine-specific shift/sign semantics), and
+# the scaled register sum stays inside BIGINT (256 * 2^54 = 2^62).
+HLL_M = 256
+_HLL_CLAMP = 2**61
+_HLL_BODY_BITS = 53  # body = clamped hash without its low 8 index bits
+_HLL_SCALE = 2**54  # sum(2^(54 - M_j)) == 2^54 * sum(2^-M_j), exactly
+
+
+def hll_rank_sql(body: str, max_rank: int = _HLL_BODY_BITS) -> str:
+    """Trailing-zero rank (position of the lowest set bit, 1-based) of a
+    non-negative integer column as a CASE ladder of ``%`` tests -- the
+    SAME SQL text evaluates on Spark (via F.expr) and DuckDB, so the
+    geometric rank variable needs no engine bit-op parity argument.
+    body == 0 (all 53 bits zero) gets the saturating rank max_rank+1."""
+    branches = " ".join(
+        f"WHEN {body} % {2 ** r} = {2 ** (r - 1)} THEN {r}"
+        for r in range(1, max_rank + 1)
+    )
+    return f"CASE {branches} ELSE {max_rank + 1} END"
+
+
+def hll_raw_est_sql(s: str) -> str:
+    """alpha_256 * m^2 / sum(2^-M_j) with the register sum carried as the
+    scaled BIGINT ``s`` = 2^54 * sum(2^-M_j): one double division total,
+    every other factor an exact literal -- shared text for both engines."""
+    # E-notation literals: both Spark and DuckDB parse plain decimal
+    # literals as DECIMAL and disagree on decimal division; 0.7213E0
+    # etc. are DOUBLE in both, so the whole tree is IEEE754
+    return (
+        "(0.7213E0 / (1.0E0 + 1.079E0 / 256.0E0)) * 65536.0E0"
+        f" * 18014398509481984.0E0 / CAST({s} AS DOUBLE)"
+    )
+
+
+def hll_est_sql(s: str, zeros: str) -> str:
+    """Raw estimate with Flajolet's small-range correction: linear
+    counting m*ln(m/V) when the raw estimate <= 2.5m and V = empty
+    registers > 0. The single ln() is the one non-division float op;
+    callers round to 9 decimals (magnitude <= 256*ln(256) ~ 1420, so a
+    cross-libm ulp cannot move the rounded value)."""
+    raw = hll_raw_est_sql(s)
+    return (
+        f"CASE WHEN {raw} <= 640.0E0 AND {zeros} > 0 "
+        f"THEN 256.0E0 * ln(256.0E0 / CAST({zeros} AS DOUBLE)) "
+        f"ELSE {raw} END"
+    )
+
+
+def hll_distinct(keyed: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Per-group HyperLogLog distinct-count sketch with the exact truth
+    alongside: (group_cols..., n_exact, n_zero_registers, s_scaled,
+    raw_est, hll_est, rel_err, within_bound).
+
+    ``keyed``: group columns + ``h`` (xxhash64 of the sketched key --
+    the materialized bridge, like cms/kmv). Register index = the hash's
+    low 8 bits, register value = max over occurrences of the
+    trailing-zero rank of the remaining bits: P(rank = r) = 2^-r, the
+    textbook HLL geometric observable, but built from the SAME xxhash64
+    primitive the repo's whole dedup/sketch family uses, so the DuckDB
+    oracle replays every step bit-for-bit (the only float ops are one
+    division and, on the small-range branch, one ln, both rounded to 9
+    decimals).
+
+    Sketch state is 256 registers x 1 byte per group -- mergeable by
+    elementwise max, which is exactly what the groupBy(group, idx) max
+    does across partitions (map-side partial max, then one 256-row-per-
+    group shuffle). n_exact is the expensive two-stage count-distinct
+    the sketch replaces at 100 TB, kept here so the estimator's error
+    guarantee is a checked output column: within_bound pins
+    |est - n| / n <= 0.26 (4 standard errors at m=256, sigma =
+    1.04/sqrt(m) = 0.065; the linear-counting branch is strictly
+    tighter). Like kmv_distinct, production callers drop the n_exact
+    scan and keep the one sketch pass.
+    """
+    gc = list(group_cols)
+    u = F.pmod(F.col("h"), F.lit(_HLL_CLAMP))
+    base = keyed.select(*gc, u.alias("u"))
+    parts = base.select(
+        *gc,
+        (F.col("u") % F.lit(HLL_M)).alias("idx"),
+        F.expr(f"(u - u % {HLL_M}) DIV {HLL_M}").alias("body"),
+    )
+    regs = (
+        parts.withColumn("rank", F.expr(hll_rank_sql("body")))
+        .groupBy(*gc, "idx")
+        .agg(F.max("rank").alias("m"))
+    )
+    # 2^(54 - m) exactly: both factors are exact powers of two in double
+    term = F.expr(
+        "CAST(18014398509481984.0E0 / power(2.0E0, CAST(m AS DOUBLE)) AS BIGINT)"
+    )
+    per = regs.groupBy(*gc).agg(
+        F.sum(term).alias("s_obs"), F.count("*").alias("nreg")
+    )
+    exact = keyed.groupBy(*gc).agg(F.countDistinct("h").alias("n_exact"))
+    j = (
+        exact.join(per, gc)
+        .select(
+            *gc,
+            "n_exact",
+            (F.lit(HLL_M) - F.col("nreg")).alias("n_zero_registers"),
+            (
+                F.col("s_obs")
+                + (F.lit(HLL_M) - F.col("nreg")) * F.lit(_HLL_SCALE)
+            ).alias("s_scaled"),
+        )
+    )
+    raw = F.expr(hll_raw_est_sql("s_scaled"))
+    est = F.expr(hll_est_sql("s_scaled", "n_zero_registers"))
+    rel = F.when(F.col("n_exact") == 0, F.lit(0.0)).otherwise(
+        F.abs(est - F.col("n_exact")) / F.col("n_exact")
+    )
+    return j.select(
+        *gc,
+        "n_exact",
+        "n_zero_registers",
+        "s_scaled",
+        F.round(raw, 9).alias("raw_est"),
+        F.round(est, 9).alias("hll_est"),
+        F.round(rel, 9).alias("rel_err"),
+        (rel <= F.lit(0.26)).alias("within_bound"),
+    )
 
 
 def cms_buckets(tok: DataFrame, depth: int = 4, width: int = 256) -> DataFrame:
@@ -126,6 +253,163 @@ def kmv_distinct(tok: DataFrame, k: int = 1024) -> DataFrame:
         F.round(est, 9).alias("kmv_est"),
         F.round(rel, 9).alias("rel_err"),
         (rel <= F.lit(bound)).alias("within_bound"),
+    )
+
+
+def kmv_intersect(a: DataFrame, b: DataFrame, k: int = 1024) -> DataFrame:
+    """One row: KMV set-operation estimates between two hash streams —
+    (n_a, n_b, n_inter_exact, n_union_exact, k_used, tau, n_in_k,
+    common_in_k, union_est, jaccard_est, inter_est, jacc_err,
+    within_bound).
+
+    The classic bottom-k set-similarity estimator (the theta-sketch
+    intersection): sketch each stream as its k smallest distinct hashes,
+    re-sketch the union of the two sketches (bottom-k again -> threshold
+    tau = its max), and count survivors present in BOTH input sketches.
+    jaccard_est = common_in_k / n_in_k is an unbiased Jaccard estimate;
+    multiplied by the union's KMV cardinality estimate it yields the
+    intersection size — the primitive behind sketch-based overlap audits
+    (e.g. train/eval contamination screens) where the exact distinct
+    intersection is a full shuffle of both corpora.
+
+    State is O(k) per stream and mergeable (union + re-top-k), so at
+    100 TB each side's sketch is a per-partition top-k + driver merge
+    (TakeOrdered), and the set algebra runs on 3k rows. The exact
+    n_inter/n_union (the expensive truth) are computed alongside so the
+    estimator's error is a checked column: within_bound pins
+    |jaccard_est - jaccard_exact| <= 4/sqrt(k) (~8 standard errors of
+    the bottom-k Jaccard estimator). Deterministic given the hash; every
+    float is a division of integer-valued doubles -> bit-exact oracle.
+    """
+    if k < 2:
+        raise ValueError(f"kmv_intersect needs k >= 2, got {k}")
+    da = a.select("h").distinct()
+    db = b.select("h").distinct()
+    ka = da.orderBy("h").limit(k)
+    kb = db.orderBy("h").limit(k)
+    ku = ka.unionAll(kb).distinct().orderBy("h").limit(k)
+    kstats = ku.agg(F.max("h").alias("tau"), F.count("*").alias("n_in_k"))
+    common = ku.join(ka, "h").join(kb, "h").agg(
+        F.count("*").alias("common_in_k")
+    )
+    na = da.agg(F.count("*").alias("n_a"))
+    nb = db.agg(F.count("*").alias("n_b"))
+    ni = da.join(db, "h").agg(F.count("*").alias("n_inter_exact"))
+    j = na.crossJoin(nb).crossJoin(ni).crossJoin(kstats).crossJoin(common)
+    two64 = 18446744073709551616.0
+    v = F.col("tau") / F.lit(two64) + F.lit(0.5)
+    u_est = F.when(
+        F.col("n_in_k") < k, F.col("n_in_k").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / v)
+    j_est = F.when(F.col("n_in_k") == 0, F.lit(0.0)).otherwise(
+        F.col("common_in_k") / F.col("n_in_k")
+    )
+    n_union = (F.col("n_a") + F.col("n_b") - F.col("n_inter_exact")).alias(
+        "n_union_exact"
+    )
+    j_exact = F.when(
+        F.col("n_a") + F.col("n_b") - F.col("n_inter_exact") == 0, F.lit(0.0)
+    ).otherwise(
+        F.col("n_inter_exact")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter_exact"))
+    )
+    err = F.abs(j_est - j_exact)
+    bound = 4.0 / float(k) ** 0.5
+    return j.select(
+        "n_a",
+        "n_b",
+        "n_inter_exact",
+        n_union,
+        F.lit(k).alias("k_used"),
+        "tau",
+        "n_in_k",
+        "common_in_k",
+        F.round(u_est, 9).alias("union_est"),
+        F.round(j_est, 9).alias("jaccard_est"),
+        F.round(j_est * u_est, 9).alias("inter_est"),
+        F.round(err, 9).alias("jacc_err"),
+        (err <= F.lit(bound)).alias("within_bound"),
+    )
+
+
+def bloom_membership(build_pos: DataFrame, probe_pos: DataFrame) -> DataFrame:
+    """One row: Bloom-filter membership screen of a probe key set
+    against a build key set — (n_build, n_probe, n_true_members,
+    n_bloom_positive, n_false_pos, n_false_neg, fp_rate,
+    fp_bound_theoretical, no_false_negatives).
+
+    ``build_pos`` / ``probe_pos``: (h, row_idx, bucket) tables from
+    ``cms_buckets`` over each side's DISTINCT hash set — Bloom probe
+    positions ARE CMS bucket coordinates (k salted xxhash64 rehashes
+    into [0, m)), so the filter reuses the repo's one hash primitive
+    and the materialized-bridge oracle pattern.
+
+    The filter itself is the build side's distinct ``bucket`` set
+    (<= m rows regardless of corpus size — at the default m = 2^20
+    that is a <= 8 MB broadcast, which is exactly how a 1000-executor
+    semi-join prefilter ships it); a probe key is bloom-positive iff
+    ALL its distinct positions hit the set. The exact membership truth
+    (distinct-hash semi-join — the shuffle the filter avoids at scale)
+    is computed alongside: n_false_neg MUST be 0 (the Bloom hard
+    guarantee, a checked column), and fp_rate is reported against the
+    standard (1 - e^(-k*n/m))^k expectation. Deterministic given the
+    hash, so the rate is a stable checked output, not a flaky sample.
+    """
+    bits = build_pos.select("bucket").distinct()
+    build_keys = build_pos.select("h").distinct()
+    # per probe key: every distinct position must be present in the set
+    ppos = probe_pos.select("h", "bucket").distinct()
+    hits = ppos.join(bits, "bucket")
+    per_key = (
+        ppos.groupBy("h")
+        .agg(F.count("*").alias("n_pos"))
+        .join(
+            hits.groupBy("h").agg(F.count("*").alias("n_hit")), "h", "left"
+        )
+        .select(
+            "h",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) == F.col("n_pos")).alias(
+                "positive"
+            ),
+        )
+    )
+    truth = per_key.join(
+        build_keys.withColumn("member", F.lit(True)), "h", "left"
+    ).select("h", "positive", F.coalesce("member", F.lit(False)).alias("member"))
+    nb = build_keys.agg(F.count("*").alias("n_build"))
+    agg = truth.agg(
+        F.count("*").alias("n_probe"),
+        F.sum(F.col("member").cast("long")).alias("n_true_members"),
+        F.sum(F.col("positive").cast("long")).alias("n_bloom_positive"),
+        F.sum((F.col("positive") & ~F.col("member")).cast("long")).alias(
+            "n_false_pos"
+        ),
+        F.sum((~F.col("positive") & F.col("member")).cast("long")).alias(
+            "n_false_neg"
+        ),
+    )
+    j = nb.crossJoin(agg)
+    nonmembers = F.col("n_probe") - F.col("n_true_members")
+    fp = F.when(nonmembers == 0, F.lit(0.0)).otherwise(
+        F.col("n_false_pos") / nonmembers
+    )
+    # standard Bloom FP expectation for k=4, m=2^20 (the q_bloom
+    # geometry) — informative, r9-rounded; the HARD invariant is
+    # no_false_negatives
+    bound = F.expr(
+        "power(1.0E0 - exp(0.0E0 - (4.0E0 * CAST(n_build AS DOUBLE))"
+        " / 1048576.0E0), 4.0E0)"
+    )
+    return j.select(
+        "n_build",
+        "n_probe",
+        "n_true_members",
+        "n_bloom_positive",
+        "n_false_pos",
+        "n_false_neg",
+        F.round(fp, 9).alias("fp_rate"),
+        F.round(bound, 9).alias("fp_bound_theoretical"),
+        (F.col("n_false_neg") == 0).alias("no_false_negatives"),
     )
 
 

@@ -550,3 +550,141 @@ def test_quantile_sketch_subsample_bounded(spark):
         assert r.rank_lo < r.rank_hi
         # and sit near the target rank (hash-sample, deterministic)
         assert abs((r.rank_lo + 1) / n - q / 100.0) <= 0.0625 + 1.0 / n
+
+
+def _py_hll(hashes):
+    """Independent pure-Python HLL recompute (clamp -> low-8 index ->
+    trailing-zero rank -> scaled register sum) mirroring sketch.py's
+    definition from first principles."""
+    import math
+
+    M = [0] * 256
+    for h in hashes:
+        u = h % (2**61)
+        idx = u % 256
+        body = (u - idx) // 256
+        r = 54 if body == 0 else (body & -body).bit_length()
+        if r > M[idx]:
+            M[idx] = r
+    s = sum(2 ** (54 - m) for m in M)
+    zeros = sum(1 for m in M if m == 0)
+    raw = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 2.0**54 / float(s)
+    est = 256.0 * math.log(256.0 / zeros) if (raw <= 640.0 and zeros > 0) else raw
+    return s, zeros, raw, est
+
+
+def test_hll_distinct_matches_python_recompute(spark):
+    from louvain_fast_move_cuda_spark.operators.sketch import hll_distinct
+
+    docs = spark.createDataFrame(
+        [("g1", f"tok{i}") for i in range(3000)]
+        + [("g2", f"tok{i % 40}") for i in range(500)],
+        "g string, t string",
+    ).repartition(8)
+    keyed = docs.select("g", F.xxhash64("t").alias("h"))
+    rows = {r.g: r for r in hll_distinct(keyed, ["g"]).collect()}
+    hs = {
+        g: [r.h for r in keyed.filter(F.col("g") == g).collect()]
+        for g in ("g1", "g2")
+    }
+    for g in ("g1", "g2"):
+        s, zeros, _, est = _py_hll(hs[g])
+        r = rows[g]
+        assert (r.s_scaled, r.n_zero_registers) == (s, zeros)
+        # one ln/div in the chain: allow a cross-libm ulp, nothing more
+        assert abs(r.hll_est - est) <= 1e-7
+    # branch selection: g1 (3000 distinct) -> raw estimate branch,
+    # g2 (40 distinct) -> linear-counting small-range correction
+    assert rows["g1"].hll_est == rows["g1"].raw_est
+    assert rows["g2"].hll_est != rows["g2"].raw_est
+    assert rows["g1"].n_exact == 3000 and rows["g2"].n_exact == 40
+    assert rows["g1"].within_bound and rows["g2"].within_bound
+
+
+def test_hll_distinct_duplicate_stream_invariant(spark):
+    from louvain_fast_move_cuda_spark.operators.sketch import hll_distinct
+
+    tok = spark.range(2000).select(
+        F.lit("g").alias("g"), F.xxhash64("id").alias("h")
+    )
+    r1 = hll_distinct(tok, ["g"]).collect()[0]
+    # registers are maxes and n_exact is a DISTINCT count: duplicating
+    # every element must not move ANY output column
+    r2 = hll_distinct(tok.union(tok), ["g"]).collect()[0]
+    assert r1 == r2
+
+
+def test_kmv_intersect_identical_and_disjoint(spark):
+    from louvain_fast_move_cuda_spark.operators.sketch import kmv_intersect
+
+    a = spark.range(500).select(F.xxhash64("id").alias("h"))
+    # identical streams: sketch survivors are all common -> jaccard 1
+    r = kmv_intersect(a, a, k=64).collect()[0]
+    assert r.n_inter_exact == 500 and r.n_union_exact == 500
+    assert r.jaccard_est == 1.0 and r.jacc_err == 0.0 and r.within_bound
+    # disjoint streams: no survivor can be in both sketches
+    b = spark.range(500, 1000).select(F.xxhash64("id").alias("h"))
+    r = kmv_intersect(a, b, k=64).collect()[0]
+    assert r.n_inter_exact == 0 and r.common_in_k == 0
+    assert r.jaccard_est == 0.0 and r.inter_est == 0.0 and r.within_bound
+
+
+def test_kmv_intersect_partial_overlap_bounded(spark):
+    from louvain_fast_move_cuda_spark.operators.sketch import kmv_intersect
+
+    a = spark.range(4000).select(F.xxhash64("id").alias("h")).repartition(8)
+    b = (
+        spark.range(2000, 6000)
+        .select(F.xxhash64("id").alias("h"))
+        .repartition(8)
+    )
+    r = kmv_intersect(a, b, k=512).collect()[0]
+    assert (r.n_a, r.n_b, r.n_inter_exact, r.n_union_exact) == (
+        4000, 4000, 2000, 6000,
+    )
+    # true jaccard 1/3; bound 4/sqrt(512) ~ 0.177
+    assert r.within_bound and abs(r.jaccard_est - 1.0 / 3.0) <= 0.177
+    # duplicated streams must not move a DISTINCT sketch
+    r2 = kmv_intersect(a.union(a), b.union(b), k=512).collect()[0]
+    assert (r2.tau, r2.jaccard_est, r2.inter_est) == (
+        r.tau, r.jaccard_est, r.inter_est,
+    )
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    from louvain_fast_move_cuda_spark.operators.sketch import (
+        bloom_membership,
+        cms_buckets,
+    )
+
+    build = spark.range(3000).select(F.xxhash64("id").alias("h"))
+    # probe = half members, half outsiders
+    probe = (
+        spark.range(1500, 4500).select(F.xxhash64("id").alias("h"))
+    )
+    bpos = cms_buckets(build, depth=4, width=1048576)
+    ppos = cms_buckets(probe, depth=4, width=1048576)
+    r = bloom_membership(bpos, ppos).collect()[0]
+    assert (r.n_build, r.n_probe, r.n_true_members) == (3000, 3000, 1500)
+    # the Bloom hard guarantee: every true member is positive
+    assert r.n_false_neg == 0 and r.no_false_negatives
+    assert r.n_bloom_positive >= r.n_true_members
+    # at load 3000*4/2^20 the FP expectation is ~1.7e-8: no FP expected
+    assert r.n_false_pos <= 2 and r.fp_rate <= 0.01
+
+
+def test_bloom_membership_saturated_filter_fp(spark):
+    from louvain_fast_move_cuda_spark.operators.sketch import (
+        bloom_membership,
+        cms_buckets,
+    )
+
+    # tiny width forces saturation: FPs must appear, FNs still never do
+    build = spark.range(200).select(F.xxhash64("id").alias("h"))
+    probe = spark.range(100, 400).select(F.xxhash64("id").alias("h"))
+    r = bloom_membership(
+        cms_buckets(build, depth=4, width=64),
+        cms_buckets(probe, depth=4, width=64),
+    ).collect()[0]
+    assert r.no_false_negatives and r.n_false_neg == 0
+    assert r.n_false_pos > 0 and r.fp_rate > 0.5
