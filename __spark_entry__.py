@@ -1692,6 +1692,61 @@ def q_hll_distinct(spark, sf_dir):
     return hll_distinct(keyed, ["event_type", "key_col"])
 
 
+def q_streaming_hll(spark, sf_dir):
+    """Incremental grouped HLL under the driver oracle: the SAME keyed
+    table q_hll_distinct sketches, replayed as 4 micro-batches through
+    streaming/hll_stream.py's register maintainer (per batch: batch
+    registers + elementwise-max merge with the committed snapshot —
+    state is <= 256 rows/group forever, work never scales with the
+    accumulated stream). The finalized snapshot must equal the batch
+    SQL recompute BIT-EXACTLY: max-merge is associative/commutative/
+    idempotent, so micro-batch boundaries are invisible in the final
+    registers — the algebraic property that makes HLL the streaming
+    distinct-count answer at 100 TB, here a hard checked invariant."""
+    import os
+    import shutil
+    import tempfile
+
+    from louvain_fast_move_cuda_spark.streaming.hll_stream import (
+        read_estimates,
+        run_incremental_hll,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    keyed = _materialize_for_oracle(
+        ev.select(
+            "event_type",
+            F.lit("event_id").alias("key_col"),
+            F.xxhash64("event_id").alias("h"),
+        ).unionAll(
+            ev.select(
+                "event_type",
+                F.lit("user_id").alias("key_col"),
+                F.xxhash64("user_id").alias("h"),
+            )
+        ),
+        "hll_stream_keyed",
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_hllstream_")
+    in_dir = f"{base}/in"
+    os.makedirs(in_dir, exist_ok=True)
+    n_chunks = 4
+    w = Window.orderBy("h", "event_type", "key_col")
+    chunked = keyed.withColumn("_c", F.ntile(n_chunks).over(w))
+    for c in range(1, n_chunks + 1):
+        stage = f"{base}/stage{c}"
+        chunked.filter(F.col("_c") == c).drop("_c").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        parts = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        for i, f_name in enumerate(parts):
+            dst = f"{in_dir}/{c:03d}_{i:03d}.parquet"
+            shutil.move(f"{stage}/{f_name}", dst)
+            os.utime(dst, (1_700_000_000 + c, 1_700_000_000 + c))
+    run_incremental_hll(spark, in_dir, f"{base}/state", f"{base}/ck")
+    return read_estimates(spark, f"{base}/state")
+
+
 def q_kmv_intersect(spark, sf_dir):
     """Bottom-k (theta-style) set-operation estimates between the
     5-word-shingle sets of even and odd documents — Jaccard /
@@ -1981,7 +2036,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     # round-5 operators: incremental CC / triangle counting over
     # streaming edges (bit-exact vs batch oracles on micro-batch
     # replay) and the grouped HLL distinct sketch
-    "streaming_cc", "streaming_triangles", "hll_distinct",
+    "streaming_cc", "streaming_triangles", "hll_distinct", "streaming_hll",
     # never driver-sampled curation / text / similarity operators
     "doc_communities", "winnow_fingerprints", "top_terms", "rarity_scores",
     "decontaminate", "dup_spans", "hash_split", "lang_confusion",
@@ -2049,6 +2104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "quantile_sketch": q_quantile_sketch,
         "hll_distinct": q_hll_distinct,
+        "streaming_hll": q_streaming_hll,
         "kmv_intersect": q_kmv_intersect,
         "bloom_membership": q_bloom_membership,
         "tpch_q1": q_tpch_q1,
@@ -4285,6 +4341,38 @@ SELECT event_type, key_col, n_exact, n_zero_registers, s_scaled,
        round(raw, 9) AS raw_est, round(est, 9) AS hll_est,
        round(rel, 9) AS rel_err, rel <= 0.26 AS within_bound
 FROM g
+""",
+        # streaming HLL hard gate: the maintained register snapshot,
+        # finalized, must equal this batch recompute over the whole
+        # keyed table — max-merge makes micro-batch boundaries
+        # invisible, so the oracle is the same HLL pipeline as
+        # hll_distinct minus the exact-truth columns
+        "streaming_hll": f"""
+WITH k AS (SELECT event_type, key_col, h
+           FROM read_parquet('{_ORACLE_MAT_DIR}/hll_stream_keyed.parquet/*.parquet')),
+b AS (SELECT event_type, key_col,
+             ((h % 2305843009213693952) + 2305843009213693952)
+               % 2305843009213693952 AS u
+      FROM k),
+c AS (SELECT event_type, key_col, u % 256 AS idx,
+             (u - u % 256) // 256 AS body
+      FROM b),
+r AS (SELECT event_type, key_col, idx, max({hll_rank}) AS m
+      FROM c GROUP BY 1, 2, 3),
+p AS (SELECT event_type, key_col,
+             CAST(sum(CAST(18014398509481984.0E0
+                           / power(2.0E0, CAST(m AS DOUBLE)) AS BIGINT))
+                  AS BIGINT) AS s_obs,
+             CAST(count(*) AS BIGINT) AS nreg
+      FROM r GROUP BY 1, 2),
+j AS (SELECT event_type, key_col,
+             CAST(256 - nreg AS BIGINT) AS n_zero_registers,
+             CAST(s_obs + (256 - nreg) * 18014398509481984 AS BIGINT)
+               AS s_scaled
+      FROM p)
+SELECT event_type, key_col, n_zero_registers, s_scaled,
+       round({hll_raw}, 9) AS raw_est, round({hll_est}, 9) AS hll_est
+FROM j
 """,
         # bottom-k set-operation estimates between the even/odd doc
         # shingle sets: re-sketched union threshold, survivor overlap,

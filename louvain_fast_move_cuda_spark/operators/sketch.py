@@ -76,6 +76,63 @@ def hll_est_sql(s: str, zeros: str) -> str:
     )
 
 
+def hll_registers(keyed: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """(group_cols..., idx, m) — the per-group HLL register table:
+    register index = low 8 bits of the clamped hash, register value =
+    max trailing-zero rank of the remaining bits over the group's
+    occurrences. Only OCCUPIED registers are emitted (m >= 1 always; an
+    absent (group, idx) row means register value 0), so the table is
+    <= 256 rows per group. This IS the sketch's mergeable state: the
+    register table of a union of streams is the elementwise max of the
+    per-stream tables — the property both the partition-parallel batch
+    path and the streaming maintainer (streaming/hll_stream.py) rely
+    on."""
+    gc = list(group_cols)
+    u = F.pmod(F.col("h"), F.lit(_HLL_CLAMP))
+    parts = keyed.select(*gc, u.alias("u")).select(
+        *gc,
+        (F.col("u") % F.lit(HLL_M)).alias("idx"),
+        F.expr(f"(u - u % {HLL_M}) DIV {HLL_M}").alias("body"),
+    )
+    return (
+        parts.withColumn("rank", F.expr(hll_rank_sql("body")))
+        .groupBy(*gc, "idx")
+        .agg(F.max("rank").alias("m"))
+    )
+
+
+def hll_summarize(regs: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """(group_cols..., n_zero_registers, s_scaled, raw_est, hll_est) —
+    finalize a register table from ``hll_registers`` (or a max-merge of
+    such tables) into the cardinality estimate. The register sum is
+    carried as the exact scaled BIGINT sum(2^(54 - m)) with absent
+    registers contributing 2^54; the only float ops are the one raw-
+    estimate division and the small-range-branch ln, both r9-rounded."""
+    gc = list(group_cols)
+    term = F.expr(
+        "CAST(18014398509481984.0E0 / power(2.0E0, CAST(m AS DOUBLE)) AS BIGINT)"
+    )
+    per = regs.groupBy(*gc).agg(
+        F.sum(term).alias("s_obs"), F.count("*").alias("nreg")
+    )
+    j = per.select(
+        *gc,
+        (F.lit(HLL_M) - F.col("nreg")).alias("n_zero_registers"),
+        (
+            F.col("s_obs") + (F.lit(HLL_M) - F.col("nreg")) * F.lit(_HLL_SCALE)
+        ).alias("s_scaled"),
+    )
+    raw = F.expr(hll_raw_est_sql("s_scaled"))
+    est = F.expr(hll_est_sql("s_scaled", "n_zero_registers"))
+    return j.select(
+        *gc,
+        "n_zero_registers",
+        "s_scaled",
+        F.round(raw, 9).alias("raw_est"),
+        F.round(est, 9).alias("hll_est"),
+    )
+
+
 def hll_distinct(keyed: DataFrame, group_cols: Sequence[str]) -> DataFrame:
     """Per-group HyperLogLog distinct-count sketch with the exact truth
     alongside: (group_cols..., n_exact, n_zero_registers, s_scaled,
@@ -103,39 +160,11 @@ def hll_distinct(keyed: DataFrame, group_cols: Sequence[str]) -> DataFrame:
     scan and keep the one sketch pass.
     """
     gc = list(group_cols)
-    u = F.pmod(F.col("h"), F.lit(_HLL_CLAMP))
-    base = keyed.select(*gc, u.alias("u"))
-    parts = base.select(
-        *gc,
-        (F.col("u") % F.lit(HLL_M)).alias("idx"),
-        F.expr(f"(u - u % {HLL_M}) DIV {HLL_M}").alias("body"),
-    )
-    regs = (
-        parts.withColumn("rank", F.expr(hll_rank_sql("body")))
-        .groupBy(*gc, "idx")
-        .agg(F.max("rank").alias("m"))
-    )
-    # 2^(54 - m) exactly: both factors are exact powers of two in double
-    term = F.expr(
-        "CAST(18014398509481984.0E0 / power(2.0E0, CAST(m AS DOUBLE)) AS BIGINT)"
-    )
-    per = regs.groupBy(*gc).agg(
-        F.sum(term).alias("s_obs"), F.count("*").alias("nreg")
-    )
+    summ = hll_summarize(hll_registers(keyed, gc), gc)
     exact = keyed.groupBy(*gc).agg(F.countDistinct("h").alias("n_exact"))
-    j = (
-        exact.join(per, gc)
-        .select(
-            *gc,
-            "n_exact",
-            (F.lit(HLL_M) - F.col("nreg")).alias("n_zero_registers"),
-            (
-                F.col("s_obs")
-                + (F.lit(HLL_M) - F.col("nreg")) * F.lit(_HLL_SCALE)
-            ).alias("s_scaled"),
-        )
-    )
-    raw = F.expr(hll_raw_est_sql("s_scaled"))
+    j = exact.join(summ, gc)
+    # rel_err from the UNROUNDED estimate (re-derived exactly from the
+    # integer state columns), matching the oracle's computation order
     est = F.expr(hll_est_sql("s_scaled", "n_zero_registers"))
     rel = F.when(F.col("n_exact") == 0, F.lit(0.0)).otherwise(
         F.abs(est - F.col("n_exact")) / F.col("n_exact")
@@ -145,8 +174,8 @@ def hll_distinct(keyed: DataFrame, group_cols: Sequence[str]) -> DataFrame:
         "n_exact",
         "n_zero_registers",
         "s_scaled",
-        F.round(raw, 9).alias("raw_est"),
-        F.round(est, 9).alias("hll_est"),
+        "raw_est",
+        "hll_est",
         F.round(rel, 9).alias("rel_err"),
         (rel <= F.lit(0.26)).alias("within_bound"),
     )

@@ -268,3 +268,93 @@ def test_incremental_triangles_match_batch_and_survive_restart(spark, tmp_path_f
         assert rows[k].delta_triangles == want_delta, k
         assert rows[k].total_triangles == prefix_counts[k - 1], k
         assert rows[k].n_new_edges == len(chunks[k - 1]), k
+
+
+def test_incremental_hll_matches_batch_and_survives_restart(spark, tmp_path_factory):
+    """streaming/hll_stream.py: the maintained register snapshot is
+    BIT-EQUAL to the batch hll_registers over the union of all landed
+    rows (max-merge erases batch boundaries), estimates match the batch
+    hll_distinct columns exactly, and state survives a stream restart
+    with new files landing in between — including re-deliveries (a
+    duplicated chunk), which max-merge idempotence must absorb."""
+    from pyspark.sql import functions as F
+
+    from louvain_fast_move_cuda_spark.operators.sketch import (
+        hll_distinct,
+        hll_registers,
+    )
+    from louvain_fast_move_cuda_spark.streaming.hll_stream import (
+        read_estimates,
+        read_registers,
+        run_incremental_hll,
+    )
+
+    import os as _os
+
+    tmp = tmp_path_factory.mktemp("hllstream")
+    in_dir, state_dir, ck_dir = str(tmp / "in"), str(tmp / "st"), str(tmp / "ck")
+    _os.makedirs(in_dir, exist_ok=True)
+
+    gc = ["event_type", "key_col"]
+    rows = [("a", "k", f"u{i}") for i in range(2500)] + [
+        ("b", "k", f"u{i % 30}") for i in range(600)
+    ]
+    quarter = (len(rows) + 3) // 4
+    chunks = [rows[i * quarter:(i + 1) * quarter] for i in range(4)]
+    # chunk 3 re-delivers chunk 1's rows verbatim alongside its own:
+    # idempotence of the register max-merge under at-least-once replay
+    chunks[3] = chunks[3] + chunks[1]
+
+    def land(i, chunk):
+        spark.createDataFrame(
+            chunk, "event_type string, key_col string, k string"
+        ).select(
+            "event_type", "key_col", F.xxhash64("k").alias("h")
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/stage{i}")
+        part = [f for f in _os.listdir(f"{tmp}/stage{i}") if f.endswith(".parquet")][0]
+        _os.rename(f"{tmp}/stage{i}/{part}", f"{in_dir}/{i:03d}.parquet")
+        _os.utime(f"{in_dir}/{i:03d}.parquet", (1_700_000_000 + i,) * 2)
+
+    land(0, chunks[0])
+    land(1, chunks[1])
+    run_incremental_hll(spark, in_dir, state_dir, ck_dir)
+    land(2, chunks[2])
+    land(3, chunks[3])
+    run_incremental_hll(spark, in_dir, state_dir, ck_dir)  # RESTART
+
+    keyed = spark.createDataFrame(
+        [r for c in chunks for r in c],
+        "event_type string, key_col string, k string",
+    ).select("event_type", "key_col", F.xxhash64("k").alias("h"))
+
+    maintained = {
+        (r.event_type, r.key_col, r.idx): r.m
+        for r in read_registers(spark, state_dir).collect()
+    }
+    batch = {
+        (r.event_type, r.key_col, r.idx): r.m
+        for r in hll_registers(keyed, gc).collect()
+    }
+    assert maintained == batch  # bit-equal state, not just close estimates
+
+    est = {
+        (r.event_type, r.key_col): r
+        for r in read_estimates(spark, state_dir).collect()
+    }
+    truth = {
+        (r.event_type, r.key_col): r for r in hll_distinct(keyed, gc).collect()
+    }
+    assert set(est) == set(truth)
+    for k in est:
+        assert (
+            est[k].s_scaled,
+            est[k].n_zero_registers,
+            est[k].raw_est,
+            est[k].hll_est,
+        ) == (
+            truth[k].s_scaled,
+            truth[k].n_zero_registers,
+            truth[k].raw_est,
+            truth[k].hll_est,
+        ), k
+        assert truth[k].within_bound, k
