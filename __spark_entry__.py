@@ -1747,6 +1747,38 @@ def q_streaming_hll(spark, sf_dir):
     return read_estimates(spark, f"{base}/state")
 
 
+def q_scc_users(spark, sf_dir):
+    """Strongly connected components of the directed user-interaction
+    graph: u -> v when u's event is immediately followed by v's in the
+    same event_type's time order (the same linear chain trick as the
+    tool links — never quadratic in a hot type), thinned by a
+    deterministic residue filter so the graph keeps real SCC structure
+    (3 multi-vertex SCCs at sf0.01: 37/38/75 users) instead of
+    collapsing into one giant cycle. Engine: min-label forward/backward
+    peeling (operators/scc.py); oracle: DuckDB recursive-CTE transitive
+    closure — mutual reachability recomputed from first principles."""
+    from louvain_fast_move_cuda_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    hops = ev.select("event_type", "ts", "event_id", "user_id").withColumn(
+        "b", F.lead("user_id").over(w)
+    )
+    e = (
+        hops.filter(
+            F.col("b").isNotNull()
+            & (F.col("user_id") != F.col("b"))
+            & F.expr("(user_id * 73 + b * 37) % 4 = 0")
+        )
+        .select(F.col("user_id").alias("src"), F.col("b").alias("dst"))
+        .distinct()
+    )
+    v = ev.select(F.col("user_id").alias("id")).distinct()
+    return strongly_connected_components(v, e)
+
+
 def q_kmv_intersect(spark, sf_dir):
     """Bottom-k (theta-style) set-operation estimates between the
     5-word-shingle sets of even and odd documents — Jaccard /
@@ -2037,6 +2069,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     # streaming edges (bit-exact vs batch oracles on micro-batch
     # replay) and the grouped HLL distinct sketch
     "streaming_cc", "streaming_triangles", "hll_distinct", "streaming_hll",
+    "scc_users",
     # never driver-sampled curation / text / similarity operators
     "doc_communities", "winnow_fingerprints", "top_terms", "rarity_scores",
     "decontaminate", "dup_spans", "hash_split", "lang_confusion",
@@ -2105,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch": q_quantile_sketch,
         "hll_distinct": q_hll_distinct,
         "streaming_hll": q_streaming_hll,
+        "scc_users": q_scc_users,
         "kmv_intersect": q_kmv_intersect,
         "bloom_membership": q_bloom_membership,
         "tpch_q1": q_tpch_q1,
@@ -4373,6 +4407,30 @@ j AS (SELECT event_type, key_col,
 SELECT event_type, key_col, n_zero_registers, s_scaled,
        round({hll_raw}, 9) AS raw_est, round({hll_est}, 9) AS hll_est
 FROM j
+""",
+        # SCC hard oracle: transitive closure by recursive CTE, scc =
+        # min over mutually-reachable partners (v itself if none) — the
+        # definition, independent of the engine's peeling algorithm
+        "scc_users": """
+WITH RECURSIVE
+h AS (SELECT user_id AS a,
+             lead(user_id) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) AS b
+      FROM events),
+e AS (SELECT DISTINCT a, b FROM h
+      WHERE b IS NOT NULL AND a <> b AND (a * 73 + b * 37) % 4 = 0),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+mut AS (SELECT r1.a AS v, r1.b AS w
+        FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+vx AS (SELECT DISTINCT user_id AS id FROM events)
+SELECT vx.id,
+       CAST(least(vx.id, coalesce(min(m.w), vx.id)) AS BIGINT) AS scc
+FROM vx LEFT JOIN mut m ON m.v = vx.id
+GROUP BY vx.id
 """,
         # bottom-k set-operation estimates between the even/odd doc
         # shingle sets: re-sketched union threshold, survivor overlap,

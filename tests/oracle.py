@@ -157,3 +157,55 @@ def powerlaw_graph(n=300, m_attach=2, seed=42):
         repeated.extend([v] * m_attach)
         targets = [rng.choice(repeated) for _ in range(m_attach)]
     return sorted(edges)
+
+
+def tarjan_scc(vertices, directed_edges):
+    """Reference SCC decomposition (iterative Tarjan): {vertex: min id
+    of its strongly connected component}."""
+    from collections import defaultdict
+
+    g = defaultdict(list)
+    for a, b in directed_edges:
+        if a != b:
+            g[a].append(b)
+    index, low, on, stack, out = {}, {}, set(), [], {}
+    counter = [0]
+    for root in sorted(vertices):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on.add(v)
+            advanced = False
+            for i in range(pi, len(g[v])):
+                w = g[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in on:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    return out

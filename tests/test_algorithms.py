@@ -396,3 +396,88 @@ def test_weighted_matching_rejects_overflowing_weights(spark):
     )
     with pytest.raises(ValueError, match="2\\^31"):
         greedy_weighted_matching(g)
+
+
+def _scc_spark(spark, vertices, edges, **kw):
+    from louvain_fast_move_cuda_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    v = spark.createDataFrame([(x,) for x in vertices], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long") if edges else (
+        spark.createDataFrame([], "src long, dst long")
+    )
+    return {
+        r.id: r.scc
+        for r in strongly_connected_components(v, e, **kw).collect()
+    }
+
+
+def test_scc_known_graphs(spark):
+    from oracle import tarjan_scc
+
+    # two 3-cycles bridged by a one-way edge + an acyclic tail
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3), (5, 6)]
+    vs = list(range(8))  # 7 is isolated
+    assert _scc_spark(spark, vs, edges) == tarjan_scc(vs, edges)
+    # pure DAG: all singletons
+    dag = [(0, 1), (0, 2), (1, 3), (2, 3)]
+    assert _scc_spark(spark, range(4), dag) == {i: i for i in range(4)}
+    # one big cycle: one SCC rooted at 0
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    assert _scc_spark(spark, range(6), cyc) == {i: 0 for i in range(6)}
+    # self-loops and duplicate edges are tolerated
+    assert _scc_spark(spark, range(3), [(0, 0), (0, 1), (0, 1), (1, 0)]) == {
+        0: 0, 1: 0, 2: 2,
+    }
+
+
+def test_scc_random_directed_vs_tarjan(spark):
+    """Power-law pairs reinterpreted as directed edges, plus reversed
+    copies of a deterministic subset to create non-trivial SCCs."""
+    from oracle import powerlaw_graph, tarjan_scc
+
+    base = powerlaw_graph(n=120, m_attach=2, seed=7)
+    edges = [(a, b) for a, b in base] + [
+        (b, a) for a, b in base if (a * 73 + b * 37) % 3 == 0
+    ]
+    vs = sorted({x for e in edges for x in e} | {999})
+    assert _scc_spark(spark, vs, edges) == tarjan_scc(vs, edges)
+
+
+def test_scc_budget_raises_and_resumes(spark, tmp_path_factory):
+    from louvain_fast_move_cuda_spark.operators.scc import (
+        strongly_connected_components,
+    )
+    from louvain_fast_move_cuda_spark.plans.checkpoint import (
+        VertexIterationCheckpointer,
+    )
+    from oracle import tarjan_scc
+    import pytest
+
+    # a long directed cycle needs ~n flooding rounds: max_prop too small
+    cyc = [(i, (i + 1) % 30) for i in range(30)]
+    v = spark.createDataFrame([(i,) for i in range(30)], "id long")
+    e = spark.createDataFrame(cyc, "src long, dst long")
+    with pytest.raises(RuntimeError, match="min-label flood"):
+        strongly_connected_components(v, e, max_prop=5)
+
+    # checkpoint/resume: fresh call resumes from committed outer rounds
+    # with bit-identical labels
+    edges = [(0, 1), (1, 0), (2, 3), (3, 2), (1, 2), (4, 4), (5, 6)]
+    vs = list(range(7))
+    want = tarjan_scc(vs, edges)
+    v2 = spark.createDataFrame([(i,) for i in vs], "id long")
+    e2 = spark.createDataFrame(edges, "src long, dst long")
+    root = str(tmp_path_factory.mktemp("sccck"))
+    ck = VertexIterationCheckpointer(root, "scc")
+    first = {
+        r.id: r.scc
+        for r in strongly_connected_components(v2, e2, checkpointer=ck).collect()
+    }
+    ck2 = VertexIterationCheckpointer(root, "scc")
+    resumed = {
+        r.id: r.scc
+        for r in strongly_connected_components(v2, e2, checkpointer=ck2).collect()
+    }
+    assert first == want and resumed == want
