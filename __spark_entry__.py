@@ -1998,6 +1998,24 @@ def q_kmeans_clusters(spark, sf_dir):
     return assigned.select(F.col("id").alias("vec_id"), "cid")
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embeddings table: k-means cells (the bridged
+    centroid artifact), then within-cell cosine >= 0.3 marks a vector a
+    semantic duplicate of its smallest qualifying cell-mate. The oracle
+    recomputes the argmax-cosine assignment AND the within-cell pair
+    rule from the materialized centroids — the whole keep/drop decision
+    is side-by-side-checked arithmetic."""
+    from louvain_fast_move_cuda_spark.operators.similarity import semantic_dedup
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents, out = semantic_dedup(emb, n_centroids=16, threshold=0.3)
+    _materialize_for_oracle(cents, "semdedup_centroids")
+    return out
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     from louvain_fast_move_cuda_spark.operators.dedup import (
         winnow_fingerprints_from_hashes,
@@ -2069,7 +2087,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     # streaming edges (bit-exact vs batch oracles on micro-batch
     # replay) and the grouped HLL distinct sketch
     "streaming_cc", "streaming_triangles", "hll_distinct", "streaming_hll",
-    "scc_users",
+    "scc_users", "semantic_dedup",
     # never driver-sampled curation / text / similarity operators
     "doc_communities", "winnow_fingerprints", "top_terms", "rarity_scores",
     "decontaminate", "dup_spans", "hash_split", "lang_confusion",
@@ -2238,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "kmeans_clusters": q_kmeans_clusters,
         "embedding_near_dupes": q_embedding_near_dupes,
+        "semantic_dedup": q_semantic_dedup,
     }
     ordered = {k: base[k] for k in _DRIVER_SAMPLE_PRIORITY}
     ordered.update(base)  # already-placed keys keep their slot
@@ -5184,6 +5203,45 @@ SELECT vec_id, cid FROM (
   FROM scored
 )
 WHERE rn = 1
+""",
+        # SemDeDup: assignment recomputed from the materialized centroids
+        # (same argmax-cosine + tie-break as kmeans_clusters), then the
+        # within-cell pair rule — dup_of = smallest lower-id cell-mate
+        # with cosine >= 0.3
+        "semantic_dedup": f"""
+WITH c AS (
+  SELECT * FROM read_parquet('{_ORACLE_MAT_DIR}/semdedup_centroids.parquet/*.parquet')
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+scored AS (
+  SELECT e.vec_id, c.cid, e.vec,
+         list_sum(list_transform(range(1, len(e.vec) + 1), i -> e.vec[i] * c.cv[i]))
+           / (sqrt(list_sum(list_transform(e.vec, x -> x * x)))
+              * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS sim
+  FROM e CROSS JOIN c
+),
+asg AS (
+  SELECT vec_id, cid, vec,
+         sqrt(list_sum(list_transform(vec, x -> x * x))) AS nrm
+  FROM (
+    SELECT vec_id, cid, vec,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+dup AS (
+  SELECT y.vec_id AS vec_id, min(x.vec_id) AS dup_of
+  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  WHERE list_sum(list_transform(range(1, len(x.vec) + 1), i -> x.vec[i] * y.vec[i]))
+        / (x.nrm * y.nrm) >= 0.3
+  GROUP BY y.vec_id
+)
+SELECT a.vec_id, a.cid, d.dup_of IS NOT NULL AS is_dupe,
+       CAST(d.dup_of AS BIGINT) AS dup_of
+FROM asg a LEFT JOIN dup d ON a.vec_id = d.vec_id
 """,
         # mirrors operators/multimodal.py::synthesize_media (kind/meta are
         # arithmetic functions of doc_id; payload = UTF-8 text bytes)

@@ -314,3 +314,73 @@ def knn_label_predict(
         "n_votes",
         (F.col("pred_label") == F.col("true_label")).cast("int").alias("correct"),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embeddings, then mark a vector a SEMANTIC DUPLICATE if some
+    lower-id member of its own cluster has cosine >= threshold to it —
+    dup_of = the smallest such member (the kept representative), so
+    keep-one-per-group falls out of the deterministic id order exactly
+    like exact_dedup's first-seen rule.
+
+    Returns (centroids(cid, cv), result(vec_id, cid, is_dupe, dup_of)).
+
+    Scale shape: the expensive all-pairs cosine never happens — the
+    pairwise join runs WITHIN clusters only (one shuffle of the
+    assignment table on cid, cells bounded by n_centroids's growth with
+    the corpus — SemDeDup's own design). The centroid training is
+    driver-side on a fixed-size hash sample (ivf_assign), the corpus is
+    scanned twice, and the within-cell join is quadratic only in cell
+    size. The centroids materialize as the bridged artifact; everything
+    downstream (assignment argmax, within-cell cosines, the dup rule)
+    is exact ANSI-SQL-checkable arithmetic.
+    """
+    cents, assigned = ivf_assign(
+        corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.transform("vec", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    a = assigned.select("id", "cid", "vec", nrm.alias("nrm")).localCheckpoint(
+        eager=True
+    )
+    pairs = (
+        a.alias("x")
+        .join(a.alias("y"), "cid")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            (
+                F.aggregate(
+                    F.zip_with("x.vec", "y.vec", lambda u, v: u * v),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("x.nrm") * F.col("y.nrm"))
+            ).alias("cosine"),
+        )
+    )
+    dup = (
+        pairs.filter(F.col("cosine") >= F.lit(threshold))
+        .groupBy(F.col("id_b").alias("id"))
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    out = (
+        a.select("id", "cid")
+        .join(dup, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cid",
+            F.col("dup_of").isNotNull().alias("is_dupe"),
+            "dup_of",
+        )
+    )
+    return cents, out

@@ -688,3 +688,42 @@ def test_bloom_membership_saturated_filter_fp(spark):
     ).collect()[0]
     assert r.no_false_negatives and r.n_false_neg == 0
     assert r.n_false_pos > 0 and r.fp_rate > 0.5
+
+
+def test_semantic_dedup_matches_numpy_brute_force(spark):
+    """The within-cell dup rule recomputed brute-force in NumPy from the
+    engine's own assignment: dup_of = smallest lower-id cell-mate with
+    cosine >= threshold; exactly the marked set, nothing else."""
+    import numpy as np
+
+    from louvain_fast_move_cuda_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(6, 16)
+    vecs = []
+    for i in range(120):
+        v = base[i % 6] + 0.45 * rng.randn(16)  # clustered with real near-dupes
+        vecs.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents, out = semantic_dedup(emb, n_centroids=4, threshold=0.9)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert set(rows) == set(range(120))
+
+    cid = {r.vec_id: r.cid for r in rows.values()}
+    V = {i: np.array(v) for i, v in vecs}
+
+    def cos(a, b):
+        return float(V[a] @ V[b] / (np.linalg.norm(V[a]) * np.linalg.norm(V[b])))
+
+    n_dupes = 0
+    for i in range(120):
+        mates = [j for j in range(120) if j < i and cid[j] == cid[i]]
+        want = sorted(j for j in mates if cos(j, i) >= 0.9 - 1e-12)
+        r = rows[i]
+        if want and (cos(want[0], i) >= 0.9 + 1e-12):
+            assert r.is_dupe and r.dup_of == want[0], i
+            n_dupes += 1
+        elif not want:
+            assert not r.is_dupe and r.dup_of is None, i
+        # pairs within 1e-12 of the threshold: float-borderline, skip
+    assert n_dupes >= 10  # the synthetic clusters must actually produce dupes
