@@ -1884,6 +1884,58 @@ def q_tpch_q18(spark, sf_dir):
     )
 
 
+def q_tpch_q7(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.tpch import volume_shipping
+
+    return volume_shipping(
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.tpch import returned_item_reporting
+
+    return returned_item_reporting(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
+def q_tpch_q13(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.tpch import (
+        customer_order_distribution,
+    )
+
+    return customer_order_distribution(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.tpch import promotion_effect
+
+    return promotion_effect(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
+def q_tpch_q15(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.tpch import top_supplier
+
+    return top_supplier(
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
 def q_bigram_lm_scores(spark, sf_dir):
     from louvain_fast_move_cuda_spark.operators.textstats import bigram_lm_scores
 
@@ -2164,6 +2216,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q18": q_tpch_q18,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q15": q_tpch_q15,
         "value_quantiles": q_value_quantiles,
         "rolling_activity": q_rolling_activity,
         "simhash_near_dupes": q_simhash_near_dupes,
@@ -4615,6 +4672,86 @@ SELECT c_name, c_custkey, o_orderkey, o_orderdate,
        CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_c, sum_qty
 FROM big JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
+""",
+        "tpch_q7": """
+WITH li AS (
+  SELECT l_suppkey, l_orderkey, year(l_shipdate) AS l_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate <= TIMESTAMP '1996-12-31'
+)
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(l_year AS INTEGER) AS l_year,
+       CAST(sum(rev_e4) AS BIGINT) AS revenue_e4
+FROM li JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+""",
+        "tpch_q10": """
+SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_e4
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+  AND l_returnflag = 'R'
+GROUP BY 1, 2, 3, 4, 5
+""",
+        # adapted Q13: no o_comment column in this schema -> the spec's
+        # comment-pattern exclusion is one order-priority class
+        "tpch_q13": """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN (
+    SELECT o_custkey, o_orderkey FROM orders
+    WHERE o_orderpriority <> '5-LOW'
+  ) o ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+""",
+        # adapted Q14: p_type is a 6-value class column here, the PROMO
+        # family is the ECONOMY class; sums exact e4 ints, ratio r9
+        "tpch_q14": """
+WITH j AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4,
+         CASE WHEN p_type = 'ECONOMY' THEN 1 ELSE 0 END AS is_promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+    AND l_shipdate < TIMESTAMP '1995-10-01'
+)
+SELECT CAST(sum(rev_e4 * is_promo) AS BIGINT) AS promo_revenue_e4,
+       CAST(sum(rev_e4) AS BIGINT) AS total_revenue_e4,
+       round(100.0E0 * CAST(sum(rev_e4 * is_promo) AS DOUBLE)
+             / CAST(sum(rev_e4) AS DOUBLE), 9) AS promo_pct_r9
+FROM j
+""",
+        "tpch_q15": """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS total_revenue_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue_e4
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)
 """,
         # OLAP rollup over (event_type, day); gid disambiguates rolled-up
         # nulls; both engines use the grouping(a,b) bitmask convention

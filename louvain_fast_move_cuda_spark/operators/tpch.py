@@ -178,3 +178,193 @@ def large_volume_customers(
             "sum_qty",
         )
     )
+
+
+def volume_shipping(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    nation1: str = "NATION_1",
+    nation2: str = "NATION_2",
+    date_lo: str = "1995-01-01",
+    date_hi: str = "1996-12-31",
+) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations by year — lines a
+    supplier in one nation shipped to a customer in the other (either
+    direction), within the date window.
+
+    Plan: the nation dim broadcasts into both the supplier and customer
+    sides; the two fact joins shuffle on their natural keys (orderkey,
+    custkey); the date filter pushes to the lineitem scan. Revenue in
+    exact e4 fixed-point."""
+    n1 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    ))
+    n2 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation")
+    ))
+    revenue_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") <= F.lit(date_hi).cast("timestamp"))
+        )
+        .join(supplier.select("s_suppkey", "s_nationkey"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, "s_nationkey")
+        .join(orders.select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer.select("c_custkey", "c_nationkey"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(n2, "c_nationkey")
+        .filter(
+            ((F.col("supp_nation") == nation1) & (F.col("cust_nation") == nation2))
+            | ((F.col("supp_nation") == nation2) & (F.col("cust_nation") == nation1))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(revenue_e4).alias("revenue_e4"))
+    )
+
+
+def returned_item_reporting(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_lo: str = "1995-10-01",
+    date_hi: str = "1996-01-01",
+) -> DataFrame:
+    """TPC-H Q10 (sans LIMIT 20): revenue lost to returned lineitems
+    (l_returnflag = 'R') per customer for one quarter of orders. The
+    top-N is omitted for the same reason as Q3 — ranking by a float
+    aggregate is tie-unstable; the full group set compares exactly.
+
+    Plan: nation broadcasts; orders filters on the quarter BEFORE
+    joining lineitem; revenue in exact e4 fixed-point."""
+    revenue_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(date_hi).cast("timestamp"))
+        )
+        .join(lineitem.filter(F.col("l_returnflag") == "R"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation.select(
+                F.col("n_nationkey").alias("c_nationkey"),
+                F.col("n_name").alias("n_name"),
+            )),
+            "c_nationkey",
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(F.sum(revenue_e4).alias("revenue_e4"))
+    )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame, exclude_priority: str = "5-LOW"
+) -> DataFrame:
+    """TPC-H Q13 (adapted: the spec excludes orders by an o_comment
+    pattern; this schema carries no comment column, so the exclusion
+    filter is one order priority class instead — same plan shape):
+    distribution of customers by order count, INCLUDING zero-order
+    customers via the left join.
+
+    Plan: one left join shuffled on custkey, two cascaded counts — the
+    second groupBy is on the tiny order-count domain."""
+    per_cust = (
+        customer.select("c_custkey")
+        .join(
+            orders.filter(F.col("o_orderpriority") != exclude_priority)
+            .select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def promotion_effect(
+    lineitem: DataFrame,
+    part: DataFrame,
+    promo_type: str = "ECONOMY",
+    date_lo: str = "1995-09-01",
+    date_hi: str = "1995-10-01",
+) -> DataFrame:
+    """TPC-H Q14 (adapted: p_type here is a 6-value class column, so
+    the PROMO%% prefix family is one class): one row — the share of one
+    month's revenue from promo-class parts. Both sums are exact e4
+    ints; the ratio is the only float, r9-rounded.
+
+    Plan: part projects to (partkey, is-promo flag) and broadcasts if
+    small (Catalyst/AQE decide); the month filter pushes to the
+    lineitem scan."""
+    revenue_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    j = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+        )
+        .join(part.select("p_partkey", "p_type"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            revenue_e4.alias("rev_e4"),
+            (F.col("p_type") == promo_type).cast("long").alias("is_promo"),
+        )
+    )
+    return j.agg(
+        F.sum(F.col("rev_e4") * F.col("is_promo")).alias("promo_revenue_e4"),
+        F.sum("rev_e4").alias("total_revenue_e4"),
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.col("rev_e4") * F.col("is_promo")).cast("double")
+            / F.sum("rev_e4").cast("double"),
+            9,
+        ).alias("promo_pct_r9"),
+    )
+
+
+def top_supplier(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15: the supplier(s) with maximum revenue over one quarter.
+    Revenue is an exact e4 int, so the max-equality selection is
+    deterministic (the spec's tie case returns all maxima, same here).
+
+    Plan: one quarter-filtered groupBy on suppkey, a 1-row max
+    aggregate broadcast back as the selection filter, one broadcast-
+    sized supplier join."""
+    revenue_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    rev = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_lo).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_hi).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(revenue_e4).alias("total_revenue_e4"))
+    )
+    mx = rev.agg(F.max("total_revenue_e4").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue_e4") == F.col("mx"))
+        .join(supplier.select("s_suppkey", "s_name"),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey"), "s_name", "total_revenue_e4"
+        )
+    )

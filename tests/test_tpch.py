@@ -153,3 +153,118 @@ def test_large_volume_customers_having_threshold(spark):
     assert len(got) == 1
     r = got[0]
     assert (r.c_name, r.o_orderkey, r.sum_qty, r.o_totalprice_c) == ("Alice", 1, 260, 123456)
+
+
+def _mini_warehouse2(spark):
+    d = dt.datetime
+    nation = spark.createDataFrame(
+        [(0, "NATION_0", 0), (1, "NATION_1", 1), (2, "NATION_2", 2)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    supplier = spark.createDataFrame(
+        [(10, "S10", 1, 0.0), (11, "S11", 2, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    customer = spark.createDataFrame(
+        [(20, "C20", 2, 5.0, "BUILDING"), (21, "C21", 1, 6.0, "AUTO"),
+         (22, "C22", 0, 7.0, "AUTO")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(100, 20, "O", 1.0, d(1995, 11, 1), "1-URGENT"),
+         (101, 21, "O", 2.0, d(1995, 11, 2), "5-LOW"),
+         (102, 20, "O", 3.0, d(1997, 1, 1), "2-HIGH")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        [  # (okey, pkey, skey, ln, qty, ep, disc, tax, rf, ls, ship)
+            (100, 1, 10, 1, 1.0, 10.00, 0.10, 0.0, "R", "O", d(1995, 11, 10)),
+            (100, 2, 11, 2, 1.0, 20.00, 0.00, 0.0, "N", "O", d(1995, 11, 11)),
+            (101, 1, 10, 1, 1.0, 40.00, 0.00, 0.0, "R", "O", d(1996, 2, 1)),
+            (102, 2, 11, 1, 1.0, 80.00, 0.50, 0.0, "R", "O", d(1997, 2, 1)),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp_ntz",
+    )
+    part = spark.createDataFrame(
+        [(1, "P1", "B1", "ECONOMY", 1, 1.0), (2, "P2", "B2", "SMALL", 2, 2.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    return nation, supplier, customer, orders, lineitem, part
+
+
+def test_volume_shipping_directions_and_window(spark):
+    from louvain_fast_move_cuda_spark.operators.tpch import volume_shipping
+
+    nation, supplier, customer, orders, lineitem, part = _mini_warehouse2(spark)
+    rows = {
+        (r.supp_nation, r.cust_nation, r.l_year): r.revenue_e4
+        for r in volume_shipping(
+            supplier, lineitem, orders, customer, nation
+        ).collect()
+    }
+    # line (100,1): supp N1 -> cust N2, 1995, 1000*90; line (100,2): supp
+    # N2 -> cust N2 (same nation, excluded); line (101,1): supp N1 ->
+    # cust N1 excluded; (102): shipped 1997, outside window
+    assert rows == {("NATION_1", "NATION_2", 1995): 1000 * 90}
+
+
+def test_returned_item_reporting_quarter_and_flag(spark):
+    from louvain_fast_move_cuda_spark.operators.tpch import returned_item_reporting
+
+    nation, supplier, customer, orders, lineitem, part = _mini_warehouse2(spark)
+    rows = {r.c_custkey: r for r in returned_item_reporting(
+        customer, orders, lineitem, nation
+    ).collect()}
+    # order 100 (1995-11, cust 20): only line 1 is 'R' -> 1000*90; order
+    # 101 in quarter but its 'R' line belongs to cust 21 -> 4000*100;
+    # order 102 outside the quarter
+    assert rows[20].revenue_e4 == 1000 * 90 and rows[20].n_name == "NATION_2"
+    assert rows[21].revenue_e4 == 4000 * 100
+    assert set(rows) == {20, 21}
+
+
+def test_customer_order_distribution_zero_and_exclusion(spark):
+    from louvain_fast_move_cuda_spark.operators.tpch import (
+        customer_order_distribution,
+    )
+
+    nation, supplier, customer, orders, lineitem, part = _mini_warehouse2(spark)
+    rows = {r.c_count: r.custdist for r in customer_order_distribution(
+        customer, orders
+    ).collect()}
+    # cust 20 has orders 100+102 (both non-5-LOW) -> c_count 2; cust 21's
+    # only order is 5-LOW -> 0; cust 22 has none -> 0
+    assert rows == {2: 1, 0: 2}
+
+
+def test_promotion_effect_ratio(spark):
+    from louvain_fast_move_cuda_spark.operators.tpch import promotion_effect
+
+    nation, supplier, customer, orders, lineitem, part = _mini_warehouse2(spark)
+    r = promotion_effect(
+        lineitem, part, date_lo="1995-11-01", date_hi="1995-12-01"
+    ).collect()[0]
+    # in window: line (100,1) promo 1000*90, line (100,2) non-promo 2000*100
+    assert r.promo_revenue_e4 == 90000 and r.total_revenue_e4 == 290000
+    assert abs(r.promo_pct_r9 - round(100.0 * 90000 / 290000, 9)) == 0.0
+
+
+def test_top_supplier_max_and_ties(spark):
+    from louvain_fast_move_cuda_spark.operators.tpch import top_supplier
+
+    nation, supplier, customer, orders, lineitem, part = _mini_warehouse2(spark)
+    got = top_supplier(
+        supplier, lineitem, date_lo="1995-11-01", date_hi="1996-03-01"
+    ).collect()
+    # window revenue: S10 = 1000*90 + 4000*100 = 490000, S11 = 2000*100
+    assert [(r.s_suppkey, r.total_revenue_e4) for r in got] == [(10, 490000)]
+    # exact-int tie -> both suppliers returned
+    li2 = lineitem.filter(F.col("l_orderkey") == 100)  # 90000 vs 200000
+    got2 = top_supplier(supplier, li2, date_lo="1995-11-01", date_hi="1996-03-01")
+    assert got2.count() == 1 and got2.collect()[0].s_suppkey == 11
