@@ -1635,6 +1635,72 @@ def q_cms_sketch(spark, sf_dir):
     return cms_point_queries(b, top_n=20)
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Heavy hitters over the 5-word-shingle stream via the CMS screen:
+    candidates = shingles whose sketch estimate reaches 3 (width 2^16
+    keeps collision mass below the threshold for most keys), then ONLY
+    candidates pay the exact count. CMS's one-sided error makes the
+    screen sound — no_underestimate (cms_est >= true_cnt) is the
+    per-row checked invariant, so no true heavy hitter can be missed."""
+    from louvain_fast_move_cuda_spark.operators.dedup import shingles
+    from louvain_fast_move_cuda_spark.operators.sketch import (
+        cms_buckets,
+        cms_heavy_hitters,
+    )
+
+    sh = shingles(_docs(spark, sf_dir), k=5).select(
+        F.col("shingle").alias("h")
+    )
+    b = _materialize_for_oracle(
+        cms_buckets(sh, depth=4, width=65536), "hh_buckets"
+    )
+    return cms_heavy_hitters(b, threshold=3)
+
+
+def q_streaming_cms(spark, sf_dir):
+    """Incremental count-min maintenance under the driver oracle: the
+    materialized bucket-row table replayed as 4 micro-batches through
+    streaming/cms_stream.py (per batch: count arriving rows, SUM-merge
+    onto the committed d*w cell snapshot — state never grows with the
+    stream; snapshot-by-batch-id makes the non-idempotent sum safe
+    under at-least-once replay). The final cell table must equal the
+    batch recompute over all rows EXACTLY — counts are linear, so batch
+    boundaries are invisible."""
+    import os
+    import shutil
+    import tempfile
+
+    from louvain_fast_move_cuda_spark.operators.dedup import token_hashes
+    from louvain_fast_move_cuda_spark.operators.sketch import cms_buckets
+    from louvain_fast_move_cuda_spark.streaming.cms_stream import (
+        read_cells,
+        run_incremental_cms,
+    )
+
+    b = _materialize_for_oracle(
+        cms_buckets(token_hashes(_docs(spark, sf_dir)), depth=4, width=256),
+        "cms_stream_buckets",
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_cmsstream_")
+    in_dir = f"{base}/in"
+    os.makedirs(in_dir, exist_ok=True)
+    n_chunks = 4
+    w = Window.orderBy("h", "row_idx", "bucket")
+    chunked = b.withColumn("_c", F.ntile(n_chunks).over(w))
+    for c in range(1, n_chunks + 1):
+        stage = f"{base}/stage{c}"
+        chunked.filter(F.col("_c") == c).drop("_c").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        parts = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        for i, f_name in enumerate(parts):
+            dst = f"{in_dir}/{c:03d}_{i:03d}.parquet"
+            shutil.move(f"{stage}/{f_name}", dst)
+            os.utime(dst, (1_700_000_000 + c, 1_700_000_000 + c))
+    run_incremental_cms(spark, in_dir, f"{base}/state", f"{base}/ck")
+    return read_cells(spark, f"{base}/state")
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV/bottom-k distinct sketch over the token-hash stream with the
     exact distinct count alongside — the relative-error guarantee is a
@@ -2139,7 +2205,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     # streaming edges (bit-exact vs batch oracles on micro-batch
     # replay) and the grouped HLL distinct sketch
     "streaming_cc", "streaming_triangles", "hll_distinct", "streaming_hll",
-    "scc_users", "semantic_dedup",
+    "scc_users", "semantic_dedup", "streaming_cms", "cms_heavy_hitters",
     # never driver-sampled curation / text / similarity operators
     "doc_communities", "winnow_fingerprints", "top_terms", "rarity_scores",
     "decontaminate", "dup_spans", "hash_split", "lang_confusion",
@@ -2209,6 +2275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "streaming_hll": q_streaming_hll,
         "scc_users": q_scc_users,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "streaming_cms": q_streaming_cms,
         "kmv_intersect": q_kmv_intersect,
         "bloom_membership": q_bloom_membership,
         "tpch_q1": q_tpch_q1,
@@ -4483,6 +4551,36 @@ j AS (SELECT event_type, key_col,
 SELECT event_type, key_col, n_zero_registers, s_scaled,
        round({hll_raw}, 9) AS raw_est, round({hll_est}, 9) AS hll_est
 FROM j
+""",
+        # CMS heavy-hitter screen recomputed from the materialized bucket
+        # table: min-over-rows estimate, threshold, exact verify for
+        # candidates only; no_underestimate is the soundness invariant
+        "cms_heavy_hitters": f"""
+WITH b AS (SELECT h, row_idx, bucket
+           FROM read_parquet('{_ORACLE_MAT_DIR}/hh_buckets.parquet/*.parquet')),
+cells AS (SELECT row_idx, bucket, CAST(count(*) AS BIGINT) AS cnt
+          FROM b GROUP BY 1, 2),
+est AS (SELECT h, CAST(min(cnt) AS BIGINT) AS cms_est
+        FROM (SELECT DISTINCT h, row_idx, bucket FROM b) d
+        JOIN cells USING (row_idx, bucket)
+        GROUP BY h),
+cand AS (SELECT * FROM est WHERE cms_est >= 3),
+tc AS (SELECT h, CAST(count(*) AS BIGINT) AS true_cnt
+       FROM b WHERE row_idx = 0 AND h IN (SELECT h FROM cand)
+       GROUP BY h)
+SELECT h, true_cnt, cms_est,
+       true_cnt >= 3 AS is_true_hh,
+       cms_est >= true_cnt AS no_underestimate
+FROM cand JOIN tc USING (h)
+""",
+        # streaming CMS hard gate: the maintained cell snapshot must
+        # equal the batch count over the whole materialized bucket table
+        # (counts are linear — batch boundaries invisible)
+        "streaming_cms": f"""
+SELECT CAST(row_idx AS BIGINT) AS row_idx, bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM read_parquet('{_ORACLE_MAT_DIR}/cms_stream_buckets.parquet/*.parquet')
+GROUP BY 1, 2
 """,
         # SCC hard oracle: transitive closure by recursive CTE, scc =
         # min over mutually-reachable partners (v itself if none) — the

@@ -511,3 +511,43 @@ def quantile_sketch(
         F.round(err, 9).alias("rank_err"),
         (err <= F.lit(bound)).alias("within_bound"),
     )
+
+
+def cms_heavy_hitters(buckets: DataFrame, threshold: int) -> DataFrame:
+    """(h, true_cnt, cms_est, is_true_hh, no_underestimate) — every
+    token hash whose COUNT-MIN estimate reaches ``threshold``, with its
+    exact count alongside.
+
+    The canonical sketch-as-prefilter pattern: the candidate set is
+    found from the d*w cell table (broadcast-sized) plus one
+    distinct-positions join, and only CANDIDATES pay the exact count —
+    at 100 TB the full per-token exact count is the shuffle the sketch
+    avoids, and CMS's one-sided error makes the screen SOUND:
+    cms_est >= true_cnt always, so every true heavy hitter is in the
+    candidate set (no false negatives — ``no_underestimate`` is the
+    checked per-row invariant, bloom_membership's pattern for
+    frequency). ``is_true_hh`` marks which candidates survive the exact
+    verify; the false-positive tail is the price of d*w bits of state.
+    """
+    cells = cms_table(buckets)
+    est = (
+        buckets.select("h", "row_idx", "bucket")
+        .distinct()
+        .join(cells, ["row_idx", "bucket"])
+        .groupBy("h")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    cand = est.filter(F.col("cms_est") >= F.lit(threshold))
+    true_cnt = (
+        buckets.filter(F.col("row_idx") == 0)
+        .join(cand.select("h"), "h", "left_semi")
+        .groupBy("h")
+        .agg(F.count("*").alias("true_cnt"))
+    )
+    return cand.join(true_cnt, "h").select(
+        "h",
+        "true_cnt",
+        "cms_est",
+        (F.col("true_cnt") >= F.lit(threshold)).alias("is_true_hh"),
+        (F.col("cms_est") >= F.col("true_cnt")).alias("no_underestimate"),
+    )

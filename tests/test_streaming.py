@@ -358,3 +358,64 @@ def test_incremental_hll_matches_batch_and_survives_restart(spark, tmp_path_fact
             truth[k].hll_est,
         ), k
         assert truth[k].within_bound, k
+
+
+def test_incremental_cms_matches_batch_and_survives_restart(spark, tmp_path_factory):
+    """streaming/cms_stream.py: the maintained cell table equals the
+    batch count over all landed rows (counts are linear), and the
+    snapshot-by-batch-id contract keeps the NON-idempotent sum-merge
+    exactly-once across a stream restart."""
+    from pyspark.sql import functions as F
+
+    from louvain_fast_move_cuda_spark.operators.sketch import cms_buckets, cms_table
+    from louvain_fast_move_cuda_spark.streaming.cms_stream import (
+        read_cells,
+        run_incremental_cms,
+    )
+
+    import os as _os
+
+    tmp = tmp_path_factory.mktemp("cmsstream")
+    in_dir, state_dir, ck_dir = str(tmp / "in"), str(tmp / "st"), str(tmp / "ck")
+    _os.makedirs(in_dir, exist_ok=True)
+
+    rows = [(f"t{i % 97}",) for i in range(4000)]
+    quarter = 1000
+    chunks = [rows[i * quarter:(i + 1) * quarter] for i in range(4)]
+
+    def land(i, chunk):
+        b = cms_buckets(
+            spark.createDataFrame(chunk, "t string").select(
+                F.xxhash64("t").alias("h")
+            ),
+            depth=4,
+            width=64,
+        ).select("h", F.col("row_idx").cast("long").alias("row_idx"), "bucket")
+        b.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/stage{i}")
+        part = [f for f in _os.listdir(f"{tmp}/stage{i}") if f.endswith(".parquet")][0]
+        _os.rename(f"{tmp}/stage{i}/{part}", f"{in_dir}/{i:03d}.parquet")
+        _os.utime(f"{in_dir}/{i:03d}.parquet", (1_700_000_000 + i,) * 2)
+
+    land(0, chunks[0])
+    land(1, chunks[1])
+    run_incremental_cms(spark, in_dir, state_dir, ck_dir)
+    mid = {
+        (r.row_idx, r.bucket): r.cnt for r in read_cells(spark, state_dir).collect()
+    }
+    assert sum(mid.values()) == 2000 * 4  # two batches, depth 4
+    land(2, chunks[2])
+    land(3, chunks[3])
+    run_incremental_cms(spark, in_dir, state_dir, ck_dir)  # RESTART
+
+    all_b = cms_buckets(
+        spark.createDataFrame(rows, "t string").select(F.xxhash64("t").alias("h")),
+        depth=4,
+        width=64,
+    )
+    want = {
+        (r.row_idx, r.bucket): r.cnt for r in cms_table(all_b).collect()
+    }
+    got = {
+        (r.row_idx, r.bucket): r.cnt for r in read_cells(spark, state_dir).collect()
+    }
+    assert got == want  # exactly-once: no double counting across restart
