@@ -2002,6 +2002,140 @@ def q_tpch_q15(spark, sf_dir):
     )
 
 
+def q_tpch_q2(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.tpch import min_cost_supplier
+
+    return min_cost_supplier(
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
+def q_tpch_q4(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.tpch import order_priority_checking
+
+    return order_priority_checking(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
+def q_tpch_q8(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.tpch import national_market_share
+
+    return national_market_share(
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.tpch import product_type_profit
+
+    return product_type_profit(
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.tpch import important_stock
+
+    return important_stock(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.tpch import (
+        shipping_priority_classes,
+    )
+
+    return shipping_priority_classes(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.tpch import (
+        parts_supplier_relationship,
+    )
+
+    return parts_supplier_relationship(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.tpch import small_quantity_revenue
+
+    return small_quantity_revenue(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.tpch import discounted_revenue
+
+    return discounted_revenue(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.tpch import (
+        potential_part_promotion,
+    )
+
+    return potential_part_promotion(
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.tpch import suppliers_kept_waiting
+
+    return suppliers_kept_waiting(
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    from louvain_fast_move_cuda_spark.operators.tpch import global_sales_opportunity
+
+    return global_sales_opportunity(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+    )
+
+
 def q_bigram_lm_scores(spark, sf_dir):
     from louvain_fast_move_cuda_spark.operators.textstats import bigram_lm_scores
 
@@ -2289,6 +2423,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q14": q_tpch_q14,
         "tpch_q15": q_tpch_q15,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
         "value_quantiles": q_value_quantiles,
         "rolling_activity": q_rolling_activity,
         "simhash_near_dupes": q_simhash_near_dupes,
@@ -4850,6 +4996,224 @@ WITH rev AS (
 SELECT s_suppkey, s_name, total_revenue_e4
 FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)
+""",
+        # adapted Q2: no partsupp -> the catalog is lineitem's DISTINCT
+        # (partkey, suppkey) pairs; supply cost proxied by s_acctbal cents
+        "tpch_q2": """
+WITH supp AS (
+  SELECT s_suppkey, s_name, n_name,
+         CAST(round(s_acctbal * 100) AS BIGINT) AS s_acctbal_c
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+parts AS (
+  SELECT p_partkey, p_brand FROM part WHERE p_size <= 15 AND p_type = 'SMALL'
+),
+cat AS (
+  SELECT c.p_partkey, parts.p_brand, supp.s_name, supp.n_name, supp.s_acctbal_c
+  FROM (SELECT DISTINCT l_partkey AS p_partkey, l_suppkey AS s_suppkey
+        FROM lineitem) c
+  JOIN parts USING (p_partkey) JOIN supp USING (s_suppkey)
+)
+SELECT c.p_partkey, c.p_brand, c.s_name, c.n_name, c.s_acctbal_c
+FROM cat c JOIN (SELECT p_partkey, min(s_acctbal_c) AS m FROM cat GROUP BY 1) b
+  ON c.p_partkey = b.p_partkey AND c.s_acctbal_c = b.m
+""",
+        # adapted Q4: the spec's late-line EXISTS becomes a returned line
+        "tpch_q4": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+        "tpch_q8": """
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4,
+         CASE WHEN n1.n_name = 'NATION_1' THEN 1 ELSE 0 END AS is_nat
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <= TIMESTAMP '1996-12-31'
+)
+SELECT o_year,
+       CAST(sum(rev_e4 * is_nat) AS BIGINT) AS nation_revenue_e4,
+       CAST(sum(rev_e4) AS BIGINT) AS total_revenue_e4,
+       round(CAST(sum(rev_e4 * is_nat) AS DOUBLE)
+             / CAST(sum(rev_e4) AS DOUBLE), 9) AS mkt_share_r9
+FROM j GROUP BY o_year
+""",
+        # adapted Q9: cost proxy = 10% of p_retailprice in exact cents
+        "tpch_q9": """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                - CAST(l_quantity AS BIGINT)
+                  * CAST(round(p_retailprice * 100) AS BIGINT) * 10)
+            AS BIGINT) AS profit_e4
+FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+""",
+        # adapted Q11: stock value = qty * retail cents over 3 nations'
+        # suppliers; HAVING threshold exact via value*10000 > total*bp
+        "tpch_q11": """
+WITH per_part AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+           AS value_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))
+  GROUP BY 1
+)
+SELECT p_partkey, value_c FROM per_part
+WHERE value_c * 10000 > (SELECT sum(value_c) FROM per_part) * 1
+""",
+        # adapted Q12: shipmode -> the 3-value l_returnflag split
+        "tpch_q12": """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+""",
+        # adapted Q16: catalog from lineitem pairs; complaint suppliers =
+        # negative account balance
+        "tpch_q16": """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT s_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey AS p_partkey, l_suppkey AS s_suppkey
+      FROM lineitem) c
+JOIN part USING (p_partkey)
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+  AND s_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""",
+        # Q17: the 0.2*avg correlated predicate runs in exact integers:
+        # qty < 0.2*(sum/n)  <=>  5*qty*n < sum
+        "tpch_q17": """
+WITH branded AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#2'
+), stats AS (
+  SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_q,
+         CAST(count(*) AS BIGINT) AS n_q
+  FROM branded GROUP BY 1
+)
+SELECT CAST(coalesce(sum(ep_c), 0) AS BIGINT) AS total_price_c,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(CAST(coalesce(sum(ep_c), 0) AS DOUBLE) / 700.0, 9) AS avg_yearly_r9
+FROM branded JOIN stats USING (l_partkey)
+WHERE qty * 5 * n_q < sum_q
+""",
+        # adapted Q19: container/shipmode legs dropped (not in schema);
+        # the OR-of-ANDs brand x size x quantity structure is intact
+        "tpch_q19": """
+SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100) AS BIGINT))), 0) AS BIGINT)
+         AS revenue_e4,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+        # adapted Q20: no ps_availqty -> above-half-average shipped
+        # volume, exact threshold 2*q*n > total
+        "tpch_q20": """
+WITH region_supp AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), per_supp AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+    AND l_suppkey IN (SELECT s_suppkey FROM region_supp)
+  GROUP BY 1
+), sc AS (
+  SELECT CAST(sum(qty) AS BIGINT) AS tot_q,
+         CAST(count(*) AS BIGINT) AS n_supp
+  FROM per_supp
+)
+SELECT p.s_suppkey, rs.s_name, rs.n_name, p.qty
+FROM per_supp p CROSS JOIN sc
+JOIN region_supp rs ON p.s_suppkey = rs.s_suppkey
+WHERE p.qty * 2 * sc.n_supp > sc.tot_q
+""",
+        # adapted Q21: late line = returned line; the EXISTS/NOT-EXISTS
+        # pair computed as per-order distinct-supplier counts
+        "tpch_q21": """
+WITH base AS (
+  SELECT l_orderkey, l_suppkey, l_returnflag
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+           AS n_ret_supp
+  FROM base GROUP BY 1
+), ret_pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM base WHERE l_returnflag = 'R'
+)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM ret_pairs JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE n_supp >= 2 AND n_ret_supp = 1 AND r_name = 'ASIA'
+GROUP BY 1, 2
+""",
+        # adapted Q22: country code = c_nationkey over a 7-key set; "no
+        # orders" -> "no urgent orders" (every customer here has orders);
+        # the above-average predicate exact in cents: bal*n > sum
+        "tpch_q22": """
+WITH pool AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer WHERE c_nationkey IN (1, 3, 5, 13, 17, 21, 23)
+), sc AS (
+  SELECT CAST(sum(bal_c) AS BIGINT) AS sum_pos_c,
+         CAST(count(*) AS BIGINT) AS n_pos
+  FROM pool WHERE bal_c > 0
+)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+FROM pool CROSS JOIN sc
+WHERE bal_c * n_pos > sum_pos_c
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
 """,
         # OLAP rollup over (event_type, day); gid disambiguates rolled-up
         # nulls; both engines use the grouping(a,b) bitmask convention

@@ -268,3 +268,145 @@ def test_top_supplier_max_and_ties(spark):
     li2 = lineitem.filter(F.col("l_orderkey") == 100)  # 90000 vs 200000
     got2 = top_supplier(supplier, li2, date_lo="1995-11-01", date_hi="1996-03-01")
     assert got2.count() == 1 and got2.collect()[0].s_suppkey == 11
+
+
+def _mini_parts(spark):
+    return spark.createDataFrame(
+        [
+            (1, "p1", "Brand#1", "SMALL", 5, 950.00),
+            (2, "p2", "Brand#2", "SMALL", 10, 900.00),
+            (3, "p3", "Brand#2", "PROMO", 20, 999.90),
+            (4, "p4", "Brand#3", "STANDARD", 14, 910.00),
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+
+
+def test_min_cost_supplier_ties_and_region(spark):
+    from louvain_fast_move_cuda_spark.operators.tpch import min_cost_supplier
+
+    _, _, li, supp, nation, region = _mini_warehouse(spark)
+    part = _mini_parts(spark)
+    # suppliers s7/s8/s9 shipped part 1 (li rows); only s8 sits in
+    # EUROPE (FRANCE); part 1 is size-5 SMALL -> qualifies
+    rows = min_cost_supplier(
+        part, supp, nation, region, li, region_name="EUROPE",
+        max_size=15, p_type_val="SMALL",
+    ).collect()
+    assert [(r.p_partkey, r.s_name, r.n_name, r.s_acctbal_c) for r in rows] == [
+        (1, "s8", "FRANCE", 0)
+    ]
+    # in ASIA both s7 (acctbal 0) and s9 (acctbal 0) supply part 1 ->
+    # the exact-cents min keeps BOTH tie rows, spec-style
+    asia = min_cost_supplier(
+        part, supp, nation, region, li, region_name="ASIA",
+        max_size=15, p_type_val="SMALL",
+    ).collect()
+    assert sorted(r.s_name for r in asia) == ["s7", "s9"]
+
+
+def test_order_priority_checking_semi_join(spark):
+    from louvain_fast_move_cuda_spark.operators.tpch import order_priority_checking
+
+    import datetime as dt
+    orders = spark.createDataFrame(
+        [
+            (1, 1, "F", 1.0, dt.datetime(1996, 2, 1), "1-URGENT"),
+            (2, 1, "F", 1.0, dt.datetime(1996, 2, 2), "1-URGENT"),
+            (3, 1, "F", 1.0, dt.datetime(1996, 2, 3), "5-LOW"),
+            # outside the window
+            (4, 1, "F", 1.0, dt.datetime(1997, 2, 1), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        # order 1 has TWO returned lines (semi-join must not double-
+        # count); order 2 has none; order 3 has one; order 4 returned
+        # but out of window
+        [(1, "R"), (1, "R"), (2, "N"), (3, "R"), (4, "R")],
+        "l_orderkey long, l_returnflag string",
+    )
+    out = {r.o_orderpriority: r.order_count
+           for r in order_priority_checking(orders, li).collect()}
+    assert out == {"1-URGENT": 1, "5-LOW": 1}
+
+
+def test_small_quantity_revenue_exact_avg_predicate(spark):
+    from louvain_fast_move_cuda_spark.operators.tpch import small_quantity_revenue
+
+    import datetime as dt
+    d = dt.datetime(1996, 1, 1)
+    part = _mini_parts(spark)
+    # part 2 (Brand#2): quantities 1, 10, 19 -> sum=30, n=3, avg=10;
+    # qty < 2 qualifies (5*1*3=15 < 30; 5*10*3=150 >= 30)
+    li = spark.createDataFrame(
+        [
+            (1, 2, 1, 1, 1.0, 11.00, 0.0, 0.0, "N", "O", d),
+            (2, 2, 1, 1, 10.0, 99.00, 0.0, 0.0, "N", "O", d),
+            (3, 2, 1, 1, 19.0, 99.00, 0.0, 0.0, "N", "O", d),
+            # Brand#3 part -> out of scope entirely
+            (4, 4, 1, 1, 1.0, 99.00, 0.0, 0.0, "N", "O", d),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp_ntz",
+    )
+    r = small_quantity_revenue(li, part, brand="Brand#2").collect()[0]
+    assert (r.total_price_c, r.n_lines) == (1100, 1)
+    assert r.avg_yearly_r9 == round(1100 / 700.0, 9)
+
+
+def test_suppliers_kept_waiting_sole_returner(spark):
+    from louvain_fast_move_cuda_spark.operators.tpch import suppliers_kept_waiting
+
+    _, _, _, supp, nation, region = _mini_warehouse(spark)
+    orders = spark.createDataFrame(
+        [(1, 1, "F", 1.0, None, "5-LOW"), (2, 1, "F", 1.0, None, "5-LOW"),
+         (3, 1, "O", 1.0, None, "5-LOW")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [
+            # order 1: s7 returns, s8 present, s8 does NOT return -> s7 waits
+            (1, 7, "R"), (1, 8, "N"),
+            # order 2: both return -> nobody counts (n_ret_supp = 2)
+            (2, 7, "R"), (2, 9, "R"),
+            # order 3: status O -> excluded
+            (3, 7, "R"), (3, 8, "N"),
+        ],
+        "l_orderkey long, l_suppkey long, l_returnflag string",
+    )
+    rows = suppliers_kept_waiting(
+        supp, li, orders, nation, region, region_name="ASIA"
+    ).collect()
+    assert [(r.s_name, r.numwait) for r in rows] == [("s7", 1)]
+
+
+def test_global_sales_opportunity_exact_avg(spark):
+    from louvain_fast_move_cuda_spark.operators.tpch import global_sales_opportunity
+
+    cust = spark.createDataFrame(
+        [
+            (1, "c1", 1, 100.00, "X"),   # above avg, no urgent orders -> counted
+            (2, "c2", 1, 10.00, "X"),    # below avg
+            (3, "c3", 1, 90.00, "X"),    # above avg but HAS an urgent order
+            (4, "c4", 2, 500.00, "X"),   # nation not in set
+            (5, "c5", 1, -50.00, "X"),   # negative: excluded from avg pool
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(1, 3, "O", 1.0, None, "1-URGENT"), (2, 1, "O", 1.0, None, "5-LOW")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string",
+    )
+    # pool nations {1}: positive balances 100, 10, 90 -> avg 66.67;
+    # above: c1 (100), c3 (90); c3 drops on the urgent anti-join
+    rows = global_sales_opportunity(cust, orders, nationkeys=(1,)).collect()
+    assert [(r.c_nationkey, r.numcust, r.totacctbal_c) for r in rows] == [
+        (1, 1, 10000)
+    ]
