@@ -1577,6 +1577,38 @@ def q_quad_census(spark, sf_dir):
     return quad_census(g)
 
 
+def q_triad_census(spark, sf_dir):
+    """Full 16-type directed triad census over the raw link graph —
+    connected triads enumerated via the wedge pass, the sparse types
+    (003/012/102) closed by exact integer subtraction identities."""
+    from louvain_fast_move_cuda_spark.operators.triads import triad_census
+    from louvain_fast_move_cuda_spark.sources.edges import (
+        derive_edges_from_transcripts,
+    )
+
+    t, _, _ = _graph(spark, sf_dir)
+    return triad_census(derive_edges_from_transcripts(t))
+
+
+def q_densest_subgraph(spark, sf_dir):
+    """Greedy-peel densest-subgraph approximation (Bahmani et al.,
+    eps=1/2): per-round (n, e, density) trace with the 3-approx best
+    round flagged; the removal rule is exact-integer (deg*n <= 3e)."""
+    from louvain_fast_move_cuda_spark.operators.graphstats import densest_subgraph
+
+    _, _, g = _graph(spark, sf_dir)
+    return densest_subgraph(g, max_rounds=32)
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping fixed-token-window chunking of every document
+    (window 32, stride 24) with MD5 chunk identities — the standard
+    pre-training / retrieval preprocessing projection (zero-shuffle)."""
+    from louvain_fast_move_cuda_spark.operators.curation import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), window=32, stride=24)
+
+
 def q_events_cube(spark, sf_dir):
     from louvain_fast_move_cuda_spark.operators.temporal import events_cube
 
@@ -2340,6 +2372,7 @@ _DRIVER_SAMPLE_PRIORITY = [
     # replay) and the grouped HLL distinct sketch
     "streaming_cc", "streaming_triangles", "hll_distinct", "streaming_hll",
     "scc_users", "semantic_dedup", "streaming_cms", "cms_heavy_hitters",
+    "triad_census", "densest_subgraph", "doc_chunks",
     # never driver-sampled curation / text / similarity operators
     "doc_communities", "winnow_fingerprints", "top_terms", "rarity_scores",
     "decontaminate", "dup_spans", "hash_split", "lang_confusion",
@@ -2396,6 +2429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         "tool_cooccurrence": q_tool_cooccurrence,
         "quad_census": q_quad_census,
+        "triad_census": q_triad_census,
+        "densest_subgraph": q_densest_subgraph,
+        "doc_chunks": q_doc_chunks,
         "events_cube": q_events_cube,
         "double_sweep": q_double_sweep,
         "table_profile": q_table_profile,
@@ -3476,6 +3512,124 @@ we{r + 1} AS MATERIALIZED (
     return f"{_GRAPH_CTE},{_WEIGHTED_GRAPH_CTE}\n" + ",\n".join(parts) + "\n" + union
 
 
+def _triad_sql() -> str:
+    """Mirror operators/triads.py::triad_census — the 64-entry
+    pattern->type lookup is the SAME Python constant the Spark operator
+    uses (generated by brute-force isomorphism at import), inlined here
+    as a VALUES table; every count is an exact BIGINT, the sparse types
+    closed by the identical subtraction identities."""
+    from louvain_fast_move_cuda_spark.operators.triads import (
+        TRIAD_LOOKUP,
+        TRIAD_TYPES,
+    )
+
+    lut_rows = ", ".join(
+        f"({p}, '{t}')" for p, t in enumerate(TRIAD_LOOKUP)
+    )
+    spine_rows = ", ".join(
+        f"('{t}')" for t in TRIAD_TYPES if t not in ("003", "012", "102")
+    )
+    return f"""
+{_GRAPH_CTE},
+dd AS MATERIALIZED (SELECT DISTINCT a, b FROM rawpairs WHERE a <> b),
+u AS MATERIALIZED (
+  SELECT least(a, b) AS x, greatest(a, b) AS y,
+         max(CASE WHEN a < b THEN 1 ELSE 0 END)
+           + 2 * max(CASE WHEN a > b THEN 1 ELSE 0 END) AS code
+  FROM dd GROUP BY 1, 2
+),
+tverts AS (SELECT DISTINCT v FROM (SELECT a AS v FROM dd UNION ALL SELECT b FROM dd)),
+tadj AS (SELECT x AS v, y AS w FROM u UNION ALL SELECT y AS v, x AS w FROM u),
+tri AS MATERIALIZED (
+  SELECT DISTINCT least(a1.w, a2.w, a1.v) AS i,
+         a1.v + a1.w + a2.w - least(a1.w, a2.w, a1.v) - greatest(a1.w, a2.w, a1.v) AS j,
+         greatest(a1.w, a2.w, a1.v) AS k
+  FROM tadj a1 JOIN tadj a2 ON a1.v = a2.v AND a1.w < a2.w
+),
+coded AS MATERIALIZED (
+  SELECT coalesce(u1.code, 0) + 4 * coalesce(u2.code, 0) + 16 * coalesce(u3.code, 0) AS pattern,
+         (CASE WHEN u1.code IN (1, 2) THEN 1 ELSE 0 END
+          + CASE WHEN u2.code IN (1, 2) THEN 1 ELSE 0 END
+          + CASE WHEN u3.code IN (1, 2) THEN 1 ELSE 0 END) AS n_asym,
+         (CASE WHEN u1.code = 3 THEN 1 ELSE 0 END
+          + CASE WHEN u2.code = 3 THEN 1 ELSE 0 END
+          + CASE WHEN u3.code = 3 THEN 1 ELSE 0 END) AS n_mut
+  FROM tri
+  LEFT JOIN u u1 ON tri.i = u1.x AND tri.j = u1.y
+  LEFT JOIN u u2 ON tri.i = u2.x AND tri.k = u2.y
+  LEFT JOIN u u3 ON tri.j = u3.x AND tri.k = u3.y
+),
+lut(pattern, triad_type) AS (VALUES {lut_rows}),
+enumc AS MATERIALIZED (
+  SELECT l.triad_type, CAST(count(*) AS BIGINT) AS n
+  FROM coded c JOIN lut l USING (pattern) GROUP BY 1
+),
+scal AS MATERIALIZED (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM tverts) AS nv,
+         (SELECT CAST(coalesce(sum(CASE WHEN code = 3 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM u) AS mm,
+         (SELECT CAST(coalesce(sum(CASE WHEN code <> 3 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM u) AS aa,
+         (SELECT CAST(coalesce(sum(n_asym), 0) AS BIGINT) FROM coded) AS asym_in,
+         (SELECT CAST(coalesce(sum(n_mut), 0) AS BIGINT) FROM coded) AS mut_in,
+         (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM enumc) AS enum_total
+),
+spine(triad_type) AS (VALUES {spine_rows})
+SELECT s.triad_type, CAST(coalesce(e.n, 0) AS BIGINT) AS n
+FROM spine s LEFT JOIN enumc e USING (triad_type)
+UNION ALL
+SELECT '012', CAST(aa * (nv - 2) - asym_in AS BIGINT) FROM scal
+UNION ALL
+SELECT '102', CAST(mm * (nv - 2) - mut_in AS BIGINT) FROM scal
+UNION ALL
+SELECT '003', CAST(nv * (nv - 1) * (nv - 2) // 6 - enum_total
+                   - (aa * (nv - 2) - asym_in)
+                   - (mm * (nv - 2) - mut_in) AS BIGINT) FROM scal
+"""
+
+
+def _densest_sql(rounds: int = 32) -> str:
+    """Unroll operators/graphstats.py::densest_subgraph — per round one
+    degree agg, one (n, e) scalar, and the INTEGER removal rule
+    deg*n <= 3*e (no float in the survivor-set computation, so the
+    trace is engine-exact); rows are emitted only for non-empty rounds,
+    and the max-density flag breaks ties by round index exactly like
+    the Spark window."""
+    parts = [
+        "g0 AS MATERIALIZED (SELECT src, dst FROM sym)",
+    ]
+    emits = []
+    for r in range(rounds):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT src AS v, count(*) AS d FROM g{r} GROUP BY 1)"
+        )
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(d), 0) // 2 AS BIGINT) AS e FROM d{r})"""
+        )
+        parts.append(
+            f"k{r} AS MATERIALIZED (SELECT v FROM d{r}, s{r} WHERE d * n > 3 * e)"
+        )
+        parts.append(
+            f"""g{r + 1} AS MATERIALIZED (
+  SELECT g.src, g.dst FROM g{r} g
+  JOIN k{r} a ON g.src = a.v JOIN k{r} b ON g.dst = b.v)"""
+        )
+        emits.append(
+            f"SELECT {r} AS round, n AS n_vertices, e AS n_edges,"
+            f" round(CAST(e AS DOUBLE) / CAST(n AS DOUBLE), 9) AS density_r9"
+            f" FROM s{r} WHERE n > 0"
+        )
+    body = "\nUNION ALL\n".join(emits)
+    return f"""
+{_GRAPH_CTE},
+{", ".join(parts)},
+trace AS ({body})
+SELECT CAST(round AS INTEGER) AS round, n_vertices, n_edges, density_r9,
+       row_number() OVER (ORDER BY density_r9 DESC, round ASC) = 1 AS is_best
+FROM trace
+"""
+
+
 def _coreness_sql(rounds: int = 16) -> str:
     """Unroll operators/graphstats.py::coreness — per round one
     neighbor-value join + one per-vertex h-index window (max of
@@ -4516,6 +4670,32 @@ codeg AS (
 SELECT CAST(sum(c) AS BIGINT) AS n_wedges,
        CAST(sum(c * (c - 1) // 2) // 2 AS BIGINT) AS n_four_cycles
 FROM codeg
+""",
+        "triad_census": _triad_sql(),
+        "densest_subgraph": _densest_sql(rounds=32),
+        # token-window chunking — list ops mirror Spark's split/slice
+        # exactly; md5 is lowercase hex in both engines
+        "doc_chunks": r"""
+WITH cbase AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'),
+                     x -> len(x) > 0) AS ts
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, ts,
+         CASE WHEN len(ts) <= 32 THEN 1
+              ELSE 1 + (len(ts) - 32 + 23) // 24 END AS n_chunks
+  FROM cbase
+),
+ex AS (
+  SELECT doc_id, ts, unnest(range(0, n_chunks)) AS ci FROM sized
+)
+SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+       CAST(ci * 24 AS INTEGER) AS start_tok,
+       CAST(len(list_slice(ts, ci * 24 + 1, ci * 24 + 32)) AS INTEGER) AS n_toks,
+       md5(array_to_string(list_slice(ts, ci * 24 + 1, ci * 24 + 32), ' ')) AS chunk_hash
+FROM ex
 """,
         # per-tool result-consumption latency — exact integer micros
         "tool_latency": f"""

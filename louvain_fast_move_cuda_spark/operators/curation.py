@@ -415,3 +415,60 @@ def curation_verdicts(
         verdict.alias("verdict"),
         (verdict == F.lit("keep")).cast("int").alias("keep"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame, window: int = 32, stride: int = 24
+) -> DataFrame:
+    """(doc_id, chunk_idx, start_tok, n_toks, chunk_hash) — overlapping
+    fixed-size token-window chunking, the standard pre-training /
+    retrieval preprocessing step that `sequence_pack` consumes
+    downstream: each document is split into windows of ``window``
+    whitespace tokens advancing by ``stride`` (overlap = window -
+    stride), the last window clipped at the document end. Chunk
+    identity is the MD5 of the space-rejoined token span — both engines
+    produce identical lowercase-hex digests, so cross-chunk exact dedup
+    composes directly (groupBy chunk_hash).
+
+    Chunk count is exact-integer: 1 for docs of <= ``window`` tokens,
+    else ``1 + ceil((n - window) / stride)`` — every token lands in at
+    least one chunk, no chunk starts past the end.
+
+    Scale: tokenize + sequence + posexplode only — output rows =
+    sum(n_chunks) ~ |corpus| / stride, never quadratic; no shuffle at
+    all (a pure per-row projection), so the operator inherits the
+    scan's partitioning at any corpus size.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.length(x) > 0
+    )
+    n = F.size("ts")
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.lit(1) + (n - window + (stride - 1)).cast("long") / stride
+    ).cast("long")
+    base = docs.select(
+        "doc_id",
+        toks.alias("ts"),
+        F.sequence(
+            F.lit(0),
+            ((n_chunks - 1) * stride).cast("int"),
+            F.lit(stride),
+        ).alias("starts"),
+    )
+    ch = base.select(
+        "doc_id",
+        F.posexplode("starts").alias("chunk_idx", "start_tok"),
+        F.col("ts"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.slice("ts", F.col("start_tok") + 1, window).alias("chunk"),
+    )
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.size("chunk").alias("n_toks"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_hash"),
+    )

@@ -253,3 +253,47 @@ def test_curation_verdicts_first_failing_gate(spark):
     assert (got[3].verdict, got[3].has_pii) == ("pii", 1)
     assert (got[4].verdict, got[4].lang_pred) == ("lang", "es")
     assert sum(r.keep for r in got.values()) == 1
+
+
+def test_chunk_documents_windows_and_hashes(spark):
+    import hashlib
+
+    from louvain_fast_move_cuda_spark.operators.curation import chunk_documents
+
+    toks = [f"t{i}" for i in range(80)]
+    df = spark.createDataFrame(
+        [(0, " ".join(toks)), (1, "a  b"), (2, "   "), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        tuple(r) for r in chunk_documents(df, window=32, stride=24).collect()
+    )
+
+    def md5(ts):
+        return hashlib.md5(" ".join(ts).encode()).hexdigest()
+
+    # 80 tokens -> 1 + ceil(48/24) = 3 chunks at starts 0/24/48
+    want = [
+        (0, 0, 0, 32, md5(toks[0:32])),
+        (0, 1, 24, 32, md5(toks[24:56])),
+        (0, 2, 48, 32, md5(toks[48:80])),
+        (1, 0, 0, 2, md5(["a", "b"])),        # multi-space collapses
+        (2, 0, 0, 0, md5([])),                # empty doc -> empty chunk
+        (3, 0, 0, 1, md5(["solo"])),
+    ]
+    assert rows == sorted(want)
+    # every token is covered: last start + window >= n for every doc
+    assert max(r[2] for r in rows if r[0] == 0) + 32 >= 80
+
+
+def test_chunk_documents_exact_dedup_composes(spark):
+    from louvain_fast_move_cuda_spark.operators.curation import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(0, text), (1, text)], "doc_id long, text string"
+    )
+    ch = chunk_documents(df, window=32, stride=24)
+    dup = ch.groupBy("chunk_hash").count().filter("count > 1")
+    # both docs produce the identical 2 chunks -> 2 duplicated hashes
+    assert dup.count() == 2

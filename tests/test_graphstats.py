@@ -443,3 +443,49 @@ def test_s_core_weighted_peel_by_hand(spark):
     # s=2: everything survives (triangle strength 2, pendant 3)
     got2 = {r.id: r.core_strength for r in s_core(g, s=2).collect()}
     assert got2 == {0: 2, 1: 2, 2: 2, 3: 3, 4: 3}
+
+
+def test_densest_subgraph_trace_matches_python_peel(spark):
+    from louvain_fast_move_cuda_spark.operators.graphstats import densest_subgraph
+
+    edges = powerlaw_graph(n=150, m_attach=3, seed=13)
+    g = _gt(spark, edges)
+
+    # independent single-process peel with the identical integer rule
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    trace = []
+    while und:
+        deg = defaultdict(int)
+        for a, b in und:
+            deg[a] += 1
+            deg[b] += 1
+        n, e = len(deg), len(und)
+        trace.append((n, e))
+        keep = {v for v, d in deg.items() if d * n > 3 * e}
+        und = {(a, b) for a, b in und if a in keep and b in keep}
+
+    rows = sorted(densest_subgraph(g).collect(), key=lambda r: r["round"])
+    assert [(r["n_vertices"], r["n_edges"]) for r in rows] == trace
+    for r in rows:
+        assert abs(r["density_r9"] - round(r["n_edges"] / r["n_vertices"], 9)) < 1e-12
+    best = [r for r in rows if r["is_best"]]
+    assert len(best) == 1
+    top = max(trace, key=lambda t: (t[1] / t[0], -trace.index(t)))
+    assert (best[0]["n_vertices"], best[0]["n_edges"]) == top
+
+
+def test_densest_subgraph_resumes_from_checkpoint(spark, tmp_path):
+    from louvain_fast_move_cuda_spark.operators.graphstats import densest_subgraph
+    from louvain_fast_move_cuda_spark.plans.checkpoint import (
+        VertexIterationCheckpointer,
+    )
+
+    edges = powerlaw_graph(n=120, m_attach=3, seed=5)
+    g = _gt(spark, edges)
+    want = sorted(tuple(r) for r in densest_subgraph(g).collect())
+
+    # run 1: budget only the first round, then resume with a fresh call
+    ck = VertexIterationCheckpointer(str(tmp_path / "ds"), "densest")
+    densest_subgraph(g, max_rounds=1, checkpointer=ck).collect()
+    got = sorted(tuple(r) for r in densest_subgraph(g, checkpointer=ck).collect())
+    assert got == want
