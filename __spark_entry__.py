@@ -1052,6 +1052,17 @@ def q_pagerank_personalized(spark, sf_dir):
     return pr.select("id", F.round("rank", 9).alias("rank_r9"))
 
 
+def q_ppr_sweep_cut(spark, sf_dir):
+    """Andersen-Chung-Lang local community: sweep the top-256 PPR
+    prefix (seeds vid % 97 == 0), exact-int vol/cut cumsums, flag the
+    minimum-conductance prefix."""
+    from louvain_fast_move_cuda_spark.operators.pagerank import ppr_sweep_cut
+
+    _, _, g = _graph(spark, sf_dir)
+    seeds = g.vertices.select("id").filter(F.col("id") % 97 == 0)
+    return ppr_sweep_cut(g, seeds, alpha=0.85, max_iter=20, max_prefix=256)
+
+
 def q_random_walks(spark, sf_dir):
     _, _, g = _graph(spark, sf_dir)
     return random_walks(g, length=8, seed_mod=7, salt=0)
@@ -1598,6 +1609,16 @@ def q_densest_subgraph(spark, sf_dir):
 
     _, _, g = _graph(spark, sf_dir)
     return densest_subgraph(g, max_rounds=32)
+
+
+def q_boilerplate_ngrams(spark, sf_dir):
+    """Per-source boilerplate trigram detection: df >= 2 and df/n_docs
+    >= 1/20 (exact rational test), top-20 per source."""
+    from louvain_fast_move_cuda_spark.operators.curation import boilerplate_ngrams
+
+    return boilerplate_ngrams(
+        _docs(spark, sf_dir), n=3, min_docs=2, frac_num=1, frac_den=20, top_k=20
+    )
 
 
 def q_doc_chunks(spark, sf_dir):
@@ -2372,7 +2393,8 @@ _DRIVER_SAMPLE_PRIORITY = [
     # replay) and the grouped HLL distinct sketch
     "streaming_cc", "streaming_triangles", "hll_distinct", "streaming_hll",
     "scc_users", "semantic_dedup", "streaming_cms", "cms_heavy_hitters",
-    "triad_census", "densest_subgraph", "doc_chunks",
+    "triad_census", "densest_subgraph", "doc_chunks", "ppr_sweep_cut",
+    "boilerplate_ngrams",
     # never driver-sampled curation / text / similarity operators
     "doc_communities", "winnow_fingerprints", "top_terms", "rarity_scores",
     "decontaminate", "dup_spans", "hash_split", "lang_confusion",
@@ -2432,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triad_census": q_triad_census,
         "densest_subgraph": q_densest_subgraph,
         "doc_chunks": q_doc_chunks,
+        "boilerplate_ngrams": q_boilerplate_ngrams,
         "events_cube": q_events_cube,
         "double_sweep": q_double_sweep,
         "table_profile": q_table_profile,
@@ -2499,6 +2522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_fixed20": q_pagerank_fixed20,
         "pagerank_directed": q_pagerank_directed,
         "pagerank_personalized": q_pagerank_personalized,
+        "ppr_sweep_cut": q_ppr_sweep_cut,
         # partition-quality diagnostics + link prediction + embedding-
         # training inputs (walk corpus / GNN neighbor sampling)
         "community_metrics": q_community_metrics,
@@ -3019,6 +3043,81 @@ pr{i + 1} AS MATERIALIZED (
         f"{_GRAPH_CTE},\n"
         + ",\n".join(parts)
         + f"\nSELECT id, round(rank, 9) AS rank_r9 FROM pr{iters}"
+    )
+
+
+def _ppr_sweep_sql(
+    iters: int = 20, seed_mod: int = 97, max_prefix: int = 256
+) -> str:
+    """Unroll operators/pagerank.py::ppr_sweep_cut — the identical PPR
+    superstep unroll as _ppr_sql, then the Andersen-Chung-Lang sweep:
+    prefix order (r9-rounded rank DESC, id ASC), exact-int window
+    cumsums for volume and internal edges (half-edge counted at its
+    later endpoint position), one r9 division for conductance, argmin
+    ties broken by prefix length."""
+    parts = [
+        f"ns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg WHERE id % {seed_mod} = 0)",
+        f"""pv AS MATERIALIZED (
+  SELECT id, CASE WHEN id % {seed_mod} = 0 THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS p
+  FROM deg)""",
+        """shares AS MATERIALIZED (
+  SELECT s.src, s.dst, s.weight / d.k AS share FROM sym s JOIN deg d ON s.src = d.id)""",
+        "pr0 AS MATERIALIZED (SELECT id, p AS rank FROM pv)",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT sh.dst AS id, sum(sh.share * p.rank) AS insum
+  FROM shares sh JOIN pr{i} p ON sh.src = p.id GROUP BY sh.dst),
+pr{i + 1} AS MATERIALIZED (
+  SELECT d.id, (1.0 - 0.85) * d.p + 0.85 * coalesce(c.insum, 0.0) AS rank
+  FROM pv d LEFT JOIN c{i} c ON d.id = c.id)"""
+        )
+    parts.append(
+        f"""pref AS MATERIALIZED (
+  SELECT id, kpos FROM (
+    SELECT id, row_number() OVER (ORDER BY round(rank, 9) DESC, id ASC) AS kpos
+    FROM pr{iters} WHERE round(rank, 9) > 0)
+  WHERE kpos <= {max_prefix})"""
+    )
+    parts.append(
+        "cdeg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM sym GROUP BY 1)"
+    )
+    parts.append(
+        "tot AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS two_e FROM sym)"
+    )
+    parts.append(
+        """mrc AS MATERIALIZED (
+  SELECT greatest(o1.kpos, o2.kpos) AS mr, count(*) AS c
+  FROM sym e JOIN pref o1 ON e.src = o1.id JOIN pref o2 ON e.dst = o2.id
+  WHERE e.src < e.dst GROUP BY 1)"""
+    )
+    parts.append(
+        """swp AS MATERIALIZED (
+  SELECT p.kpos AS k, p.id,
+         CAST(sum(coalesce(cd.d, 0)) OVER (ORDER BY p.kpos) AS BIGINT) AS vol,
+         CAST(sum(coalesce(m.c, 0)) OVER (ORDER BY p.kpos) AS BIGINT) AS inte
+  FROM pref p LEFT JOIN cdeg cd ON p.id = cd.id LEFT JOIN mrc m ON p.kpos = m.mr)"""
+    )
+    parts.append(
+        """fin AS MATERIALIZED (
+  SELECT k, id, vol, CAST(vol - 2 * inte AS BIGINT) AS cut,
+         least(vol, (SELECT two_e FROM tot) - vol) AS denom
+  FROM swp)"""
+    )
+    return (
+        f"{_GRAPH_CTE},\n"
+        + ",\n".join(parts)
+        + """
+SELECT CAST(k AS INTEGER) AS k, id, vol, cut,
+       CASE WHEN denom > 0
+            THEN round(CAST(cut AS DOUBLE) / CAST(denom AS DOUBLE), 9) END AS conductance_r9,
+       row_number() OVER (
+         ORDER BY CASE WHEN denom > 0
+                       THEN round(CAST(cut AS DOUBLE) / CAST(denom AS DOUBLE), 9)
+                  END ASC NULLS LAST, k ASC) = 1 AS is_best
+FROM fin
+"""
     )
 
 
@@ -4456,6 +4555,7 @@ SELECT v.community, v.n_vertices, v.volume,
 FROM vol v LEFT JOIN intra i ON v.community = i.community
 """,
         "pagerank_personalized": _ppr_sql(iters=20, seed_mod=97),
+        "ppr_sweep_cut": _ppr_sweep_sql(iters=20, seed_mod=97, max_prefix=256),
         "random_walks": _walks_sql(length=8, seed_mod=7, salt=0),
         "skipgram_pairs": _walks_sql(length=8, seed_mod=7, salt=0, pairs_window=2),
         "weighted_random_walks": _wwalks_sql(length=8, seed_mod=7, salt=0),
@@ -4696,6 +4796,30 @@ SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
        CAST(len(list_slice(ts, ci * 24 + 1, ci * 24 + 32)) AS INTEGER) AS n_toks,
        md5(array_to_string(list_slice(ts, ci * 24 + 1, ci * 24 + 32), ' ')) AS chunk_hash
 FROM ex
+""",
+        # per-source boilerplate trigrams — exact rational threshold,
+        # one r9 division per emitted row
+        "boilerplate_ngrams": f"""
+WITH {_grams_sql(3)},
+dg AS (SELECT DISTINCT doc_id, gram FROM grams),
+bsrc AS (SELECT doc_id, source FROM documents),
+bnd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+bdf AS (
+  SELECT s.source, d.gram, CAST(count(*) AS BIGINT) AS df
+  FROM dg d JOIN bsrc s USING (doc_id) GROUP BY 1, 2
+),
+bbl AS (
+  SELECT f.source, f.gram, f.df, n.n_docs
+  FROM bdf f JOIN bnd n USING (source)
+  WHERE f.df >= 2 AND f.df * 20 >= n.n_docs * 1
+),
+brk AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY df DESC, gram ASC) AS rank
+  FROM bbl
+)
+SELECT source, gram, df, n_docs, CAST(rank AS INTEGER) AS rank,
+       round(CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE), 9) AS frac_r9
+FROM brk WHERE rank <= 20
 """,
         # per-tool result-consumption latency — exact integer micros
         "tool_latency": f"""

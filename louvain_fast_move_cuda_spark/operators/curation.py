@@ -472,3 +472,58 @@ def chunk_documents(
         F.size("chunk").alias("n_toks"),
         F.md5(F.array_join("chunk", " ")).alias("chunk_hash"),
     )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    min_docs: int = 2,
+    frac_num: int = 1,
+    frac_den: int = 20,
+    top_k: int = 20,
+) -> DataFrame:
+    """(source, gram, df, n_docs, rank, frac_r9) — per-source
+    boilerplate detection: the ``n``-grams that recur across an
+    unusually large share of one source's documents (headers, footers,
+    navigation chrome, license blurbs). A gram is boilerplate when its
+    document frequency df >= ``min_docs`` AND
+    ``df * frac_den >= n_docs * frac_num`` (the threshold is a RATIONAL
+    compared in exact int64 — no float ever enters the decision, so the
+    selected set is engine-exact); the top ``top_k`` per source are
+    ranked by (df DESC, gram ASC).
+
+    Scale: one distinct over (doc, gram) — each gram counted once per
+    doc so a gram repeated inside one doc can't fake corpus-level
+    boilerplate — then a (source, gram) count. The heavy side shuffles
+    once on the gram key; the per-source doc counts are a broadcast-
+    sized dimension. The rank window partitions by source, never
+    global. Downstream: anti-join documents' grams against this table
+    to strip chrome before quality scoring.
+    """
+    from pyspark.sql import Window
+
+    dg = doc_ngrams(docs, n).select("doc_id", "gram").distinct()
+    src = docs.select("doc_id", "source")
+    nd = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    dfx = (
+        dg.join(src, "doc_id")
+        .groupBy("source", "gram")
+        .agg(F.count("*").alias("df"))
+    )
+    bl = dfx.join(F.broadcast(nd), "source").filter(
+        (F.col("df") >= min_docs)
+        & (F.col("df") * frac_den >= F.col("n_docs") * frac_num)
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("df"), F.asc("gram"))
+    return (
+        bl.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "source",
+            "gram",
+            "df",
+            "n_docs",
+            "rank",
+            F.round(F.col("df") / F.col("n_docs"), 9).alias("frac_r9"),
+        )
+    )

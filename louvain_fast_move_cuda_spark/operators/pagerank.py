@@ -281,3 +281,94 @@ def directed_pagerank(
         # the next round's dangling scalar
         dang = ranks.filter(F.col("od") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
     return ranks.select("id", F.round("rank", 9).alias("rank_r9"))
+
+
+def ppr_sweep_cut(
+    graph: GraphTables,
+    seeds: DataFrame,
+    alpha: float = 0.85,
+    max_iter: int = 20,
+    max_prefix: int = 256,
+) -> DataFrame:
+    """(k, id, vol, cut, conductance_r9, is_best) — the Andersen-Chung-
+    Lang local-community sweep cut over personalized PageRank: order
+    vertices by PPR score, then for every prefix of the top
+    ``max_prefix`` compute its volume (sum of degrees), cut (edges
+    leaving the prefix) and conductance cut/min(vol, 2m - vol); the
+    minimum-conductance prefix (ties -> smallest) is the local
+    community around the seed set and is flagged ``is_best``.
+
+    Determinism: ordering is (r9-rounded rank DESC, id ASC) — the same
+    rounding contract as the PPR oracle, so both engines walk the
+    identical prefix sequence; vol/cut are exact int64 window cumsums
+    (internal edges counted once via the max-endpoint-position trick:
+    a half-edge is inside prefix k iff max(pos_u, pos_v) <= k), and
+    conductance is one exact-int division, r9-rounded.
+
+    Scale: the PPR loop is the dominant cost (one shuffle join per
+    superstep, see :func:`personalized_pagerank`); the sweep itself
+    touches only the top ``max_prefix`` vertices and their incident
+    edges — the global window runs over <= max_prefix rows, never the
+    full graph. Zero conductance-eligible prefixes (isolated seeds)
+    yield NULL conductance and sort last for the argmin.
+    """
+    from pyspark.sql import Window
+
+    pr = personalized_pagerank(graph, seeds, alpha=alpha, max_iter=max_iter, tol=0.0)
+    ranked = (
+        pr.select("id", F.round("rank", 9).alias("r9"))
+        .filter(F.col("r9") > 0)
+        .withColumn(
+            "k",
+            F.row_number().over(Window.orderBy(F.desc("r9"), F.asc("id"))),
+        )
+        .filter(F.col("k") <= max_prefix)
+        .localCheckpoint(eager=True)
+    )
+    cdeg = graph.edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("d")
+    )
+    two_e = graph.edges.agg(F.count("*").alias("two_e"))
+    # half-edges fully inside the prefix universe, keyed by the LATER
+    # endpoint position — cumulative count = internal(k)
+    half = graph.edges.filter(F.col("src") < F.col("dst"))
+    pos_s = ranked.select(F.col("id").alias("src"), F.col("k").alias("ks"))
+    pos_d = ranked.select(F.col("id").alias("dst"), F.col("k").alias("kd"))
+    mrc = (
+        half.join(pos_s, "src")
+        .join(pos_d, "dst")
+        .select(F.greatest("ks", "kd").alias("mr"))
+        .groupBy("mr")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy("k")
+    swept = (
+        ranked.join(cdeg, "id", "left")
+        .join(mrc, ranked["k"] == mrc["mr"], "left")
+        .select(
+            "k",
+            "id",
+            F.coalesce("d", F.lit(0)).alias("d"),
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+        .withColumn("vol", F.sum("d").over(w))
+        .withColumn("internal", F.sum("c").over(w))
+        .crossJoin(F.broadcast(two_e))
+        .select(
+            "k",
+            "id",
+            F.col("vol").cast("long").alias("vol"),
+            (F.col("vol") - 2 * F.col("internal")).cast("long").alias("cut"),
+            F.least(F.col("vol"), F.col("two_e") - F.col("vol")).alias("denom"),
+        )
+    )
+    cond = F.when(
+        F.col("denom") > 0, F.round(F.col("cut") / F.col("denom"), 9)
+    )
+    wbest = Window.orderBy(
+        F.asc_nulls_last("conductance_r9"), F.asc("k")
+    )
+    return (
+        swept.select("k", "id", "vol", "cut", cond.alias("conductance_r9"))
+        .withColumn("is_best", F.row_number().over(wbest) == 1)
+    )

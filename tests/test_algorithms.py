@@ -481,3 +481,57 @@ def test_scc_budget_raises_and_resumes(spark, tmp_path_factory):
         for r in strongly_connected_components(v2, e2, checkpointer=ck2).collect()
     }
     assert first == want and resumed == want
+
+
+def test_ppr_sweep_cut_matches_python_sweep(spark):
+    from louvain_fast_move_cuda_spark.operators.pagerank import (
+        personalized_pagerank,
+        ppr_sweep_cut,
+    )
+
+    edges = powerlaw_graph(n=120, m_attach=3, seed=21)
+    g = build_graph(
+        spark.createDataFrame(edges, "a long, b long"), relabel=False
+    )
+    seeds = g.vertices.select("id").filter("id % 11 = 0")
+
+    # independent sweep from the SAME rounded PPR scores
+    pr = {
+        r["id"]: round(r["rank"], 9)
+        for r in personalized_pagerank(g, seeds, max_iter=20).collect()
+    }
+    order = sorted(
+        (v for v, s in pr.items() if s > 0), key=lambda v: (-pr[v], v)
+    )[:64]
+    pos = {v: i + 1 for i, v in enumerate(order)}
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    deg = defaultdict(int)
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    two_e = 2 * len(und)
+    want, vol, internal = [], 0, 0
+    by_mr = defaultdict(int)
+    for a, b in und:
+        if a in pos and b in pos:
+            by_mr[max(pos[a], pos[b])] += 1
+    for kpos, v in enumerate(order, start=1):
+        vol += deg[v]
+        internal += by_mr.get(kpos, 0)
+        cut = vol - 2 * internal
+        denom = min(vol, two_e - vol)
+        cond = round(cut / denom, 9) if denom > 0 else None
+        want.append((kpos, v, vol, cut, cond))
+
+    rows = sorted(
+        ppr_sweep_cut(g, seeds, max_iter=20, max_prefix=64).collect(),
+        key=lambda r: r["k"],
+    )
+    got = [
+        (r["k"], r["id"], r["vol"], r["cut"], r["conductance_r9"]) for r in rows
+    ]
+    assert got == want
+    best = [r for r in rows if r["is_best"]]
+    assert len(best) == 1
+    finite = [w for w in want if w[4] is not None]
+    assert best[0]["k"] == min(finite, key=lambda w: (w[4], w[0]))[0]

@@ -297,3 +297,57 @@ def test_chunk_documents_exact_dedup_composes(spark):
     dup = ch.groupBy("chunk_hash").count().filter("count > 1")
     # both docs produce the identical 2 chunks -> 2 duplicated hashes
     assert dup.count() == 2
+
+
+def test_boilerplate_ngrams_detects_planted_chrome(spark):
+    from louvain_fast_move_cuda_spark.operators.curation import boilerplate_ngrams
+
+    chrome = "all rights reserved"
+    rows = []
+    # srcA: 8 docs, chrome in 3 (df*4 >= 8 at frac 1/4... use frac 1/4)
+    for i in range(8):
+        body = f"unique words number {i} body filler content here"
+        text = (body + " " + chrome) if i < 3 else body
+        rows.append((i, text, "srcA"))
+    # srcB: chrome in only 1 of 8 docs -> below min_docs
+    for i in range(8):
+        body = f"other base text piece {i} with more tokens"
+        text = (body + " " + chrome) if i == 0 else body
+        rows.append((100 + i, text, "srcB"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    got = boilerplate_ngrams(
+        df, n=3, min_docs=2, frac_num=1, frac_den=4, top_k=50
+    ).collect()
+    a = {(r["gram"]): r for r in got if r["source"] == "srcA"}
+    assert "all rights reserved" in a
+    r = a["all rights reserved"]
+    assert (r["df"], r["n_docs"]) == (3, 8)
+    assert abs(r["frac_r9"] - 0.375) < 1e-12
+    # srcB's single-doc chrome must not appear
+    assert not any(
+        x["source"] == "srcB" and x["gram"] == chrome for x in got
+    )
+    # ranks are 1..k contiguous per source, ordered by (df desc, gram)
+    for s in ("srcA", "srcB"):
+        rs = sorted(
+            ((x["rank"], x["df"], x["gram"]) for x in got if x["source"] == s)
+        )
+        assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
+        assert rs == sorted(rs, key=lambda t: (t[0],))
+        dfs = [(-x[1], x[2]) for x in rs]
+        assert dfs == sorted(dfs)
+
+
+def test_boilerplate_threshold_is_exact_rational(spark):
+    from louvain_fast_move_cuda_spark.operators.curation import boilerplate_ngrams
+
+    # 3 of 12 docs -> df*4 == n_docs exactly: the >= must include it
+    phrase = "exact threshold case"
+    rows = [
+        (i, (f"pad{i} filler body words " + (phrase if i < 3 else "nothing")), "s")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = boilerplate_ngrams(df, n=3, min_docs=2, frac_num=1, frac_den=4).collect()
+    assert any(r["gram"] == phrase for r in got)
