@@ -315,14 +315,18 @@ def ppr_sweep_cut(
     from pyspark.sql import Window
 
     pr = personalized_pagerank(graph, seeds, alpha=alpha, max_iter=max_iter, tol=0.0)
+    # top-k via orderBy().limit() — Spark plans this as TakeOrderedAnd-
+    # Project (per-partition heaps + driver merge), NOT a global sort;
+    # the rank-assignment window then runs over <= max_prefix rows only
     ranked = (
         pr.select("id", F.round("rank", 9).alias("r9"))
         .filter(F.col("r9") > 0)
+        .orderBy(F.desc("r9"), F.asc("id"))
+        .limit(max_prefix)
         .withColumn(
             "k",
             F.row_number().over(Window.orderBy(F.desc("r9"), F.asc("id"))),
         )
-        .filter(F.col("k") <= max_prefix)
         .localCheckpoint(eager=True)
     )
     cdeg = graph.edges.groupBy(F.col("src").alias("id")).agg(

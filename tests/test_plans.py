@@ -548,3 +548,25 @@ def test_new_graph_operator_plans_jvm_only(spark):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_ppr_sweep_topk_is_take_ordered_not_global_sort(spark):
+    """The sweep-cut prefix selection must compile to TakeOrderedAnd-
+    Project (per-partition heaps + driver merge) — a global Sort over
+    the full vertex set would single-partition 10^12 rows."""
+    from louvain_fast_move_cuda_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+    from louvain_fast_move_cuda_spark.sources.transcripts import transcript_graph
+
+    _, _, g = transcript_graph(spark, SF_DIR)
+    seeds = g.vertices.select("id").filter(F.col("id") % 97 == 0)
+    pr = personalized_pagerank(g, seeds, max_iter=1, tol=0.0)
+    top = (
+        pr.select("id", F.round("rank", 9).alias("r9"))
+        .filter(F.col("r9") > 0)
+        .orderBy(F.desc("r9"), F.asc("id"))
+        .limit(64)
+    )
+    plan = _plan(top, "simple")
+    assert "TakeOrderedAndProject" in plan
