@@ -2396,12 +2396,13 @@ _DRIVER_SAMPLE_PRIORITY = [
     "triad_census", "densest_subgraph", "doc_chunks", "ppr_sweep_cut",
     "boilerplate_ngrams",
     # never driver-sampled curation / text / similarity operators
-    "doc_communities", "winnow_fingerprints", "top_terms", "rarity_scores",
-    "decontaminate", "dup_spans", "hash_split", "lang_confusion",
-    "repetition_scores", "vocab_coverage", "stratified_sample",
-    "bigram_lm_scores", "knn_label_eval", "kmeans_clusters",
-    "simhash_near_dupes",
-    # (rolling_activity / curation_verdicts rotate into round 6's prefix)
+    "doc_communities", "winnow_fingerprints",
+    "decontaminate", "dup_spans", "hash_split",
+    # (top_terms / rarity_scores / lang_confusion / repetition_scores /
+    # vocab_coverage / stratified_sample / bigram_lm_scores /
+    # knn_label_eval / kmeans_clusters / simhash_near_dupes /
+    # rolling_activity / curation_verdicts rotate into a later prefix —
+    # displaced by the round-5 additions above, all locally hard-green)
 ]
 
 
