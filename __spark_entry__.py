@@ -1601,6 +1601,16 @@ def q_triad_census(spark, sf_dir):
     return triad_census(derive_edges_from_transcripts(t))
 
 
+def q_clique4_count(spark, sf_dir):
+    """Exact K3 + K4 counts via degree-oriented Chiba-Nishizeki
+    listing; the oracle enumerates in plain id order — an independent
+    plan that must agree on both exact integers."""
+    from louvain_fast_move_cuda_spark.operators.triangles import clique4_count
+
+    _, _, g = _graph(spark, sf_dir)
+    return clique4_count(g)
+
+
 def q_densest_subgraph(spark, sf_dir):
     """Greedy-peel densest-subgraph approximation (Bahmani et al.,
     eps=1/2): per-round (n, e, density) trace with the 3-approx best
@@ -2394,11 +2404,11 @@ _DRIVER_SAMPLE_PRIORITY = [
     "streaming_cc", "streaming_triangles", "hll_distinct", "streaming_hll",
     "scc_users", "semantic_dedup", "streaming_cms", "cms_heavy_hitters",
     "triad_census", "densest_subgraph", "doc_chunks", "ppr_sweep_cut",
-    "boilerplate_ngrams",
+    "boilerplate_ngrams", "clique4_count",
     # never driver-sampled curation / text / similarity operators
     "doc_communities", "winnow_fingerprints",
-    "decontaminate", "dup_spans", "hash_split",
-    # (top_terms / rarity_scores / lang_confusion / repetition_scores /
+    "decontaminate", "dup_spans",
+    # (hash_split / top_terms / rarity_scores / lang_confusion / repetition_scores /
     # vocab_coverage / stratified_sample / bigram_lm_scores /
     # knn_label_eval / kmeans_clusters / simhash_near_dupes /
     # rolling_activity / curation_verdicts rotate into a later prefix —
@@ -2454,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quad_census": q_quad_census,
         "triad_census": q_triad_census,
         "densest_subgraph": q_densest_subgraph,
+        "clique4_count": q_clique4_count,
         "doc_chunks": q_doc_chunks,
         "boilerplate_ngrams": q_boilerplate_ngrams,
         "events_cube": q_events_cube,
@@ -4774,6 +4785,26 @@ FROM codeg
 """,
         "triad_census": _triad_sql(),
         "densest_subgraph": _densest_sql(rounds=32),
+        # K3/K4 listing in plain id order — independent of the Spark
+        # degree orientation; both exact int64
+        "clique4_count": f"""
+{_GRAPH_CTE},
+chalf AS (SELECT src AS u, dst AS v FROM sym WHERE src < dst),
+ktri AS MATERIALIZED (
+  SELECT h1.u AS a, h1.v AS b, h2.v AS c
+  FROM chalf h1
+  JOIN chalf h2 ON h1.v = h2.u
+  JOIN chalf h3 ON h3.u = h1.u AND h3.v = h2.v
+),
+k4 AS (
+  SELECT 1 AS one FROM ktri t
+  JOIN chalf e1 ON e1.u = t.c
+  JOIN chalf e2 ON e2.u = t.a AND e2.v = e1.v
+  JOIN chalf e3 ON e3.u = t.b AND e3.v = e1.v
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ktri) AS n_triangles,
+       (SELECT CAST(count(*) AS BIGINT) FROM k4) AS n_four_cliques
+""",
         # token-window chunking — list ops mirror Spark's split/slice
         # exactly; md5 is lowercase hex in both engines
         "doc_chunks": r"""

@@ -69,3 +69,41 @@ def triangles_per_vertex(graph: GraphTables) -> DataFrame:
         .join(per, "id", "left")
         .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
     )
+
+
+def clique4_count(graph: GraphTables) -> DataFrame:
+    """One row (n_triangles, n_four_cliques) — exact K3 and K4 counts.
+
+    Chiba-Nishizeki-style listing on the same degree orientation as
+    :func:`triangle_count`: an oriented triangle (a->b, b->c, a->c)
+    lists each K3 once (the orientation is a total order on any
+    vertex set); a K4 is counted once as its orientation-minimal
+    triangle extended by the orientation-maximal vertex x with all of
+    a->x, b->x, c->x present. Out-degrees are O(sqrt(m)) under the
+    degree orientation, so both the wedge join and the extension join
+    stay hub-safe on power-law graphs — no per-vertex neighborhood
+    ever self-joins at hub scale. All counts exact int64.
+    """
+    o = _oriented(graph).localCheckpoint(eager=True)
+    wedges = (
+        o.alias("e1")
+        .join(o.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    tri = wedges.join(
+        o.select(F.col("a"), F.col("b").alias("c")), ["a", "c"], "left_semi"
+    ).localCheckpoint(eager=True)
+    ext = tri.join(
+        o.select(F.col("a").alias("c"), F.col("b").alias("x")), "c"
+    )
+    k4 = (
+        ext.join(o.select(F.col("a"), F.col("b").alias("x")), ["a", "x"], "left_semi")
+        .join(o.select(F.col("a").alias("b"), F.col("b").alias("x")), ["b", "x"], "left_semi")
+    )
+    return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
+        k4.agg(F.count("*").alias("n_four_cliques"))
+    )

@@ -489,3 +489,35 @@ def test_densest_subgraph_resumes_from_checkpoint(spark, tmp_path):
     densest_subgraph(g, max_rounds=1, checkpointer=ck).collect()
     got = sorted(tuple(r) for r in densest_subgraph(g, checkpointer=ck).collect())
     assert got == want
+
+
+def test_clique4_count_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from louvain_fast_move_cuda_spark.operators.triangles import clique4_count
+
+    rng = random.Random(5)
+    nodes = range(14)
+    edges = set()
+    while len(edges) < 45:
+        a, b = rng.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+    nbrs = _adj(edges)
+    t3 = sum(
+        1
+        for t in itertools.combinations(nodes, 3)
+        if all(y in nbrs[x] for x, y in itertools.combinations(t, 2))
+    )
+    t4 = sum(
+        1
+        for t in itertools.combinations(nodes, 4)
+        if all(y in nbrs[x] for x, y in itertools.combinations(t, 2))
+    )
+    g = _gt(spark, sorted(edges))
+    r = clique4_count(g).collect()[0]
+    assert (r["n_triangles"], r["n_four_cliques"]) == (t3, t4)
+    # K4-free sanity: a 4-cycle has 0 triangles and 0 cliques
+    g2 = _gt(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    r2 = clique4_count(g2).collect()[0]
+    assert (r2["n_triangles"], r2["n_four_cliques"]) == (0, 0)
