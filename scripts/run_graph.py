@@ -8,7 +8,8 @@ Usage (packaged via scripts/submit.sh):
 --algo: pagerank | cc | lpa | triangles | hits | pagerank_directed |
         double_sweep | quad_census | mis | stress | node2vec |
         coloring | coreness | msf | closeness | matching |
-        weighted_matching | s_core
+        weighted_matching | s_core | triad_census | clique4 |
+        densest | ppr_sweep
 Input: --transcripts (transcript parquet) | --events (driver events
 table) | --edge-file (whitespace edge-list text, reference GraphHost
 ingest; with --weighted / --skip-lines).
@@ -87,6 +88,7 @@ def main():
             "mis", "stress", "node2vec",
             "coloring", "coreness", "msf", "closeness", "matching",
             "weighted_matching", "s_core",
+            "triad_census", "clique4", "densest", "ppr_sweep",
         ],
     )
     ap.add_argument("--transcripts")
@@ -100,9 +102,18 @@ def main():
     args = ap.parse_args()
 
     spark = SparkSession.builder.getOrCreate()
-    if args.algo in ("hits", "pagerank_directed"):
+    if args.algo in ("hits", "pagerank_directed", "triad_census"):
         raw = build_raw_pairs(spark, args)
         summary = {"algo": args.algo}
+        if args.algo == "triad_census":
+            from louvain_fast_move_cuda_spark.operators.triads import triad_census
+
+            out = triad_census(raw)
+            for r in out.collect():
+                summary[f"n_{r['triad_type']}"] = int(r["n"])
+            out.write.mode("overwrite").parquet(args.output)
+            print(json.dumps(summary))
+            return
         if args.algo == "hits":
             from louvain_fast_move_cuda_spark.operators.hits import hits
 
@@ -229,6 +240,39 @@ def main():
         out = closeness_centrality(g, seed_mod=101, max_hops=args.max_iter or 6)
         top = out.orderBy(F.desc("closeness_r9"), F.asc("id")).first()
         summary["top_closeness_id"] = int(top["id"]) if top is not None else None
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps(summary))
+        return
+    if args.algo == "clique4":
+        from louvain_fast_move_cuda_spark.operators.triangles import clique4_count
+
+        out = clique4_count(g)
+        r = out.collect()[0]
+        summary["n_triangles"] = int(r["n_triangles"])
+        summary["n_four_cliques"] = int(r["n_four_cliques"])
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps(summary))
+        return
+    if args.algo == "densest":
+        from louvain_fast_move_cuda_spark.operators.graphstats import densest_subgraph
+
+        out = densest_subgraph(g, max_rounds=args.max_iter or 32, checkpointer=ckpt)
+        best = out.filter("is_best").collect()[0]
+        summary["best_round"] = int(best["round"])
+        summary["best_density_r9"] = float(best["density_r9"])
+        out.write.mode("overwrite").parquet(args.output)
+        print(json.dumps(summary))
+        return
+    if args.algo == "ppr_sweep":
+        from louvain_fast_move_cuda_spark.operators.pagerank import ppr_sweep_cut
+
+        seeds = g.vertices.select("id").filter(F.col("id") % 97 == 0)
+        out = ppr_sweep_cut(g, seeds, max_iter=args.max_iter or 20, max_prefix=256)
+        best = out.filter("is_best").collect()[0]
+        summary["best_prefix"] = int(best["k"])
+        summary["best_conductance_r9"] = (
+            float(best["conductance_r9"]) if best["conductance_r9"] is not None else None
+        )
         out.write.mode("overwrite").parquet(args.output)
         print(json.dumps(summary))
         return
