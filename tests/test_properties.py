@@ -7,7 +7,7 @@ example) and deadlines off — the properties, not the volume, carry the
 value here.
 """
 
-from collections import defaultdict
+from collections import Counter, defaultdict
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -221,3 +221,82 @@ def test_msf_is_spanning_forest_of_minimum_weight(spark, edges):
             total += w
     assert len(got) == n_merges
     assert abs(sum(wsum[e] for e in got) - total) < 1e-9
+
+
+@given(edges=_edges_strategy(max_n=14))
+@_SET
+def test_triad_census_total_and_bruteforce(spark, edges):
+    """Census totals C(n,3) and every class matches the O(n^3) oracle."""
+    from itertools import combinations
+
+    from louvain_fast_move_cuda_spark.operators.triads import (
+        TRIAD_LOOKUP,
+        TRIAD_TYPES,
+        _BIT,
+        triad_census,
+    )
+
+    es = {(a, b) for a, b in edges if a != b}
+    used = sorted({v for e in es for v in e})
+    df = spark.createDataFrame(sorted(es), "a long, b long")
+    got = {r["triad_type"]: r["n"] for r in triad_census(df).collect()}
+    n = len(used)
+    assert sum(got.values()) == n * (n - 1) * (n - 2) // 6
+    want = Counter()
+    for t in combinations(used, 3):
+        m = {v: i for i, v in enumerate(t)}
+        p = sum(_BIT[(m[a], m[b])] for (a, b) in es if a in m and b in m)
+        want[TRIAD_LOOKUP[p]] += 1
+    for ty in TRIAD_TYPES:
+        assert got.get(ty, 0) == want.get(ty, 0), ty
+
+
+@given(edges=_edges_strategy(max_n=25))
+@_SET
+def test_densest_subgraph_trace_invariants(spark, edges):
+    """Strictly shrinking peel; the flagged best is the max density."""
+    from louvain_fast_move_cuda_spark.operators.graphstats import densest_subgraph
+
+    g = _gt(spark, edges)
+    rows = sorted(densest_subgraph(g).collect(), key=lambda r: r["round"])
+    assert rows, "non-empty graph must emit at least one round"
+    ns = [r["n_vertices"] for r in rows]
+    assert ns == sorted(ns, reverse=True) and len(set(ns)) == len(ns)
+    dens = [r["density_r9"] for r in rows]
+    best = [r for r in rows if r["is_best"]]
+    assert len(best) == 1
+    assert best[0]["density_r9"] == max(dens)
+    for r in rows:
+        assert 2 * r["n_edges"] <= r["n_vertices"] * (r["n_vertices"] - 1)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=120), min_size=1, max_size=8
+    ),
+    window=st.integers(2, 10),
+    stride=st.integers(1, 10),
+)
+@_SET
+def test_chunk_documents_covers_every_token(spark, texts, window, stride):
+    """Every token position lands in >= 1 chunk; sizes/starts consistent."""
+    from louvain_fast_move_cuda_spark.operators.curation import chunk_documents
+
+    stride = min(stride, window)  # overlap contract: stride <= window
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = chunk_documents(df, window=window, stride=stride).collect()
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    for i, text in enumerate(texts):
+        toks = [t for t in text.split() if t]
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+        assert chunks, "every doc emits at least one chunk"
+        covered = set()
+        for r in chunks:
+            assert r["start_tok"] == r["chunk_idx"] * stride
+            assert r["n_toks"] == len(toks[r["start_tok"]:r["start_tok"] + window])
+            covered.update(range(r["start_tok"], r["start_tok"] + r["n_toks"]))
+        assert covered == set(range(len(toks)))
