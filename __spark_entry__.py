@@ -343,6 +343,52 @@ def q_modularity_conv(spark, sf_dir):
     return spark.createDataFrame([(q,)], "q double")
 
 
+def _q_of_labels(spark, g, labels):
+    """One row (q double) — modularity of an arbitrary (id, community)
+    partition, the exact expression shape of q_modularity_conv (all
+    inputs integer-exact under unit weights, so the one IEEE expression
+    is bit-identical in any engine)."""
+    est = g.edges.join(
+        labels.select(F.col("id").alias("src"), F.col("community").alias("cs")), "src"
+    ).join(
+        labels.select(F.col("id").alias("dst"), F.col("community").alias("cd")), "dst"
+    )
+    w_in = est.filter(F.col("cs") == F.col("cd")).agg(F.sum("weight").alias("w")).collect()[0]["w"]
+    w_in = float(w_in) if w_in is not None else 0.0
+    ctot = (
+        g.vertices.join(labels, "id")
+        .groupBy("community")
+        .agg(F.sum("k").alias("ctot"))
+    )
+    sq = float(ctot.agg(F.sum(F.col("ctot") * F.col("ctot")).alias("s")).collect()[0]["s"])
+    m = g.m
+    q = w_in / (2.0 * m) - sq / (4.0 * m * m)
+    return spark.createDataFrame([(q,)], "q double")
+
+
+def q_lpa_modularity(spark, sf_dir):
+    """Cross-algorithm partition quality: Q of the 5-round LPA
+    partition, judged by the same modularity expression the Louvain
+    gates use — lets a user compare community quality across the
+    engine's three community algorithms on one scale."""
+    _, _, g = _graph(spark, sf_dir)
+    labels = label_propagation(g, max_iter=5, local_max_edges=0).select(
+        "id", F.col("label").alias("community")
+    )
+    return _q_of_labels(spark, g, labels)
+
+
+def q_cc_modularity(spark, sf_dir):
+    """Q of the connected-components partition — the coarsest
+    edge-respecting partition, an upper bound on W_in (every edge is
+    internal) and the natural baseline for the Louvain/LPA scores."""
+    _, _, g = _graph(spark, sf_dir)
+    labels = connected_components(g, local_max_edges=0).select(
+        "id", F.col("component").alias("community")
+    )
+    return _q_of_labels(spark, g, labels)
+
+
 def q_louvain_round0(spark, sf_dir):
     _, _, g = _graph(spark, sf_dir)
     return round0_moves(g)
@@ -2559,6 +2605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_pairs": q_skipgram_pairs,
         "neighbor_sample": q_neighbor_sample,
         "cc_full": q_cc_full,
+        "lpa_modularity": q_lpa_modularity,
+        "cc_modularity": q_cc_modularity,
         "cc_full_local": q_cc_full_local,
         "label_propagation": q_lpa,
         "label_propagation_local": q_lpa_local,
@@ -2924,6 +2972,27 @@ l{r + 1} AS (SELECT d.id, coalesce(b.label, d.id) AS label
           FROM deg d LEFT JOIN best{r} b ON d.id = b.src)"""
         )
     return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + f"\nSELECT id, label FROM l{rounds}"
+
+
+def _q_of_labels_sql(base_sql: str, label_col: str) -> str:
+    """Wrap a labels oracle (its final SELECT yields (id, <label_col>))
+    with the modularity CTEs of the modularity_conv oracle — the same
+    one-IEEE-expression Q over integer-exact sums."""
+    head, tail = base_sql.rsplit("\nSELECT", 1)
+    return f"""{head},
+qlabels AS (SELECT{tail}),
+qmm AS (SELECT sum(weight) / 2.0 AS m FROM sym),
+qwin AS (
+  SELECT coalesce(sum(e.weight), 0.0) AS w_in
+  FROM sym e JOIN qlabels ls ON e.src = ls.id JOIN qlabels ld ON e.dst = ld.id
+  WHERE ls.{label_col} = ld.{label_col}
+),
+qsq AS (
+  SELECT sum(ctot * ctot) AS s
+  FROM (SELECT sum(d.k) AS ctot FROM deg d JOIN qlabels l ON d.id = l.id GROUP BY l.{label_col})
+)
+SELECT w_in / (2.0 * m) - s / (4.0 * m * m) AS q FROM qmm, qwin, qsq
+"""
 
 
 def _pagerank_sql(iters: int = 20) -> str:
@@ -4645,6 +4714,8 @@ wdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS k FROM wsym GROUP BY src)
             out_comm="community",
         ),
         "cc_full": _cc_star_sql(rounds=8),
+        "lpa_modularity": _q_of_labels_sql(_lpa_sql(rounds=5), "label"),
+        "cc_modularity": _q_of_labels_sql(_cc_star_sql(rounds=8), "component"),
         "cc_full_local": _cc_star_sql(rounds=8),
         # incremental CC over the micro-batch replay: the maintained
         # snapshot must reproduce the batch star rounds bit-exactly

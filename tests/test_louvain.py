@@ -255,3 +255,25 @@ def test_louvain_full_gate_is_sharp(spark):
     spark.createDataFrame([(float(q_claimed),)], "q_claimed double").write.mode(
         "overwrite"
     ).parquet(meta_path)
+
+
+def test_q_of_labels_endpoints(spark):
+    """Q of the one-community partition is exactly 0; Q of the
+    all-singletons partition is exactly -sum(k^2)/4m^2."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from louvain_fast_move_cuda_spark.sources.edges import build_graph
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    g = build_graph(
+        spark.createDataFrame(edges, "a long, b long"), relabel=False
+    )
+    one = g.vertices.select("id", F.lit(0).alias("community"))
+    q1 = entrymod._q_of_labels(spark, g, one).collect()[0]["q"]
+    assert q1 == 0.0
+    singles = g.vertices.select("id", F.col("id").alias("community"))
+    q0 = entrymod._q_of_labels(spark, g, singles).collect()[0]["q"]
+    ks = {r["id"]: r["k"] for r in g.vertices.collect()}
+    m = g.m
+    assert q0 == 0.0 / (2.0 * m) - sum(k * k for k in ks.values()) / (4.0 * m * m)
