@@ -1435,6 +1435,14 @@ def q_exact_dedup(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir))
 
 
+def q_dedup_by_source(spark, sf_dir):
+    """Per-source exact-duplicate pressure (normalized-text groups
+    within each source); rate is one exact-int division, r9."""
+    from louvain_fast_move_cuda_spark.operators.dedup import dedup_by_source
+
+    return dedup_by_source(_docs(spark, sf_dir))
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), k=5, threshold=0.1)
 
@@ -2612,6 +2620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation_local": q_lpa_local,
         # training-data pipeline: dedup
         "exact_dedup": q_exact_dedup,
+        "dedup_by_source": q_dedup_by_source,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_candidates": q_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
@@ -5765,6 +5774,18 @@ FROM ids i LEFT JOIN (SELECT src, label FROM best WHERE rn = 1) b ON i.vid = b.s
 SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
 FROM (SELECT doc_id, {_NORM_TEXT} AS t FROM documents)
 GROUP BY t
+""",
+        "dedup_by_source": f"""
+WITH pt AS (
+  SELECT source, {_NORM_TEXT} AS t, count(*) AS c
+  FROM documents GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(c) - count(*) AS BIGINT) AS n_dup_docs,
+       round(1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 9) AS dup_rate_r9
+FROM pt GROUP BY source
 """,
         "ngram_jaccard": rf"""
 WITH words AS (

@@ -468,3 +468,38 @@ def simhash_near_dupes(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_by_source(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, n_distinct, n_dup_docs, dup_rate_r9) — per-source
+    exact-duplicate pressure: how much of each source is byte-identical
+    (after the shared normalization) to another doc OF THE SAME SOURCE.
+    The corpus-health rollup a curation pipeline watches per crawl
+    snapshot; rate = 1 - distinct/docs, one exact-int division.
+
+    One groupBy over (source, normalized-text) then a per-source count —
+    two shuffles on small keys, the text never leaves the first
+    aggregation.
+    """
+    per_text = (
+        docs.select("source", _normalized(F.col("text")).alias("_t"))
+        .groupBy("source", "_t")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per_text.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.count("*").alias("n_distinct"),
+            (F.sum("c") - F.count("*")).alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            "n_dup_docs",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_docs"), 9
+            ).alias("dup_rate_r9"),
+        )
+    )

@@ -351,3 +351,23 @@ def test_boilerplate_threshold_is_exact_rational(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     got = boilerplate_ngrams(df, n=3, min_docs=2, frac_num=1, frac_den=4).collect()
     assert any(r["gram"] == phrase for r in got)
+
+
+def test_dedup_by_source_rates(spark):
+    from louvain_fast_move_cuda_spark.operators.dedup import dedup_by_source
+
+    df = spark.createDataFrame(
+        [
+            (0, "same text", "a"),
+            (1, "same  TEXT ", "a"),   # normalizes equal to doc 0
+            (2, "other", "a"),
+            (3, "unique one", "b"),
+            (4, "unique two", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in dedup_by_source(df).collect()}
+    assert (got["a"]["n_docs"], got["a"]["n_distinct"], got["a"]["n_dup_docs"]) == (3, 2, 1)
+    assert abs(got["a"]["dup_rate_r9"] - round(1.0 - 2 / 3, 9)) < 1e-12
+    assert (got["b"]["n_docs"], got["b"]["n_dup_docs"]) == (2, 0)
+    assert got["b"]["dup_rate_r9"] == 0.0
