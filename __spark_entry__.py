@@ -1174,6 +1174,18 @@ def q_weighted_matching(spark, sf_dir):
     return greedy_weighted_matching(g, salt=0, max_rounds=20)
 
 
+def q_weighted_clustering(spark, sf_dir):
+    """Barrat weighted clustering coefficient over the weighted-merge
+    graph — the numerator stays an exact integer-valued weight sum,
+    one r9 division per vertex."""
+    from louvain_fast_move_cuda_spark.operators.graphstats import (
+        weighted_clustering,
+    )
+
+    g = _weighted_graph(spark, sf_dir)
+    return weighted_clustering(g)
+
+
 def q_s_core(spark, sf_dir):
     """s-core of the weighted-merge graph: peel vertices with total
     incident weight < 2 — the weighted generalization of k_core (a
@@ -2614,6 +2626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_sample": q_neighbor_sample,
         "cc_full": q_cc_full,
         "lpa_modularity": q_lpa_modularity,
+        "weighted_clustering": q_weighted_clustering,
         "cc_modularity": q_cc_modularity,
         "cc_full_local": q_cc_full_local,
         "label_propagation": q_lpa,
@@ -4724,6 +4737,35 @@ wdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS k FROM wsym GROUP BY src)
         ),
         "cc_full": _cc_star_sql(rounds=8),
         "lpa_modularity": _q_of_labels_sql(_lpa_sql(rounds=5), "label"),
+        # Barrat weighted clustering — id-order triangle listing (an
+        # independent plan from the Spark degree orientation); numerator
+        # exact, one r9 division
+        "weighted_clustering": f"""
+{_GRAPH_CTE},{_WEIGHTED_GRAPH_CTE}
+wcdeg AS (SELECT src AS id, count(*) AS deg FROM wsym GROUP BY 1),
+wchalf AS (SELECT src AS x, dst AS y, weight AS w FROM wsym WHERE src < dst),
+wctri AS MATERIALIZED (
+  SELECT h1.x AS a, h1.y AS b, h2.y AS c, h1.w AS wab, h2.w AS wbc, h3.w AS wac
+  FROM wchalf h1
+  JOIN wchalf h2 ON h1.y = h2.x
+  JOIN wchalf h3 ON h3.x = h1.x AND h3.y = h2.y
+),
+wccr AS (
+  SELECT a AS id, wab + wac AS cr FROM wctri
+  UNION ALL SELECT b, wab + wbc FROM wctri
+  UNION ALL SELECT c, wac + wbc FROM wctri
+),
+wcagg AS (SELECT id, sum(cr) AS c2, count(*) AS nt FROM wccr GROUP BY 1)
+SELECT v.id, v.k AS strength,
+       CAST(coalesce(d.deg, 0) AS BIGINT) AS degree,
+       CAST(coalesce(a.nt, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN coalesce(d.deg, 0) >= 2
+            THEN round(coalesce(a.c2, 0.0) / (2.0 * v.k * (d.deg - 1.0)), 9)
+            ELSE 0.0 END AS cw_r9
+FROM wdeg v
+LEFT JOIN wcdeg d ON v.id = d.id
+LEFT JOIN wcagg a ON v.id = a.id
+""",
         "cc_modularity": _q_of_labels_sql(_cc_star_sql(rounds=8), "component"),
         "cc_full_local": _cc_star_sql(rounds=8),
         # incremental CC over the micro-batch replay: the maintained

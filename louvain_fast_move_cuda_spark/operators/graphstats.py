@@ -889,3 +889,84 @@ def densest_subgraph(
     )
     w = Window.orderBy(F.desc("density_r9"), F.asc("round"))
     return out.withColumn("is_best", F.row_number().over(w) == 1)
+
+
+def weighted_clustering(graph: GraphTables) -> DataFrame:
+    """(id, strength, degree, n_triangles, cw_r9) — the Barrat et al.
+    (2004) weighted clustering coefficient over the weighted-merge
+    graph:
+
+        c_w(i) = [ sum over triangles (i,j,h) of (w_ij + w_ih) ]
+                 / ( 2 * s_i * (k_i - 1) )
+
+    (the /2 of the textbook formula is folded into the denominator so
+    the numerator stays an EXACT integer-valued sum — weights are
+    duplicate-link counts). 0 where degree < 2, matching
+    clustering_coefficient's convention.
+
+    Triangles are listed once each on the degree orientation (hub-safe
+    O(sqrt(m)) out-degrees, the triangles.py plan); each listing then
+    credits all three corners with its two incident weights, one
+    groupBy-sum per vertex, one r9 division at the end.
+    """
+    from .triangles import _oriented
+
+    o = _oriented(graph).localCheckpoint(eager=True)
+    wedges = (
+        o.alias("e1")
+        .join(o.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    tri = wedges.join(
+        o.select(F.col("a"), F.col("b").alias("c")), ["a", "c"], "left_semi"
+    )
+    half = graph.edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("x"), F.col("dst").alias("y"), F.col("weight").alias("w")
+    )
+
+    def _key(p, q, alias):
+        return (
+            F.least(F.col(p), F.col(q)).alias(f"{alias}_x"),
+            F.greatest(F.col(p), F.col(q)).alias(f"{alias}_y"),
+        )
+
+    wt = (
+        tri.select("a", "b", "c", *_key("a", "b", "ab"), *_key("b", "c", "bc"), *_key("a", "c", "ac"))
+        .join(half.select(F.col("x").alias("ab_x"), F.col("y").alias("ab_y"), F.col("w").alias("wab")), ["ab_x", "ab_y"])
+        .join(half.select(F.col("x").alias("bc_x"), F.col("y").alias("bc_y"), F.col("w").alias("wbc")), ["bc_x", "bc_y"])
+        .join(half.select(F.col("x").alias("ac_x"), F.col("y").alias("ac_y"), F.col("w").alias("wac")), ["ac_x", "ac_y"])
+    )
+    credits = (
+        wt.select(F.col("a").alias("id"), (F.col("wab") + F.col("wac")).alias("cr"))
+        .unionByName(wt.select(F.col("b").alias("id"), (F.col("wab") + F.col("wbc")).alias("cr")))
+        .unionByName(wt.select(F.col("c").alias("id"), (F.col("wac") + F.col("wbc")).alias("cr")))
+    )
+    agg = credits.groupBy("id").agg(
+        F.sum("cr").alias("c2"), F.count("*").alias("nt")
+    )
+    deg = graph.edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    return (
+        graph.vertices.select("id", F.col("k").alias("strength"))
+        .join(deg, "id", "left")
+        .join(agg, "id", "left")
+        .select(
+            "id",
+            "strength",
+            F.coalesce("deg", F.lit(0)).cast("long").alias("degree"),
+            F.coalesce("nt", F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.coalesce("deg", F.lit(0)) >= 2,
+                F.round(
+                    F.coalesce("c2", F.lit(0.0))
+                    / (F.lit(2.0) * F.col("strength") * (F.col("deg") - F.lit(1.0))),
+                    9,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cw_r9"),
+        )
+    )

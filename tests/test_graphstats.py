@@ -521,3 +521,27 @@ def test_clique4_count_matches_bruteforce(spark):
     g2 = _gt(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
     r2 = clique4_count(g2).collect()[0]
     assert (r2["n_triangles"], r2["n_four_cliques"]) == (0, 0)
+
+
+def test_weighted_clustering_barrat_by_hand(spark):
+    from louvain_fast_move_cuda_spark.operators.graphstats import (
+        weighted_clustering,
+    )
+
+    # triangle 0-1-2 with weights w01=2, w12=1, w02=1, pendant 2-3 (w=3)
+    raw = spark.createDataFrame(
+        [(0, 1, 2.0), (1, 2, 1.0), (0, 2, 1.0), (2, 3, 3.0)],
+        "a long, b long, w double",
+    )
+    g = build_graph(raw, relabel=False, weight="w")
+    got = {r["id"]: r for r in weighted_clustering(g).collect()}
+    # vertex 0: s=3, k=2, credit (w01+w02)=3 -> cw = 3/(2*3*1) = 0.5
+    assert (got[0]["strength"], got[0]["degree"], got[0]["n_triangles"]) == (3.0, 2, 1)
+    assert got[0]["cw_r9"] == 0.5
+    # vertex 1: s=3, k=2, credit (w01+w12)=3 -> 3/(2*3*1) = 0.5
+    assert got[1]["cw_r9"] == 0.5
+    # vertex 2: s=5, k=3, credit (w12+w02)=2 -> 2/(2*5*2) = 0.1
+    assert (got[2]["strength"], got[2]["degree"]) == (5.0, 3)
+    assert got[2]["cw_r9"] == 0.1
+    # pendant vertex 3: degree 1 -> 0 by convention
+    assert (got[3]["degree"], got[3]["n_triangles"], got[3]["cw_r9"]) == (1, 0, 0.0)
