@@ -1174,6 +1174,18 @@ def q_weighted_matching(spark, sf_dir):
     return greedy_weighted_matching(g, salt=0, max_rounds=20)
 
 
+def q_weighted_assortativity(spark, sf_dir):
+    """Strength assortativity (Leung-Chau weighted Newman r) over the
+    weighted-merge graph; all five moments exact-int sums, one r9
+    expression."""
+    from louvain_fast_move_cuda_spark.operators.graphstats import (
+        weighted_assortativity,
+    )
+
+    g = _weighted_graph(spark, sf_dir)
+    return weighted_assortativity(g)
+
+
 def q_weighted_clustering(spark, sf_dir):
     """Barrat weighted clustering coefficient over the weighted-merge
     graph — the numerator stays an exact integer-valued weight sum,
@@ -2627,6 +2639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_full": q_cc_full,
         "lpa_modularity": q_lpa_modularity,
         "weighted_clustering": q_weighted_clustering,
+        "weighted_assortativity": q_weighted_assortativity,
         "cc_modularity": q_cc_modularity,
         "cc_full_local": q_cc_full_local,
         "label_propagation": q_lpa,
@@ -4737,6 +4750,22 @@ wdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS k FROM wsym GROUP BY src)
         ),
         "cc_full": _cc_star_sql(rounds=8),
         "lpa_modularity": _q_of_labels_sql(_lpa_sql(rounds=5), "label"),
+        "weighted_assortativity": f"""
+{_GRAPH_CTE},{_WEIGHTED_GRAPH_CTE}
+wae AS (
+  SELECT e.weight AS w, sx.k AS sx, sy.k AS sy
+  FROM wsym e JOIN wdeg sx ON e.src = sx.id JOIN wdeg sy ON e.dst = sy.id
+),
+waagg AS (
+  SELECT sum(w) AS m, sum(w * sx * sy) AS sxy,
+         sum(w * sx) AS sx, sum(w * sy) AS sy,
+         sum(w * sx * sx) AS sxx, sum(w * sy * sy) AS syy
+  FROM wae
+)
+SELECT round((m * sxy - sx * sy)
+             / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)), 9) AS assortativity_w_r9
+FROM waagg
+""",
         # Barrat weighted clustering — id-order triangle listing (an
         # independent plan from the Spark degree orientation); numerator
         # exact, one r9 division

@@ -970,3 +970,33 @@ def weighted_clustering(graph: GraphTables) -> DataFrame:
             .alias("cw_r9"),
         )
     )
+
+
+def weighted_assortativity(graph: GraphTables) -> DataFrame:
+    """One row (assortativity_w_r9) — strength assortativity of the
+    weighted-merge graph: the Pearson correlation of (s_src, s_dst)
+    over directed edges, each edge weighted by its merged weight
+    (Leung-Chau 2007 generalization of Newman's r).
+
+    Every sum is a sum of products of integer-valued doubles (weights
+    are duplicate-link counts, strengths their sums), so all five
+    moments are exact under any association order; one rounded final
+    expression, same contract as the unweighted twin.
+    """
+    s = graph.vertices.select(F.col("id"), F.col("k").alias("s"))
+    e = (
+        graph.edges.join(
+            s.select(F.col("id").alias("src"), F.col("s").alias("sx")), "src"
+        ).join(s.select(F.col("id").alias("dst"), F.col("s").alias("sy")), "dst")
+    )
+    agg = e.agg(
+        F.sum("weight").alias("m"),
+        F.sum(F.col("weight") * F.col("sx") * F.col("sy")).alias("sxy"),
+        F.sum(F.col("weight") * F.col("sx")).alias("sx"),
+        F.sum(F.col("weight") * F.col("sy")).alias("sy"),
+        F.sum(F.col("weight") * F.col("sx") * F.col("sx")).alias("sxx"),
+        F.sum(F.col("weight") * F.col("sy") * F.col("sy")).alias("syy"),
+    )
+    m, sxy, sx, sy, sxx, syy = (F.col(c) for c in ["m", "sxy", "sx", "sy", "sxx", "syy"])
+    r = (m * sxy - sx * sy) / F.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+    return agg.select(F.round(r, 9).alias("assortativity_w_r9"))

@@ -545,3 +545,26 @@ def test_weighted_clustering_barrat_by_hand(spark):
     assert got[2]["cw_r9"] == 0.1
     # pendant vertex 3: degree 1 -> 0 by convention
     assert (got[3]["degree"], got[3]["n_triangles"], got[3]["cw_r9"]) == (1, 0, 0.0)
+
+
+def test_weighted_assortativity_matches_python(spark):
+    from louvain_fast_move_cuda_spark.operators.graphstats import (
+        weighted_assortativity,
+    )
+
+    raw = spark.createDataFrame(
+        [(0, 1, 2.0), (1, 2, 1.0), (0, 2, 1.0), (2, 3, 3.0), (3, 4, 1.0)],
+        "a long, b long, w double",
+    )
+    g = build_graph(raw, relabel=False, weight="w")
+    s = {r["id"]: r["k"] for r in g.vertices.collect()}
+    rows = [(r["src"], r["dst"], r["weight"]) for r in g.edges.collect()]
+    m = sum(w for _, _, w in rows)
+    sxy = sum(w * s[a] * s[b] for a, b, w in rows)
+    sx = sum(w * s[a] for a, b, w in rows)
+    sy = sum(w * s[b] for a, b, w in rows)
+    sxx = sum(w * s[a] * s[a] for a, b, w in rows)
+    syy = sum(w * s[b] * s[b] for a, b, w in rows)
+    want = (m * sxy - sx * sy) / math.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+    got = weighted_assortativity(g).collect()[0]["assortativity_w_r9"]
+    assert abs(got - want) < 1e-9
