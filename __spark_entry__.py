@@ -1174,6 +1174,16 @@ def q_weighted_matching(spark, sf_dir):
     return greedy_weighted_matching(g, salt=0, max_rounds=20)
 
 
+def q_degree_gini(spark, sf_dir):
+    """Gini coefficient of the degree distribution — the scalar hub-
+    concentration measure; exact-int rank sums over the histogram only
+    (no global sort), one r9 division."""
+    from louvain_fast_move_cuda_spark.operators.graphstats import degree_gini
+
+    _, _, g = _graph(spark, sf_dir)
+    return degree_gini(g)
+
+
 def q_weighted_assortativity(spark, sf_dir):
     """Strength assortativity (Leung-Chau weighted Newman r) over the
     weighted-merge graph; all five moments exact-int sums, one r9
@@ -2640,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_modularity": q_lpa_modularity,
         "weighted_clustering": q_weighted_clustering,
         "weighted_assortativity": q_weighted_assortativity,
+        "degree_gini": q_degree_gini,
         "cc_modularity": q_cc_modularity,
         "cc_full_local": q_cc_full_local,
         "label_propagation": q_lpa,
@@ -4750,6 +4761,30 @@ wdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS k FROM wsym GROUP BY src)
         ),
         "cc_full": _cc_star_sql(rounds=8),
         "lpa_modularity": _q_of_labels_sql(_lpa_sql(rounds=5), "label"),
+        "degree_gini": f"""
+{_GRAPH_CTE},
+gdeg AS (
+  SELECT coalesce(c.degree, 0) AS v FROM deg d
+  LEFT JOIN (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src) c
+  ON d.id = c.id
+),
+ghist AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM gdeg GROUP BY v),
+granked AS (
+  SELECT v, c,
+         coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cprev
+  FROM ghist
+),
+gagg AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(v * c) AS BIGINT) AS sd,
+         CAST(sum(v * (c * cprev + c * (c + 1) // 2)) AS BIGINT) AS ranksum
+  FROM granked
+)
+SELECT n AS n_vertices, sd AS sum_degree,
+       CASE WHEN sd > 0
+            THEN round((2 * ranksum - (n + 1) * sd) / (n * sd), 9) END AS gini_r9
+FROM gagg
+""",
         "weighted_assortativity": f"""
 {_GRAPH_CTE},{_WEIGHTED_GRAPH_CTE}
 wae AS (

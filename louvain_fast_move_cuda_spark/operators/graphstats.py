@@ -1000,3 +1000,49 @@ def weighted_assortativity(graph: GraphTables) -> DataFrame:
     m, sxy, sx, sy, sxx, syy = (F.col(c) for c in ["m", "sxy", "sx", "sy", "sxx", "syy"])
     r = (m * sxy - sx * sy) / F.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
     return agg.select(F.round(r, 9).alias("assortativity_w_r9"))
+
+
+def degree_gini(graph: GraphTables) -> DataFrame:
+    """One row (n_vertices, sum_degree, gini_r9) — the Gini coefficient
+    of the degree distribution, the scalar hub-concentration measure
+    behind the engine's skew-salting trigger:
+
+        G = (2 * sum_i i*d_(i) - (n+1) * sum d) / (n * sum d)
+
+    with d_(i) the ascending degree order statistics. Computed WITHOUT
+    a global sort: for each distinct degree value v with count c and
+    cumulative prior count C, the rank-sum contribution is exactly
+    v * (c*C + c*(c+1)/2) — the window runs over the DISTINCT degree
+    values only (hundreds of rows on a power-law graph, never n), so
+    the plan scales by the histogram, not the vertex count. Every term
+    is int64-exact; ties contribute identically under any rank
+    assignment, so no tie-break is needed at all.
+
+    Isolated vertices count with degree 0 (they dilute concentration,
+    as they should). G = 0 on a regular graph, -> 1 as one hub takes
+    all the edges; NULL when the graph has no edges (sum d = 0).
+    """
+    from pyspark.sql import Window
+
+    hist = degree_histogram(graph).select(
+        F.col("degree").cast("long").alias("v"),
+        F.col("n_vertices").alias("c"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = hist.withColumn("cprev", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    agg = ranked.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("v") * F.col("c")).alias("sd"),
+        F.sum(
+            F.col("v") * (F.col("c") * F.col("cprev") + F.expr("c * (c + 1) div 2"))
+        ).alias("ranksum"),
+    )
+    g = (
+        (F.lit(2) * F.col("ranksum") - (F.col("n") + 1) * F.col("sd"))
+        / (F.col("n") * F.col("sd"))
+    )
+    return agg.select(
+        F.col("n").alias("n_vertices"),
+        F.col("sd").alias("sum_degree"),
+        F.when(F.col("sd") > 0, F.round(g, 9)).alias("gini_r9"),
+    )

@@ -568,3 +568,28 @@ def test_weighted_assortativity_matches_python(spark):
     want = (m * sxy - sx * sy) / math.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
     got = weighted_assortativity(g).collect()[0]["assortativity_w_r9"]
     assert abs(got - want) < 1e-9
+
+
+def test_degree_gini_known_values(spark):
+    from louvain_fast_move_cuda_spark.operators.graphstats import degree_gini
+
+    # 5-cycle: regular -> G = 0
+    cyc = _gt(spark, [(i, (i + 1) % 5) for i in range(5)])
+    r = degree_gini(cyc).collect()[0]
+    assert (r["n_vertices"], r["sum_degree"], r["gini_r9"]) == (5, 10, 0.0)
+
+    # star K1,4: degrees (1,1,1,1,4) -> G = 0.3 by the rank formula
+    star = _gt(spark, [(0, i) for i in range(1, 5)])
+    r = degree_gini(star).collect()[0]
+    assert (r["n_vertices"], r["sum_degree"]) == (5, 8)
+    assert r["gini_r9"] == 0.3
+
+    # matches the direct sorted-rank formula on a random powerlaw graph
+    edges = powerlaw_graph(n=200, m_attach=3, seed=17)
+    g = _gt(spark, edges)
+    degs = sorted(len(ns) for ns in _adj(edges).values())
+    n, sd = len(degs), sum(degs)
+    ranksum = sum(i * d for i, d in enumerate(degs, start=1))
+    want = round((2 * ranksum - (n + 1) * sd) / (n * sd), 9)
+    got = degree_gini(g).collect()[0]["gini_r9"]
+    assert got == want
