@@ -1174,6 +1174,15 @@ def q_weighted_matching(spark, sf_dir):
     return greedy_weighted_matching(g, salt=0, max_rounds=20)
 
 
+def q_graph_profile(spark, sf_dir):
+    """One-glance graph summary (sizes, isolation, degree range,
+    density) — all exact ints plus two r9 divisions."""
+    from louvain_fast_move_cuda_spark.operators.graphstats import graph_profile
+
+    _, _, g = _graph(spark, sf_dir)
+    return graph_profile(g)
+
+
 def q_degree_gini(spark, sf_dir):
     """Gini coefficient of the degree distribution — the scalar hub-
     concentration measure; exact-int rank sums over the histogram only
@@ -2651,6 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_clustering": q_weighted_clustering,
         "weighted_assortativity": q_weighted_assortativity,
         "degree_gini": q_degree_gini,
+        "graph_profile": q_graph_profile,
         "cc_modularity": q_cc_modularity,
         "cc_full_local": q_cc_full_local,
         "label_propagation": q_lpa,
@@ -4761,6 +4771,27 @@ wdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS k FROM wsym GROUP BY src)
         ),
         "cc_full": _cc_star_sql(rounds=8),
         "lpa_modularity": _q_of_labels_sql(_lpa_sql(rounds=5), "label"),
+        "graph_profile": f"""
+{_GRAPH_CTE},
+gpd AS (
+  SELECT coalesce(c.degree, 0) AS d FROM deg v
+  LEFT JOIN (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src) c
+  ON v.id = c.id
+),
+gpa AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(coalesce(sum(d), 0) // 2 AS BIGINT) AS e,
+         CAST(coalesce(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS iso,
+         CAST(coalesce(min(d), 0) AS BIGINT) AS mind,
+         CAST(coalesce(max(d), 0) AS BIGINT) AS maxd
+  FROM gpd
+)
+SELECT n AS n_vertices, e AS n_edges, iso AS n_isolated,
+       mind AS min_degree, maxd AS max_degree,
+       round(2.0 * e / n, 9) AS avg_degree_r9,
+       CASE WHEN n >= 2 THEN round(2.0 * e / (n * (n - 1)), 9) END AS density_r9
+FROM gpa
+""",
         "degree_gini": f"""
 {_GRAPH_CTE},
 gdeg AS (

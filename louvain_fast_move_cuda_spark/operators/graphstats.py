@@ -1046,3 +1046,37 @@ def degree_gini(graph: GraphTables) -> DataFrame:
         F.col("sd").alias("sum_degree"),
         F.when(F.col("sd") > 0, F.round(g, 9)).alias("gini_r9"),
     )
+
+
+def graph_profile(graph: GraphTables) -> DataFrame:
+    """One row (n_vertices, n_edges, n_isolated, min_degree, max_degree,
+    avg_degree_r9, density_r9) — the one-glance graph summary. One
+    degree agg + one fused scalar aggregate; every value exact-int
+    except the two r9 divisions."""
+    deg = graph.edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    alld = (
+        graph.vertices.select("id")
+        .join(deg, "id", "left")
+        .select(F.coalesce("d", F.lit(0)).alias("d"))
+    )
+    agg = alld.agg(
+        F.count("*").alias("n"),
+        (F.coalesce(F.sum("d"), F.lit(0)) / 2).cast("long").alias("e"),
+        F.coalesce(F.sum(F.when(F.col("d") == 0, 1).otherwise(0)), F.lit(0)).alias("iso"),
+        F.coalesce(F.min("d"), F.lit(0)).alias("mind"),
+        F.coalesce(F.max("d"), F.lit(0)).alias("maxd"),
+    )
+    return agg.select(
+        F.col("n").alias("n_vertices"),
+        F.col("e").alias("n_edges"),
+        F.col("iso").alias("n_isolated"),
+        F.col("mind").cast("long").alias("min_degree"),
+        F.col("maxd").cast("long").alias("max_degree"),
+        F.round(F.lit(2.0) * F.col("e") / F.col("n"), 9).alias("avg_degree_r9"),
+        F.when(
+            F.col("n") >= 2,
+            F.round(
+                F.lit(2.0) * F.col("e") / (F.col("n") * (F.col("n") - 1)), 9
+            ),
+        ).alias("density_r9"),
+    )

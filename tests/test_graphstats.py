@@ -593,3 +593,15 @@ def test_degree_gini_known_values(spark):
     want = round((2 * ranksum - (n + 1) * sd) / (n * sd), 9)
     got = degree_gini(g).collect()[0]["gini_r9"]
     assert got == want
+
+
+def test_graph_profile_by_hand(spark):
+    from louvain_fast_move_cuda_spark.operators.graphstats import graph_profile
+
+    # triangle + pendant + (no isolated vertices without relabel map)
+    g = _gt(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    r = graph_profile(g).collect()[0]
+    assert (r["n_vertices"], r["n_edges"], r["n_isolated"]) == (4, 4, 0)
+    assert (r["min_degree"], r["max_degree"]) == (1, 3)
+    assert r["avg_degree_r9"] == 2.0
+    assert r["density_r9"] == round(8.0 / 12.0, 9)
