@@ -1174,6 +1174,16 @@ def q_weighted_matching(spark, sf_dir):
     return greedy_weighted_matching(g, salt=0, max_rounds=20)
 
 
+def q_powerlaw_alpha(spark, sf_dir):
+    """Power-law exponent MLE of the degree tail (CSN continuous
+    approximation, dmin=2) — micro-nat integer summation over the
+    degree histogram, shuffle-order-proof."""
+    from louvain_fast_move_cuda_spark.operators.graphstats import powerlaw_alpha
+
+    _, _, g = _graph(spark, sf_dir)
+    return powerlaw_alpha(g, dmin=2)
+
+
 def q_graph_profile(spark, sf_dir):
     """One-glance graph summary (sizes, isolation, degree range,
     density) — all exact ints plus two r9 divisions."""
@@ -2661,6 +2671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_assortativity": q_weighted_assortativity,
         "degree_gini": q_degree_gini,
         "graph_profile": q_graph_profile,
+        "powerlaw_alpha": q_powerlaw_alpha,
         "cc_modularity": q_cc_modularity,
         "cc_full_local": q_cc_full_local,
         "label_propagation": q_lpa,
@@ -4771,6 +4782,24 @@ wdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS k FROM wsym GROUP BY src)
         ),
         "cc_full": _cc_star_sql(rounds=8),
         "lpa_modularity": _q_of_labels_sql(_lpa_sql(rounds=5), "label"),
+        "powerlaw_alpha": f"""
+{_GRAPH_CTE},
+pld AS (
+  SELECT coalesce(c.degree, 0) AS v FROM deg d
+  LEFT JOIN (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src) c
+  ON d.id = c.id
+),
+plh AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM pld GROUP BY v HAVING v >= 2),
+pla AS (
+  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_tail,
+         CAST(coalesce(sum(c * CAST(round(ln(CAST(v AS DOUBLE) / 1.5) * 1000000.0) AS BIGINT)), 0) AS BIGINT) AS s
+  FROM plh
+)
+SELECT CAST(2 AS BIGINT) AS dmin, n_tail, s AS sum_micronats,
+       CASE WHEN n_tail > 0 AND s > 0
+            THEN round(1.0 + CAST(n_tail AS DOUBLE) / (CAST(s AS DOUBLE) / 1000000.0), 9) END AS alpha_r9
+FROM pla
+""",
         "graph_profile": f"""
 {_GRAPH_CTE},
 gpd AS (

@@ -1080,3 +1080,43 @@ def graph_profile(graph: GraphTables) -> DataFrame:
             ),
         ).alias("density_r9"),
     )
+
+
+def powerlaw_alpha(graph: GraphTables, dmin: int = 2) -> DataFrame:
+    """One row (dmin, n_tail, sum_micronats, alpha_r9) — the
+    Clauset-Shalizi-Newman continuous-approximation MLE of the
+    power-law exponent over the degree tail d >= dmin:
+
+        alpha = 1 + n_tail / sum ln( d / (dmin - 0.5) )
+
+    Shuffle-order-proof by the textstats micro-nat trick: each distinct
+    degree's log term is rounded to integer MICRO-nats (one double
+    expression, bit-identical in any engine, tolerant of ~1 ulp libm
+    differences), scaled by its histogram count, and summed as exact
+    int64 — so the only float work is one per-distinct-degree
+    expression and the final division. The aggregation runs over the
+    degree HISTOGRAM (hundreds of rows), never the vertex table.
+    NULL alpha when the tail is empty or the log-sum is 0.
+    """
+    hist = degree_histogram(graph).select(
+        F.col("degree").cast("long").alias("v"),
+        F.col("n_vertices").alias("c"),
+    ).filter(F.col("v") >= dmin)
+    unats = F.round(
+        F.log(F.col("v").cast("double") / F.lit(dmin - 0.5)) * F.lit(1000000.0)
+    ).cast("long")
+    agg = hist.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_tail"),
+        F.coalesce(F.sum(F.col("c") * unats), F.lit(0)).alias("s"),
+    )
+    alpha = F.lit(1.0) + F.col("n_tail").cast("double") / (
+        F.col("s").cast("double") / F.lit(1000000.0)
+    )
+    return agg.select(
+        F.lit(dmin).cast("long").alias("dmin"),
+        F.col("n_tail"),
+        F.col("s").alias("sum_micronats"),
+        F.when((F.col("n_tail") > 0) & (F.col("s") > 0), F.round(alpha, 9)).alias(
+            "alpha_r9"
+        ),
+    )

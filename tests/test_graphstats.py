@@ -605,3 +605,26 @@ def test_graph_profile_by_hand(spark):
     assert (r["min_degree"], r["max_degree"]) == (1, 3)
     assert r["avg_degree_r9"] == 2.0
     assert r["density_r9"] == round(8.0 / 12.0, 9)
+
+
+def test_powerlaw_alpha_matches_python_mle(spark):
+    import math as _m
+
+    from louvain_fast_move_cuda_spark.operators.graphstats import powerlaw_alpha
+
+    edges = powerlaw_graph(n=300, m_attach=2, seed=23)
+    g = _gt(spark, edges)
+    degs = [len(ns) for ns in _adj(edges).values()]
+    tail = [d for d in degs if d >= 2]
+    # replicate the micro-nat pipeline exactly
+    from collections import Counter as _C
+
+    s = sum(
+        c * round(_m.log(v / 1.5) * 1e6) for v, c in _C(tail).items()
+    )
+    want = round(1.0 + len(tail) / (s / 1e6), 9)
+    r = powerlaw_alpha(g, dmin=2).collect()[0]
+    assert r["n_tail"] == len(tail)
+    assert r["sum_micronats"] == s
+    assert r["alpha_r9"] == want
+    assert 1.5 < r["alpha_r9"] < 4.5  # plausible exponent for BA-ish graphs
