@@ -1174,6 +1174,17 @@ def q_weighted_matching(spark, sf_dir):
     return greedy_weighted_matching(g, salt=0, max_rounds=20)
 
 
+def q_resource_allocation(spark, sf_dir):
+    """Resource-Allocation + preferential-attachment link predictors on
+    the adamic_adar candidate surface (shared semantic hub cap)."""
+    from louvain_fast_move_cuda_spark.operators.graphstats import (
+        resource_allocation,
+    )
+
+    _, _, g = _graph(spark, sf_dir)
+    return resource_allocation(g, max_apex_degree=64)
+
+
 def q_powerlaw_alpha(spark, sf_dir):
     """Power-law exponent MLE of the degree tail (CSN continuous
     approximation, dmin=2) — micro-nat integer summation over the
@@ -2672,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_gini": q_degree_gini,
         "graph_profile": q_graph_profile,
         "powerlaw_alpha": q_powerlaw_alpha,
+        "resource_allocation": q_resource_allocation,
         "cc_modularity": q_cc_modularity,
         "cc_full_local": q_cc_full_local,
         "label_propagation": q_lpa,
@@ -4658,6 +4670,30 @@ nonadj AS (
 SELECT u, v, count(*) AS common_neighbors, round(sum(contrib), 9) AS aa_r9,
        CAST(64 AS INT) AS apex_cap
 FROM nonadj GROUP BY u, v
+""",
+        # RA kernel on the same candidate surface, PA from FULL degrees
+        "resource_allocation": f"""
+{_GRAPH_CTE},
+cdeg AS (SELECT src AS w, count(*) AS dw FROM sym GROUP BY src),
+apex AS (SELECT w, dw FROM cdeg WHERE dw >= 2 AND dw <= 64),
+nbrs AS (SELECT e.src AS w, a.dw, e.dst AS n FROM sym e JOIN apex a ON e.src = a.w),
+wedge AS (
+  SELECT l.n AS u, r.n AS v, 1.0 / CAST(l.dw AS DOUBLE) AS contrib
+  FROM nbrs l JOIN nbrs r ON l.w = r.w AND l.n < r.n
+),
+nonadj AS (
+  SELECT w.u, w.v, w.contrib FROM wedge w
+  LEFT JOIN canon c ON w.u = c.src AND w.v = c.dst
+  WHERE c.src IS NULL
+),
+rap AS (
+  SELECT u, v, count(*) AS common_neighbors, round(sum(contrib), 9) AS ra_r9
+  FROM nonadj GROUP BY u, v
+)
+SELECT p.u, p.v, p.common_neighbors, p.ra_r9,
+       CAST(du.dw * dv.dw AS BIGINT) AS pa_score,
+       CAST(64 AS INT) AS apex_cap
+FROM rap p JOIN cdeg du ON p.u = du.w JOIN cdeg dv ON p.v = dv.w
 """,
         # capped intersection over apexes, FULL degrees in the union
         # denominator (graphstats.py::jaccard_similarity docstring)

@@ -1120,3 +1120,63 @@ def powerlaw_alpha(graph: GraphTables, dmin: int = 2) -> DataFrame:
             "alpha_r9"
         ),
     )
+
+
+def resource_allocation(
+    graph: GraphTables, max_apex_degree: int = 64, min_common: int = 1
+) -> DataFrame:
+    """(u, v, common_neighbors, ra_r9, pa_score, apex_cap) — the
+    Resource-Allocation link predictor (Zhou-Lu-Zhang 2009: sum of
+    1/deg(w) over shared neighbors — the stronger-decaying sibling of
+    Adamic-Adar) plus the preferential-attachment score
+    deg(u)*deg(v) on the same candidate pairs, the two classic
+    baselines a link-prediction evaluation wants side by side.
+
+    Same surface contract as :func:`adamic_adar`: non-adjacent pairs at
+    distance 2, the SEMANTIC hub cap surfaced on every row (and
+    :func:`adamic_adar_excluded_hubs` lists the apexes it removed —
+    the cap is shared), r9-rounded double sum over <= cap^2 wedge
+    terms; pa_score is exact int64 (FULL degrees, not capped — the cap
+    governs which pairs are candidates, not their endpoint degrees).
+    """
+    deg = graph.edges.groupBy(F.col("src").alias("w")).agg(F.count("*").alias("dw"))
+    apex_ok = deg.filter((F.col("dw") >= 2) & (F.col("dw") <= max_apex_degree))
+    nbrs = graph.edges.select(F.col("src").alias("w"), F.col("dst").alias("n")).join(
+        apex_ok, "w"
+    )
+    wedges = (
+        nbrs.alias("l")
+        .join(nbrs.alias("r"), ["w", "dw"])
+        .filter(F.col("l.n") < F.col("r.n"))
+        .select(
+            F.col("l.n").alias("u"),
+            F.col("r.n").alias("v"),
+            (F.lit(1.0) / F.col("dw").cast("double")).alias("contrib"),
+        )
+    )
+    canon = graph.edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    pairs = (
+        wedges.join(canon, ["u", "v"], "left_anti")
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.round(F.sum("contrib"), 9).alias("ra_r9"),
+        )
+        .filter(F.col("common_neighbors") >= min_common)
+    )
+    du = deg.select(F.col("w").alias("u"), F.col("dw").alias("du"))
+    dv = deg.select(F.col("w").alias("v"), F.col("dw").alias("dv"))
+    return (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            "ra_r9",
+            (F.col("du") * F.col("dv")).cast("long").alias("pa_score"),
+            F.lit(max_apex_degree).cast("int").alias("apex_cap"),
+        )
+    )

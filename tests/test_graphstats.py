@@ -628,3 +628,33 @@ def test_powerlaw_alpha_matches_python_mle(spark):
     assert r["sum_micronats"] == s
     assert r["alpha_r9"] == want
     assert 1.5 < r["alpha_r9"] < 4.5  # plausible exponent for BA-ish graphs
+
+
+def test_resource_allocation_scores(spark):
+    from louvain_fast_move_cuda_spark.operators.graphstats import (
+        resource_allocation,
+    )
+
+    edges = powerlaw_graph(n=120, m_attach=2, seed=31)
+    nbrs = _adj(edges)
+    g = _gt(spark, edges)
+    cap = 64
+
+    want = defaultdict(lambda: [0, 0.0])
+    for w, ns in nbrs.items():
+        if not (2 <= len(ns) <= cap):
+            continue
+        contrib = 1.0 / len(ns)
+        for u, v in combinations(sorted(ns), 2):
+            if v in nbrs[u]:
+                continue
+            want[(u, v)][0] += 1
+            want[(u, v)][1] += contrib
+
+    rows = resource_allocation(g, max_apex_degree=cap).collect()
+    got = {(r.u, r.v): r for r in rows}
+    assert set(got) == set(want)
+    for p, (cn, ra) in want.items():
+        assert got[p].common_neighbors == cn
+        assert abs(got[p].ra_r9 - ra) < 1e-8
+        assert got[p].pa_score == len(nbrs[p[0]]) * len(nbrs[p[1]])
