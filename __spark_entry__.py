@@ -1174,6 +1174,15 @@ def q_weighted_matching(spark, sf_dir):
     return greedy_weighted_matching(g, salt=0, max_rounds=20)
 
 
+def q_transition_entropy(spark, sf_dir):
+    """Shannon entropy of the role-transition distribution (dialogue
+    predictability) — micro-nat integer inner sum, one-row output."""
+    from louvain_fast_move_cuda_spark.operators.temporal import transition_entropy
+
+    t, _, _ = _graph(spark, sf_dir)
+    return transition_entropy(t)
+
+
 def q_resource_allocation(spark, sf_dir):
     """Resource-Allocation + preferential-attachment link predictors on
     the adamic_adar candidate surface (shared semantic hub cap)."""
@@ -2684,6 +2693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_profile": q_graph_profile,
         "powerlaw_alpha": q_powerlaw_alpha,
         "resource_allocation": q_resource_allocation,
+        "transition_entropy": q_transition_entropy,
         "cc_modularity": q_cc_modularity,
         "cc_full_local": q_cc_full_local,
         "label_propagation": q_lpa,
@@ -4638,6 +4648,37 @@ hops AS (
 SELECT role, next_role, count(*) AS n_links
 FROM hops WHERE next_role IS NOT NULL
 GROUP BY 1, 2
+""",
+        # Shannon entropy of the hop distribution — micro-nat identity
+        # H = ln(N) - (1/N) * sum c*ln(c), exact int64 inner sum
+        "transition_entropy": f"""
+WITH {_T.strip()},
+hops AS (
+  SELECT role,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role
+  FROM transcripts
+),
+tcells AS (
+  SELECT role, next_role, CAST(count(*) AS BIGINT) AS c
+  FROM hops WHERE next_role IS NOT NULL GROUP BY 1, 2
+),
+tagg AS (
+  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(coalesce(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)), 0) AS BIGINT) AS s
+  FROM tcells
+)
+SELECT n AS n_links, k AS n_states,
+       CASE WHEN n > 0
+            THEN round((CAST(CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS DOUBLE)
+                        - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0, 9)
+       END AS entropy_nats_r9,
+       CASE WHEN k >= 2
+            THEN round(((CAST(CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS DOUBLE)
+                         - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0)
+                       / ln(CAST(k AS DOUBLE)), 9)
+            WHEN n > 0 THEN 0.0 END AS norm_entropy_r9
+FROM tagg
 """,
         # Markov hop counts between consecutive tool turns per conv
         "tool_transitions": f"""

@@ -517,3 +517,52 @@ def temporal_reachability(
         frontier = improved
         _save(_h, False, n_improved)
     return best
+
+
+def transition_entropy(transcripts: DataFrame) -> DataFrame:
+    """One row (n_links, n_states, entropy_nats_r9, norm_entropy_r9) —
+    the Shannon entropy of the (role -> next_role) hop distribution:
+    how predictable the dialogue flow is (0 = one deterministic hop
+    type, ln(n_states) = uniform over all observed hop types), plus
+    the [0, 1]-normalized variant.
+
+    Shuffle-order-proof by the micro-nat identity
+
+        H = ln(N) - (1/N) * sum_cells c * ln(c)
+
+    where each distinct cell's ln(c) is rounded to integer MICRO-nats
+    (one double expression, bit-identical in any engine) and the
+    c*ln(c) products are summed as exact int64 over the tiny
+    transition matrix — the same textstats trick rarity/bigram-LM use.
+    The outer ln(N) is a single scalar expression, safe as-is.
+    """
+    cells = role_transitions(transcripts)
+    unats = F.round(
+        F.log(F.col("n_links").cast("double")) * F.lit(1000000.0)
+    ).cast("long")
+    agg = cells.agg(
+        F.coalesce(F.sum("n_links"), F.lit(0)).alias("n"),
+        F.count("*").alias("k"),
+        F.coalesce(F.sum(F.col("n_links") * unats), F.lit(0)).alias("s"),
+    )
+    # outer ln(N) in micro-nats as well, so a fully concentrated
+    # distribution (one cell, c == N) gives H exactly 0: its inner term
+    # is N * round(ln N * 1e6) and the two roundings cancel bit-exactly
+    nnats = F.round(
+        F.log(F.col("n").cast("double")) * F.lit(1000000.0)
+    ).cast("long")
+    h = (
+        nnats.cast("double")
+        - F.col("s").cast("double") / F.col("n").cast("double")
+    ) / F.lit(1000000.0)
+    return agg.select(
+        F.col("n").alias("n_links"),
+        F.col("k").alias("n_states"),
+        F.when(F.col("n") > 0, F.round(h, 9)).alias("entropy_nats_r9"),
+        F.when(
+            F.col("k") >= 2,
+            F.round(h / F.log(F.col("k").cast("double")), 9),
+        )
+        .otherwise(F.when(F.col("n") > 0, F.lit(0.0)))
+        .alias("norm_entropy_r9"),
+    )

@@ -361,3 +361,38 @@ def test_temporal_reachability_respects_time_order(spark):
         ).collect()
     }
     assert got == {(0, 0): 0, (0, 1): 10}
+
+
+def test_transition_entropy_known_distributions(spark):
+    import math
+
+    from louvain_fast_move_cuda_spark.operators.temporal import transition_entropy
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(c, i, r, "", None, None) for c, i, r in rows],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+
+    # one deterministic hop type -> H = 0
+    det = mk([("c1", 0, "u"), ("c1", 1, "a"), ("c2", 0, "u"), ("c2", 1, "a")])
+    r = transition_entropy(det).collect()[0]
+    assert (r["n_links"], r["n_states"]) == (2, 1)
+    assert r["entropy_nats_r9"] == 0.0 and r["norm_entropy_r9"] == 0.0
+
+    # two hop types, 50/50 -> H = ln 2, normalized 1
+    uni = mk([("c1", 0, "u"), ("c1", 1, "a"), ("c2", 0, "a"), ("c2", 1, "u")])
+    r = transition_entropy(uni).collect()[0]
+    assert (r["n_links"], r["n_states"]) == (2, 2)
+    assert abs(r["entropy_nats_r9"] - math.log(2)) < 1e-6
+    assert abs(r["norm_entropy_r9"] - 1.0) < 1e-6
+
+    # skewed 3:1 -> H = ln4 - (3 ln3)/4 via the micro-nat replay
+    sk = mk(
+        [("c1", 0, "u"), ("c1", 1, "a"), ("c1", 2, "a"), ("c1", 3, "a"), ("c1", 4, "u")]
+    )
+    r = transition_entropy(sk).collect()[0]
+    assert (r["n_links"], r["n_states"]) == (4, 3)
+    s = 2 * round(math.log(2) * 1e6)  # cells: u->a (1), a->a (2), a->u (1)
+    want = round((round(math.log(4) * 1e6) - s / 4) / 1e6, 9)
+    assert r["entropy_nats_r9"] == want
