@@ -1174,6 +1174,15 @@ def q_weighted_matching(spark, sf_dir):
     return greedy_weighted_matching(g, salt=0, max_rounds=20)
 
 
+def q_degree_ccdf(spark, sf_dir):
+    """Degree survival function P(D >= d) per observed degree value —
+    the log-log plotting surface companion to powerlaw_alpha."""
+    from louvain_fast_move_cuda_spark.operators.graphstats import degree_ccdf
+
+    _, _, g = _graph(spark, sf_dir)
+    return degree_ccdf(g)
+
+
 def q_transition_entropy(spark, sf_dir):
     """Shannon entropy of the role-transition distribution (dialogue
     predictability) — micro-nat integer inner sum, one-row output."""
@@ -2694,6 +2703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "powerlaw_alpha": q_powerlaw_alpha,
         "resource_allocation": q_resource_allocation,
         "transition_entropy": q_transition_entropy,
+        "degree_ccdf": q_degree_ccdf,
         "cc_modularity": q_cc_modularity,
         "cc_full_local": q_cc_full_local,
         "label_propagation": q_lpa,
@@ -4859,6 +4869,24 @@ wdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS k FROM wsym GROUP BY src)
         ),
         "cc_full": _cc_star_sql(rounds=8),
         "lpa_modularity": _q_of_labels_sql(_lpa_sql(rounds=5), "label"),
+        "degree_ccdf": f"""
+{_GRAPH_CTE},
+ccd AS (
+  SELECT coalesce(c.degree, 0) AS v FROM deg d
+  LEFT JOIN (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src) c
+  ON d.id = c.id
+),
+cch AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM ccd GROUP BY v),
+ccr AS (
+  SELECT v, c,
+         CAST(sum(c) OVER (ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_ge,
+         (SELECT CAST(sum(c) AS BIGINT) FROM cch) AS nt
+  FROM cch
+)
+SELECT v AS degree, c AS n_vertices, n_ge,
+       round(CAST(n_ge AS DOUBLE) / CAST(nt AS DOUBLE), 9) AS ccdf_r9
+FROM ccr
+""",
         "powerlaw_alpha": f"""
 {_GRAPH_CTE},
 pld AS (

@@ -1180,3 +1180,36 @@ def resource_allocation(
             F.lit(max_apex_degree).cast("int").alias("apex_cap"),
         )
     )
+
+
+def degree_ccdf(graph: GraphTables) -> DataFrame:
+    """(degree, n_vertices, n_ge, ccdf_r9) — the degree distribution's
+    complementary CDF: for each observed degree value, how many
+    vertices have AT LEAST that degree and the survival fraction
+    P(D >= d). The standard log-log plotting surface for power-law
+    eyeballing, and the exact companion to :func:`powerlaw_alpha`.
+
+    One window cumsum over the DISTINCT degree values (descending), so
+    the plan scales by the histogram; counts exact int64, one r9
+    division per emitted row.
+    """
+    from pyspark.sql import Window
+
+    hist = degree_histogram(graph).select(
+        F.col("degree").cast("long").alias("degree"),
+        F.col("n_vertices"),
+    )
+    w = Window.orderBy(F.desc("degree")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = hist.withColumn("n_ge", F.sum("n_vertices").over(w))
+    total = hist.agg(F.coalesce(F.sum("n_vertices"), F.lit(0)).alias("nt"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "degree",
+            "n_vertices",
+            F.col("n_ge").cast("long").alias("n_ge"),
+            F.round(F.col("n_ge") / F.col("nt"), 9).alias("ccdf_r9"),
+        )
+    )

@@ -658,3 +658,16 @@ def test_resource_allocation_scores(spark):
         assert got[p].common_neighbors == cn
         assert abs(got[p].ra_r9 - ra) < 1e-8
         assert got[p].pa_score == len(nbrs[p[0]]) * len(nbrs[p[1]])
+
+
+def test_degree_ccdf_by_hand(spark):
+    from louvain_fast_move_cuda_spark.operators.graphstats import degree_ccdf
+
+    # star K1,3: degrees 3,1,1,1
+    g = _gt(spark, [(0, 1), (0, 2), (0, 3)])
+    rows = {r["degree"]: r for r in degree_ccdf(g).collect()}
+    assert rows[3]["n_ge"] == 1 and rows[3]["ccdf_r9"] == 0.25
+    assert rows[1]["n_ge"] == 4 and rows[1]["ccdf_r9"] == 1.0
+    # monotone non-increasing in degree
+    vals = [rows[d]["n_ge"] for d in sorted(rows)]
+    assert vals == sorted(vals, reverse=True)
