@@ -1174,6 +1174,17 @@ def q_weighted_matching(spark, sf_dir):
     return greedy_weighted_matching(g, salt=0, max_rounds=20)
 
 
+def q_length_gini(spark, sf_dir):
+    """Per-source doc-length inequality (Gini) — the uniform-length
+    smell test for templated/synthetic content; exact rank sums over
+    per-source length histograms, no document sort."""
+    from louvain_fast_move_cuda_spark.operators.textstats import (
+        length_gini_by_source,
+    )
+
+    return length_gini_by_source(_docs(spark, sf_dir))
+
+
 def q_degree_ccdf(spark, sf_dir):
     """Degree survival function P(D >= d) per observed degree value —
     the log-log plotting surface companion to powerlaw_alpha."""
@@ -2704,6 +2715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resource_allocation": q_resource_allocation,
         "transition_entropy": q_transition_entropy,
         "degree_ccdf": q_degree_ccdf,
+        "length_gini": q_length_gini,
         "cc_modularity": q_cc_modularity,
         "cc_full_local": q_cc_full_local,
         "label_propagation": q_lpa,
@@ -4869,6 +4881,29 @@ wdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS k FROM wsym GROUP BY src)
         ),
         "cc_full": _cc_star_sql(rounds=8),
         "lpa_modularity": _q_of_labels_sql(_lpa_sql(rounds=5), "label"),
+        "length_gini": """
+WITH lgh AS (
+  SELECT source, CAST(length(text) AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+),
+lgr AS (
+  SELECT source, v, c,
+         coalesce(sum(c) OVER (PARTITION BY source ORDER BY v
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cprev
+  FROM lgh
+),
+lga AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(v * c) AS BIGINT) AS sl,
+         CAST(sum(v * (c * cprev + c * (c + 1) // 2)) AS BIGINT) AS ranksum
+  FROM lgr GROUP BY source
+)
+SELECT source, n AS n_docs, sl AS sum_len,
+       CASE WHEN sl > 0
+            THEN round((2 * ranksum - (n + 1) * sl) / (n * sl), 9) END AS gini_r9
+FROM lga
+""",
         "degree_ccdf": f"""
 {_GRAPH_CTE},
 ccd AS (

@@ -447,3 +447,50 @@ def length_quantiles(
         .agg(F.min("value").alias("value"))
         .select("q", F.lit(n).cast("long").alias("n_docs"), "value")
     )
+
+
+def length_gini_by_source(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, sum_len, gini_r9) — the Gini coefficient of the
+    CHARACTER-length distribution within each source: 0 when every doc
+    has the same length (the uniform-length smell of templated or
+    synthetic content), rising toward 1 as a few huge docs carry most
+    of the mass. The per-source inequality twin of graphstats'
+    degree_gini, and it uses the same no-global-sort construction:
+    exact integer rank sums from the per-source LENGTH HISTOGRAM
+
+        G = (2 * sum_i i*l_(i) - (n+1) * sum l) / (n * sum l)
+
+    with the window partitioned BY SOURCE over distinct length values —
+    never a sort of the documents themselves. NULL where a source has
+    no characters at all.
+    """
+    from pyspark.sql import Window
+
+    hist = (
+        docs.select("source", F.length("text").cast("long").alias("v"))
+        .groupBy("source", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = hist.withColumn("cprev", F.coalesce(F.sum("c").over(w), F.lit(0)))
+    agg = ranked.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("v") * F.col("c")).alias("sl"),
+        F.sum(
+            F.col("v") * (F.col("c") * F.col("cprev") + F.expr("c * (c + 1) div 2"))
+        ).alias("ranksum"),
+    )
+    g = (
+        (F.lit(2) * F.col("ranksum") - (F.col("n") + 1) * F.col("sl"))
+        / (F.col("n") * F.col("sl"))
+    )
+    return agg.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("sl").alias("sum_len"),
+        F.when(F.col("sl") > 0, F.round(g, 9)).alias("gini_r9"),
+    )

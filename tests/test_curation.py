@@ -371,3 +371,28 @@ def test_dedup_by_source_rates(spark):
     assert abs(got["a"]["dup_rate_r9"] - round(1.0 - 2 / 3, 9)) < 1e-12
     assert (got["b"]["n_docs"], got["b"]["n_dup_docs"]) == (2, 0)
     assert got["b"]["dup_rate_r9"] == 0.0
+
+
+def test_length_gini_by_source(spark):
+    from louvain_fast_move_cuda_spark.operators.textstats import (
+        length_gini_by_source,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "aaaa", "uniform"),   # all length 4 -> G = 0
+            (1, "bbbb", "uniform"),
+            (2, "cccc", "uniform"),
+            (3, "x", "skewed"),       # lengths 1,1,1,1,4
+            (4, "y", "skewed"),
+            (5, "z", "skewed"),
+            (6, "w", "skewed"),
+            (7, "vvvv", "skewed"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in length_gini_by_source(df).collect()}
+    assert got["uniform"]["gini_r9"] == 0.0
+    # same shape as the degree star: (1,1,1,1,4) -> G = 0.3
+    assert (got["skewed"]["n_docs"], got["skewed"]["sum_len"]) == (5, 8)
+    assert got["skewed"]["gini_r9"] == 0.3
