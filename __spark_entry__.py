@@ -1174,6 +1174,34 @@ def q_weighted_matching(spark, sf_dir):
     return greedy_weighted_matching(g, salt=0, max_rounds=20)
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (hash-boundary, expected 16 tokens):
+    shift-resilient chunk identities for cross-corpus dedup; the token
+    flag table is materialized for the oracle (xxhash64 bridge),
+    everything downstream checked side-by-side."""
+    from louvain_fast_move_cuda_spark.operators.curation import (
+        cdc_chunks_from_flags,
+        cdc_token_flags,
+    )
+
+    flags = _materialize_for_oracle(
+        cdc_token_flags(_docs(spark, sf_dir), divisor=16), "cdc_token_flags"
+    )
+    return cdc_chunks_from_flags(flags)
+
+
+def q_weight_histogram(spark, sf_dir):
+    """Merged-edge-weight distribution (how much multi-linking the
+    dedup-merge absorbed): (weight, n_edges) over the canonical half —
+    exact integers, one groupBy."""
+    g = _weighted_graph(spark, sf_dir)
+    half = g.edges.filter(F.col("src") < F.col("dst"))
+    return (
+        half.groupBy(F.col("weight").cast("long").alias("weight"))
+        .agg(F.count("*").alias("n_edges"))
+    )
+
+
 def q_length_gini(spark, sf_dir):
     """Per-source doc-length inequality (Gini) — the uniform-length
     smell test for templated/synthetic content; exact rank sums over
@@ -2716,6 +2744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_entropy": q_transition_entropy,
         "degree_ccdf": q_degree_ccdf,
         "length_gini": q_length_gini,
+        "weight_histogram": q_weight_histogram,
+        "cdc_chunks": q_cdc_chunks,
         "cc_modularity": q_cc_modularity,
         "cc_full_local": q_cc_full_local,
         "label_propagation": q_lpa,
@@ -4881,6 +4911,31 @@ wdeg AS MATERIALIZED (SELECT src AS id, sum(weight) AS k FROM wsym GROUP BY src)
         ),
         "cc_full": _cc_star_sql(rounds=8),
         "lpa_modularity": _q_of_labels_sql(_lpa_sql(rounds=5), "label"),
+        # xxhash64-bridged: boundary flags are Spark-materialized, the
+        # cumsum/group/md5 downstream is exact SQL
+        "cdc_chunks": f"""
+WITH cf AS (
+  SELECT doc_id, pos, tok, flag
+  FROM read_parquet('{_ORACLE_MAT_DIR}/cdc_token_flags.parquet/*.parquet')
+),
+cci AS (
+  SELECT doc_id, pos, tok,
+         CAST(coalesce(sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER) AS chunk_idx
+  FROM cf
+)
+SELECT doc_id, chunk_idx,
+       CAST(min(pos) AS INTEGER) AS start_tok,
+       CAST(count(*) AS INTEGER) AS n_toks,
+       md5(array_to_string(list(tok ORDER BY pos), ' ')) AS chunk_hash
+FROM cci GROUP BY doc_id, chunk_idx
+""",
+        "weight_histogram": f"""
+{_GRAPH_CTE},{_WEIGHTED_GRAPH_CTE}
+whx AS (SELECT 1)
+SELECT CAST(weight AS BIGINT) AS weight, CAST(count(*) AS BIGINT) AS n_edges
+FROM wcanon GROUP BY 1
+""",
         "length_gini": """
 WITH lgh AS (
   SELECT source, CAST(length(text) AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c

@@ -527,3 +527,71 @@ def boilerplate_ngrams(
             F.round(F.col("df") / F.col("n_docs"), 9).alias("frac_r9"),
         )
     )
+
+
+def cdc_token_flags(docs: DataFrame, divisor: int = 16) -> DataFrame:
+    """(doc_id, pos, tok, flag) — the hash stage of content-defined
+    chunking: every whitespace token flagged as a chunk BOUNDARY when
+    xxhash64(token) % divisor == 0 (expected chunk length = divisor
+    tokens, geometric tail). Split out so the oracle harness can
+    materialize it (xxhash64 has no DuckDB twin) and check everything
+    downstream side-by-side.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.length(x) > 0
+    )
+    return docs.select("doc_id", F.posexplode(toks).alias("pos", "tok")).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        "tok",
+        (F.pmod(F.xxhash64("tok"), F.lit(divisor)) == 0).cast("int").alias("flag"),
+    )
+
+
+def cdc_chunks_from_flags(flags: DataFrame) -> DataFrame:
+    """(doc_id, chunk_idx, start_tok, n_toks, chunk_hash) — the
+    deterministic downstream of content-defined chunking: a boundary
+    token ENDS its chunk, so token i belongs to chunk
+    sum(flag[j] for j < i). Unlike fixed-window chunk_documents, an
+    insertion or deletion only perturbs the chunks it touches — the
+    shift-resilience property CDC dedup pipelines buy with the rolling
+    boundary (here hash-per-token; identical contract, simpler state).
+
+    Per-doc window cumsum + one groupBy; chunk text re-joined in pos
+    order (sort_array over (pos, tok) structs — deterministic in any
+    engine), identity = MD5 like chunk_documents so the two chunkers'
+    outputs dedup against each other.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cid = flags.withColumn(
+        "chunk_idx", F.coalesce(F.sum("flag").over(w), F.lit(0)).cast("int")
+    )
+    return (
+        cid.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            F.count("*").alias("n_toks"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.col("start_tok").cast("int").alias("start_tok"),
+            F.col("n_toks").cast("int").alias("n_toks"),
+            "chunk_hash",
+        )
+    )

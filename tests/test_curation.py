@@ -396,3 +396,40 @@ def test_length_gini_by_source(spark):
     # same shape as the degree star: (1,1,1,1,4) -> G = 0.3
     assert (got["skewed"]["n_docs"], got["skewed"]["sum_len"]) == (5, 8)
     assert got["skewed"]["gini_r9"] == 0.3
+
+
+def test_cdc_chunks_shift_resilience(spark):
+    """The CDC property: prepending one token only changes the FIRST
+    chunk's identity; fixed-window chunking would shift every chunk."""
+    from louvain_fast_move_cuda_spark.operators.curation import (
+        cdc_chunks_from_flags,
+        cdc_token_flags,
+        chunk_documents,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    shifted = "EXTRA " + base
+    df = spark.createDataFrame(
+        [(0, base), (1, shifted)], "doc_id long, text string"
+    )
+    rows = cdc_chunks_from_flags(cdc_token_flags(df, divisor=8)).collect()
+    h0 = {r["chunk_hash"] for r in rows if r["doc_id"] == 0}
+    h1 = {r["chunk_hash"] for r in rows if r["doc_id"] == 1}
+    assert len(h0) > 3, "divisor 8 over 200 tokens must cut several chunks"
+    # all but the first chunk survive the shift
+    assert len(h0 - h1) <= 1
+    # fixed-window chunking shares (almost) nothing after the shift
+    fw = chunk_documents(df, window=8, stride=8).collect()
+    f0 = {r["chunk_hash"] for r in fw if r["doc_id"] == 0}
+    f1 = {r["chunk_hash"] for r in fw if r["doc_id"] == 1}
+    assert len(f0 & f1) <= 1
+
+    # chunk partition invariants: contiguous, covering, boundary-ended
+    per_doc = sorted(
+        (r["chunk_idx"], r["start_tok"], r["n_toks"]) for r in rows if r["doc_id"] == 0
+    )
+    pos = 0
+    for idx, (ci, st, nt) in enumerate(per_doc):
+        assert ci == idx and st == pos
+        pos += nt
+    assert pos == 200
