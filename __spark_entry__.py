@@ -1174,6 +1174,29 @@ def q_weighted_matching(spark, sf_dir):
     return greedy_weighted_matching(g, salt=0, max_rounds=20)
 
 
+def q_tool_bridging(spark, sf_dir):
+    """Which tools stitch the graph ACROSS conversations — the
+    long-range-edge census behind inter-conversation communities."""
+    from louvain_fast_move_cuda_spark.operators.temporal import tool_bridging
+
+    t, _, _ = _graph(spark, sf_dir)
+    return tool_bridging(t)
+
+
+def q_response_quantiles(spark, sf_dir):
+    """Exact p50/p90/p99 of the (view -> click) response latency within
+    conversations — type-1 order statistics over exact integer micros
+    (the synthetic role vocabulary stands in for user/assistant)."""
+    from louvain_fast_move_cuda_spark.operators.temporal import (
+        response_time_quantiles,
+    )
+
+    t, _, _ = _graph(spark, sf_dir)
+    return response_time_quantiles(
+        t, from_role="view", to_role="click", quantiles=(50, 90, 99)
+    )
+
+
 def q_cdc_chunks(spark, sf_dir):
     """Content-defined chunking (hash-boundary, expected 16 tokens):
     shift-resilient chunk identities for cross-corpus dedup; the token
@@ -2746,6 +2769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_gini": q_length_gini,
         "weight_histogram": q_weight_histogram,
         "cdc_chunks": q_cdc_chunks,
+        "tool_bridging": q_tool_bridging,
+        "response_quantiles": q_response_quantiles,
         "cc_modularity": q_cc_modularity,
         "cc_full_local": q_cc_full_local,
         "label_propagation": q_lpa,
@@ -4700,6 +4725,43 @@ hops AS (
 SELECT role, next_role, count(*) AS n_links
 FROM hops WHERE next_role IS NOT NULL
 GROUP BY 1, 2
+""",
+        "tool_bridging": f"""
+WITH {_T.strip()},
+tbh AS (
+  SELECT tool, conv_id,
+         lead(conv_id) OVER (PARTITION BY tool ORDER BY ts, conv_id, turn_idx) AS next_conv
+  FROM transcripts WHERE tool IS NOT NULL
+)
+SELECT tool, CAST(count(*) AS BIGINT) AS n_links,
+       CAST(coalesce(sum(CASE WHEN conv_id <> next_conv THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cross_conv,
+       round(CAST(coalesce(sum(CASE WHEN conv_id <> next_conv THEN 1 ELSE 0 END), 0) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 9) AS cross_frac_r9
+FROM tbh WHERE next_conv IS NOT NULL
+GROUP BY tool
+""",
+        "response_quantiles": f"""
+WITH {_T.strip()},
+rqh AS (
+  SELECT conv_id, turn_idx, role, epoch_us(ts) AS us,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role,
+         lead(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_us
+  FROM transcripts
+),
+rqg AS (
+  SELECT conv_id, turn_idx, CAST(next_us - us AS BIGINT) AS gap_us
+  FROM rqh WHERE role = 'view' AND next_role = 'click' AND next_us IS NOT NULL
+),
+rqr AS (
+  SELECT gap_us, row_number() OVER (ORDER BY gap_us, conv_id, turn_idx) AS rn FROM rqg
+),
+rqn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rqg),
+rqq(q) AS (VALUES (50), (90), (99)),
+rqt AS (
+  SELECT q, n, greatest(1, CAST(ceil(q / 100.0 * n) AS BIGINT)) AS rn FROM rqq, rqn
+)
+SELECT CAST(t.q AS INTEGER) AS q, t.n, r.gap_us
+FROM rqt t JOIN rqr r USING (rn)
 """,
         # Shannon entropy of the hop distribution — micro-nat identity
         # H = ln(N) - (1/N) * sum c*ln(c), exact int64 inner sum

@@ -566,3 +566,75 @@ def transition_entropy(transcripts: DataFrame) -> DataFrame:
         .otherwise(F.when(F.col("n") > 0, F.lit(0.0)))
         .alias("norm_entropy_r9"),
     )
+
+
+def tool_bridging(transcripts: DataFrame) -> DataFrame:
+    """(tool, n_links, n_cross_conv, cross_frac_r9) — which tools stitch
+    the transcript graph ACROSS conversations: per tool, how many of
+    its chain links (consecutive uses in global time order) connect
+    turns of two different conversations. High cross_frac tools are the
+    graph's long-range edges — exactly the links that merge components
+    and give Louvain its inter-conversation communities.
+
+    One window (the same per-tool chain derive_edges_from_transcripts
+    uses) + a tiny-key groupBy; all integers, one r9 division.
+    """
+    w = Window.partitionBy("tool").orderBy("ts", "conv_id", "turn_idx")
+    hops = (
+        transcripts.filter(F.col("tool").isNotNull())
+        .select("tool", "conv_id", "ts", "turn_idx")
+        .withColumn("next_conv", F.lead("conv_id").over(w))
+        .filter(F.col("next_conv").isNotNull())
+    )
+    return hops.groupBy("tool").agg(
+        F.count("*").alias("n_links"),
+        F.coalesce(
+            F.sum(F.when(F.col("conv_id") != F.col("next_conv"), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_cross_conv"),
+    ).select(
+        "tool",
+        "n_links",
+        "n_cross_conv",
+        F.round(F.col("n_cross_conv") / F.col("n_links"), 9).alias("cross_frac_r9"),
+    )
+
+
+def response_time_quantiles(
+    transcripts: DataFrame,
+    from_role: str = "user",
+    to_role: str = "assistant",
+    quantiles: tuple = (50, 90, 99),
+) -> DataFrame:
+    """(q, n, gap_us) — EXACT type-1 quantiles of the response latency
+    between consecutive (from_role -> to_role) turns within a
+    conversation: THE dialogue-quality metric (p50/p90/p99 of how long
+    the assistant took to follow a user turn). Gaps are exact integer
+    micros; rank ties break on (conv_id, turn_idx) so the selected
+    element is engine-unique; never percentile_approx.
+    """
+    wc = Window.partitionBy("conv_id").orderBy("turn_idx")
+    us = F.unix_micros(F.to_utc_timestamp(F.col("ts"), "UTC"))
+    hops = (
+        transcripts.select("conv_id", "turn_idx", "role", us.alias("us"))
+        .withColumn("next_role", F.lead("role").over(wc))
+        .withColumn("next_us", F.lead("us").over(wc))
+        .filter(
+            (F.col("role") == from_role)
+            & (F.col("next_role") == to_role)
+            & F.col("next_us").isNotNull()
+        )
+        .select("conv_id", "turn_idx", (F.col("next_us") - F.col("us")).alias("gap_us"))
+    )
+    w = Window.orderBy("gap_us", "conv_id", "turn_idx")
+    ranked = hops.withColumn("rn", F.row_number().over(w))
+    n = hops.agg(F.count("*").alias("n"))
+    qdf = transcripts.sparkSession.createDataFrame(
+        [(int(q),) for q in quantiles], "q int"
+    )
+    targets = qdf.crossJoin(F.broadcast(n)).select(
+        "q",
+        "n",
+        F.greatest(F.lit(1), F.ceil(F.col("q") / 100.0 * F.col("n")).cast("long")).alias("rn"),
+    )
+    return targets.join(ranked.select("rn", "gap_us"), "rn").select("q", "n", "gap_us")

@@ -396,3 +396,53 @@ def test_transition_entropy_known_distributions(spark):
     s = 2 * round(math.log(2) * 1e6)  # cells: u->a (1), a->a (2), a->u (1)
     want = round((round(math.log(4) * 1e6) - s / 4) / 1e6, 9)
     assert r["entropy_nats_r9"] == want
+
+
+def test_tool_bridging_cross_conv_fraction(spark):
+    from datetime import datetime
+
+    from louvain_fast_move_cuda_spark.operators.temporal import tool_bridging
+
+    def ts(s):
+        return datetime(2026, 1, 1, 0, 0, s)
+
+    rows = [
+        # tool A: c1 -> c1 -> c2 (one within, one cross)
+        ("c1", 0, "u", "", "A", ts(1)),
+        ("c1", 1, "u", "", "A", ts(2)),
+        ("c2", 0, "u", "", "A", ts(3)),
+        # tool B: only one use -> no links
+        ("c1", 2, "u", "", "B", ts(4)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {r["tool"]: r for r in tool_bridging(df).collect()}
+    assert got["A"]["n_links"] == 2 and got["A"]["n_cross_conv"] == 1
+    assert got["A"]["cross_frac_r9"] == 0.5
+    assert "B" not in got
+
+
+def test_response_time_quantiles_exact_ranks(spark):
+    from datetime import datetime
+
+    from louvain_fast_move_cuda_spark.operators.temporal import (
+        response_time_quantiles,
+    )
+
+    rows = []
+    # 4 user->assistant gaps of 1, 2, 3, 4 seconds in separate convs
+    for i, gap in enumerate([1, 2, 3, 4]):
+        rows.append((f"c{i}", 0, "user", "", None, datetime(2026, 1, 1, 0, 0, 0)))
+        rows.append((f"c{i}", 1, "assistant", "", None, datetime(2026, 1, 1, 0, 0, gap)))
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {r["q"]: r for r in response_time_quantiles(df, quantiles=(50, 90, 99)).collect()}
+    # n=4: p50 -> rank ceil(2)=2 -> 2s; p90 -> rank 4 -> 4s; p99 -> rank 4
+    assert got[50]["gap_us"] == 2_000_000
+    assert got[90]["gap_us"] == 4_000_000
+    assert got[99]["gap_us"] == 4_000_000
+    assert all(r["n"] == 4 for r in got.values())
