@@ -1174,6 +1174,14 @@ def q_weighted_matching(spark, sf_dir):
     return greedy_weighted_matching(g, salt=0, max_rounds=20)
 
 
+def q_lexical_richness(spark, sf_dir):
+    """Per-source type-token ratio + hapax fraction — vocabulary
+    richness over the shared BPE-ish tokenizer; all-integer counts."""
+    from louvain_fast_move_cuda_spark.operators.textstats import lexical_richness
+
+    return lexical_richness(_docs(spark, sf_dir))
+
+
 def q_tool_bridging(spark, sf_dir):
     """Which tools stitch the graph ACROSS conversations — the
     long-range-edge census behind inter-conversation communities."""
@@ -2771,6 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": q_cdc_chunks,
         "tool_bridging": q_tool_bridging,
         "response_quantiles": q_response_quantiles,
+        "lexical_richness": q_lexical_richness,
         "cc_modularity": q_cc_modularity,
         "cc_full_local": q_cc_full_local,
         "label_propagation": q_lpa,
@@ -4725,6 +4734,26 @@ hops AS (
 SELECT role, next_role, count(*) AS n_links
 FROM hops WHERE next_role IS NOT NULL
 GROUP BY 1, 2
+""",
+        "lexical_richness": r"""
+WITH lrt AS (
+  SELECT source, u.tok FROM (
+    SELECT source, regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]') AS ts
+    FROM documents
+  ), UNNEST(ts) AS u(tok)
+),
+lrc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM lrt GROUP BY 1, 2),
+lra AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hapax
+  FROM lrc GROUP BY source
+)
+SELECT source, n_tokens, n_types, n_hapax,
+       round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS ttr_r9,
+       round(CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE), 9) AS hapax_frac_r9
+FROM lra
 """,
         "tool_bridging": f"""
 WITH {_T.strip()},

@@ -494,3 +494,38 @@ def length_gini_by_source(docs: DataFrame) -> DataFrame:
         F.col("sl").alias("sum_len"),
         F.when(F.col("sl") > 0, F.round(g, 9)).alias("gini_r9"),
     )
+
+
+def lexical_richness(docs: DataFrame) -> DataFrame:
+    """(source, n_tokens, n_types, n_hapax, ttr_r9, hapax_frac_r9) —
+    per-source vocabulary richness: type-token ratio and the hapax-
+    legomena fraction (types occurring exactly once in the source).
+    Both collapse on templated/looped content (few types, no hapax) and
+    sit high on organic text — the lexical siblings of
+    repetition_scores' within-doc dup fractions.
+
+    Tokenizer: the shared BPE-ish regex (doc_ngrams / token-hash
+    surface), so the numbers compose with the rest of the text stack.
+    One (source, token) count then a per-source fold — the token table
+    shuffles once on its natural key; all integers, two r9 divisions.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), F.lit(0)
+    )
+    tok = docs.select("source", F.explode(toks).alias("tok"))
+    per_type = tok.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    agg = per_type.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.coalesce(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)), F.lit(0)
+        ).alias("n_hapax"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.round(F.col("n_types") / F.col("n_tokens"), 9).alias("ttr_r9"),
+        F.round(F.col("n_hapax") / F.col("n_types"), 9).alias("hapax_frac_r9"),
+    )

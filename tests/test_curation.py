@@ -433,3 +433,21 @@ def test_cdc_chunks_shift_resilience(spark):
         assert ci == idx and st == pos
         pos += nt
     assert pos == 200
+
+
+def test_lexical_richness_by_hand(spark):
+    from louvain_fast_move_cuda_spark.operators.textstats import lexical_richness
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a", "loop"),      # tokens: a x3, b x2 -> 2 types, 0 hapax
+            (1, "x y z x", "rich"),        # x x2, y, z -> 3 types, 2 hapax
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in lexical_richness(df).collect()}
+    assert (got["loop"]["n_tokens"], got["loop"]["n_types"], got["loop"]["n_hapax"]) == (5, 2, 0)
+    assert got["loop"]["ttr_r9"] == 0.4 and got["loop"]["hapax_frac_r9"] == 0.0
+    assert (got["rich"]["n_tokens"], got["rich"]["n_types"], got["rich"]["n_hapax"]) == (4, 3, 2)
+    assert abs(got["rich"]["ttr_r9"] - 0.75) < 1e-12
+    assert abs(got["rich"]["hapax_frac_r9"] - round(2 / 3, 9)) < 1e-12
