@@ -1174,6 +1174,21 @@ def q_weighted_matching(spark, sf_dir):
     return greedy_weighted_matching(g, salt=0, max_rounds=20)
 
 
+def q_lpa_community_metrics(spark, sf_dir):
+    """Per-community volume/cut/conductance of the 5-round LPA
+    partition — the partition-diagnostics composition over an
+    algorithm's OWN labels (community_metrics x label_propagation)."""
+    from louvain_fast_move_cuda_spark.operators.graphstats import (
+        community_metrics,
+    )
+
+    _, _, g = _graph(spark, sf_dir)
+    labels = label_propagation(g, max_iter=5, local_max_edges=0).select(
+        "id", F.col("label").alias("community")
+    )
+    return community_metrics(g, labels)
+
+
 def q_lexical_richness(spark, sf_dir):
     """Per-source type-token ratio + hapax fraction — vocabulary
     richness over the shared BPE-ish tokenizer; all-integer counts."""
@@ -2780,6 +2795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_bridging": q_tool_bridging,
         "response_quantiles": q_response_quantiles,
         "lexical_richness": q_lexical_richness,
+        "lpa_community_metrics": q_lpa_community_metrics,
         "cc_modularity": q_cc_modularity,
         "cc_full_local": q_cc_full_local,
         "label_propagation": q_lpa,
@@ -3147,6 +3163,32 @@ l{r + 1} AS (SELECT d.id, coalesce(b.label, d.id) AS label
           FROM deg d LEFT JOIN best{r} b ON d.id = b.src)"""
         )
     return f"{_GRAPH_CTE},\n" + ",\n".join(parts) + f"\nSELECT id, label FROM l{rounds}"
+
+
+def _metrics_of_labels_sql(base_sql: str, label_col: str) -> str:
+    """Wrap a labels oracle with the community_metrics CTEs — per-
+    community volume/internal/cut/conductance of an algorithm's OWN
+    partition, exactly as the conv-partition oracle computes them."""
+    head, tail = base_sql.rsplit("\nSELECT", 1)
+    return f"""{head},
+mlab AS (SELECT id, {label_col} AS community FROM (SELECT{tail})),
+mvol AS (
+  SELECT l.community, CAST(count(*) AS BIGINT) AS n_vertices, sum(d.k) AS volume
+  FROM deg d JOIN mlab l ON d.id = l.id GROUP BY l.community),
+mintra AS (
+  SELECT ls.community, sum(e.weight) AS internal_weight
+  FROM sym e JOIN mlab ls ON e.src = ls.id JOIN mlab ld ON e.dst = ld.id
+  WHERE ls.community = ld.community GROUP BY ls.community),
+mmm2 AS (SELECT sum(weight) AS two_m FROM sym)
+SELECT v.community, v.n_vertices, v.volume,
+       coalesce(i.internal_weight, 0.0) AS internal_weight,
+       v.volume - coalesce(i.internal_weight, 0.0) AS cut,
+       CASE WHEN least(v.volume, (SELECT two_m FROM mmm2) - v.volume) > 0.0
+            THEN round((v.volume - coalesce(i.internal_weight, 0.0))
+                       / least(v.volume, (SELECT two_m FROM mmm2) - v.volume), 9)
+            ELSE 0.0 END AS conductance_r9
+FROM mvol v LEFT JOIN mintra i ON v.community = i.community
+"""
 
 
 def _q_of_labels_sql(base_sql: str, label_col: str) -> str:
@@ -5177,6 +5219,7 @@ LEFT JOIN wcdeg d ON v.id = d.id
 LEFT JOIN wcagg a ON v.id = a.id
 """,
         "cc_modularity": _q_of_labels_sql(_cc_star_sql(rounds=8), "component"),
+        "lpa_community_metrics": _metrics_of_labels_sql(_lpa_sql(rounds=5), "label"),
         "cc_full_local": _cc_star_sql(rounds=8),
         # incremental CC over the micro-batch replay: the maintained
         # snapshot must reproduce the batch star rounds bit-exactly

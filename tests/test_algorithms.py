@@ -535,3 +535,27 @@ def test_ppr_sweep_cut_matches_python_sweep(spark):
     assert len(best) == 1
     finite = [w for w in want if w[4] is not None]
     assert best[0]["k"] == min(finite, key=lambda w: (w[4], w[0]))[0]
+
+
+def test_lpa_metrics_composition_consistency(spark):
+    """community_metrics over LPA's own labels: volumes sum to 2m, cuts
+    are symmetric-consistent (sum of cuts is even), conductance in
+    [0, 1]."""
+    from louvain_fast_move_cuda_spark.operators.graphstats import (
+        community_metrics,
+    )
+    from pyspark.sql import functions as F
+
+    edges = powerlaw_graph(n=150, m_attach=3, seed=29)
+    g = build_graph(spark.createDataFrame(edges, "a long, b long"), relabel=False)
+    labels = label_propagation(g, max_iter=5, local_max_edges=0).select(
+        "id", F.col("label").alias("community")
+    )
+    rows = community_metrics(g, labels).collect()
+    two_m = 2.0 * g.m
+    assert abs(sum(r["volume"] for r in rows) - two_m) < 1e-9
+    assert sum(r["cut"] for r in rows) % 2 == 0
+    for r in rows:
+        assert r["cut"] >= 0
+        if r["conductance_r9"] is not None:
+            assert 0.0 <= r["conductance_r9"] <= 1.0
