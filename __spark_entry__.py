@@ -1174,6 +1174,22 @@ def q_weighted_matching(spark, sf_dir):
     return greedy_weighted_matching(g, salt=0, max_rounds=20)
 
 
+def q_source_overlap(spark, sf_dir):
+    """Cross-source near-dup contamination matrix over the MinHash-LSH
+    candidate pairs (own materialization — order-independent of the
+    minhash_lsh_candidates query)."""
+    from louvain_fast_move_cuda_spark.operators.dedup import source_overlap
+
+    docs = _docs(spark, sf_dir)
+    sh = shingles(docs, k=5)
+    sigs = minhash_signatures(sh, num_hashes=32)
+    banded = _materialize_for_oracle(
+        minhash_band_buckets(sigs, bands=8, rows_per_band=4),
+        "source_overlap_buckets",
+    )
+    return source_overlap(docs, lsh_pairs_from_buckets(banded))
+
+
 def q_lpa_community_metrics(spark, sf_dir):
     """Per-community volume/cut/conductance of the 5-round LPA
     partition — the partition-diagnostics composition over an
@@ -2796,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "response_quantiles": q_response_quantiles,
         "lexical_richness": q_lexical_richness,
         "lpa_community_metrics": q_lpa_community_metrics,
+        "source_overlap": q_source_overlap,
         "cc_modularity": q_cc_modularity,
         "cc_full_local": q_cc_full_local,
         "label_propagation": q_lpa,
@@ -4776,6 +4793,27 @@ hops AS (
 SELECT role, next_role, count(*) AS n_links
 FROM hops WHERE next_role IS NOT NULL
 GROUP BY 1, 2
+""",
+        # xxhash64-bridged: band buckets Spark-materialized, the pair
+        # derivation + source matrix is exact SQL
+        "source_overlap": f"""
+WITH sob AS (
+  SELECT id, band, bucket
+  FROM read_parquet('{_ORACLE_MAT_DIR}/source_overlap_buckets.parquet/*.parquet')
+),
+sop AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM sob x JOIN sob y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+),
+soj AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM sop
+  JOIN documents da ON sop.id_a = da.doc_id
+  JOIN documents db ON sop.id_b = db.doc_id
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM soj GROUP BY 1, 2
 """,
         "lexical_richness": r"""
 WITH lrt AS (

@@ -503,3 +503,28 @@ def dedup_by_source(docs: DataFrame) -> DataFrame:
             ).alias("dup_rate_r9"),
         )
     )
+
+
+def source_overlap(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(source_a, source_b, n_pairs) — the cross-source near-duplicate
+    contamination matrix: how many LSH candidate pairs join documents
+    of each (unordered) source pair. The per-snapshot answer to "which
+    crawls copy from each other" — a spike off the diagonal means one
+    source republishes another's content, and the diagonal recovers
+    per-source internal duplication.
+
+    ``pairs``: (id_a, id_b) candidate pairs (minhash_lsh / simhash /
+    embedding — any near-dup surface). Two broadcast-size joins against
+    the (doc_id, source) dim; sources ordered lexically so each
+    unordered pair counts once. Exact integers only.
+    """
+    src = docs.select(F.col("doc_id"), F.col("source"))
+    j = (
+        pairs.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")), "id_a")
+        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")), "id_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return j.groupBy("source_a", "source_b").agg(F.count("*").alias("n_pairs"))

@@ -451,3 +451,24 @@ def test_lexical_richness_by_hand(spark):
     assert (got["rich"]["n_tokens"], got["rich"]["n_types"], got["rich"]["n_hapax"]) == (4, 3, 2)
     assert abs(got["rich"]["ttr_r9"] - 0.75) < 1e-12
     assert abs(got["rich"]["hapax_frac_r9"] - round(2 / 3, 9)) < 1e-12
+
+
+def test_source_overlap_matrix(spark):
+    from louvain_fast_move_cuda_spark.operators.dedup import source_overlap
+
+    docs = spark.createDataFrame(
+        [(0, "srcA"), (1, "srcA"), (2, "srcB"), (3, "srcC")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in source_overlap(docs, pairs).collect()
+    }
+    assert got == {
+        ("srcA", "srcA"): 1,   # 0-1 internal dup
+        ("srcA", "srcB"): 2,   # 0-2 and 1-2 cross-contamination
+        ("srcB", "srcC"): 1,
+    }
