@@ -1174,6 +1174,17 @@ def q_weighted_matching(spark, sf_dir):
     return greedy_weighted_matching(g, salt=0, max_rounds=20)
 
 
+def q_embedding_norms(spark, sf_dir):
+    """Exact L2-norm quantiles of the embedding corpus (ANN hygiene:
+    norm collapse / spread detection); row-local fold, raw-double
+    order statistics."""
+    from louvain_fast_move_cuda_spark.operators.similarity import (
+        embedding_norm_quantiles,
+    )
+
+    return embedding_norm_quantiles(_emb(spark, sf_dir))
+
+
 def q_source_overlap(spark, sf_dir):
     """Cross-source near-dup contamination matrix over the MinHash-LSH
     candidate pairs (own materialization — order-independent of the
@@ -2813,6 +2824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_richness": q_lexical_richness,
         "lpa_community_metrics": q_lpa_community_metrics,
         "source_overlap": q_source_overlap,
+        "embedding_norms": q_embedding_norms,
         "cc_modularity": q_cc_modularity,
         "cc_full_local": q_cc_full_local,
         "label_propagation": q_lpa,
@@ -6838,6 +6850,25 @@ SELECT doc_id AS media_id,
        CAST(ceil((1 + doc_id % 32) / 4.0) AS BIGINT) AS n_sampled
 FROM documents
 WHERE doc_id % 3 = 2
+""",
+        # same fold idiom as the cosine scorers; selected raw doubles
+        # pass through untouched
+        "embedding_norms": """
+WITH env AS (
+  SELECT vec_id,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm
+  FROM embeddings
+),
+enr AS (
+  SELECT norm, row_number() OVER (ORDER BY norm, vec_id) AS rn FROM env
+),
+enn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM env),
+enq(q) AS (VALUES (25), (50), (75), (90), (99)),
+ent AS (
+  SELECT q, n, greatest(1, CAST(ceil(q / 100.0 * n) AS BIGINT)) AS rn FROM enq, enn
+)
+SELECT CAST(t.q AS INTEGER) AS q, t.n, r.norm
+FROM ent t JOIN enr r USING (rn)
 """,
         "ann_topk": """
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -384,3 +384,42 @@ def semantic_dedup(
         )
     )
     return cents, out
+
+
+def embedding_norm_quantiles(
+    emb: DataFrame, quantiles: tuple = (25, 50, 75, 90, 99)
+) -> DataFrame:
+    """(q, n, norm) — EXACT type-1 quantiles of the L2 embedding norms:
+    the one-glance ANN-hygiene check (norm collapse -> cosine loses
+    discrimination; wild norm spread -> dot-product retrieval skews to
+    long vectors).
+
+    Norms use the same per-row left-fold sum-of-squares expression the
+    cosine scorers use (row-local, deterministic in any engine); the
+    selected order statistics are raw doubles passed through untouched
+    with (norm, vec_id) rank tie-breaks — never percentile_approx.
+    """
+    from pyspark.sql import Window
+
+    v = emb.select(
+        "vec_id",
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        ).alias("norm"),
+    )
+    w = Window.orderBy("norm", "vec_id")
+    ranked = v.withColumn("rn", F.row_number().over(w))
+    n = v.agg(F.count("*").alias("n"))
+    qdf = emb.sparkSession.createDataFrame([(int(q),) for q in quantiles], "q int")
+    targets = qdf.crossJoin(F.broadcast(n)).select(
+        "q",
+        "n",
+        F.greatest(
+            F.lit(1), F.ceil(F.col("q") / 100.0 * F.col("n")).cast("long")
+        ).alias("rn"),
+    )
+    return targets.join(ranked.select("rn", "norm"), "rn").select("q", "n", "norm")

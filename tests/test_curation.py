@@ -472,3 +472,22 @@ def test_source_overlap_matrix(spark):
         ("srcA", "srcB"): 2,   # 0-2 and 1-2 cross-contamination
         ("srcB", "srcC"): 1,
     }
+
+
+def test_embedding_norm_quantiles_exact(spark):
+    import math
+
+    from louvain_fast_move_cuda_spark.operators.similarity import (
+        embedding_norm_quantiles,
+    )
+
+    # norms 3,4,5 exactly (pythagorean vectors)
+    df = spark.createDataFrame(
+        [(0, [3.0, 0.0]), (1, [0.0, 4.0]), (2, [3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["q"]: r for r in embedding_norm_quantiles(df, quantiles=(50, 99)).collect()}
+    assert got[50]["norm"] == 4.0   # rank ceil(1.5)=2 of [3,4,5]
+    assert got[99]["norm"] == 5.0
+    assert all(r["n"] == 3 for r in got.values())
+    assert math.sqrt(9.0) == 3.0  # sanity: exact squares chosen on purpose
