@@ -570,3 +570,52 @@ def test_ppr_sweep_topk_is_take_ordered_not_global_sort(spark):
     )
     plan = _plan(top, "simple")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_round5_operator_plans_stay_equi_join_and_jvm_side(spark):
+    """The round-5 additions must keep the same plan discipline: no
+    cartesian/nested-loop joins (the scalar-aggregate crossJoins are
+    single-row by construction and compile to broadcast loops over ONE
+    row — explicitly allowed), and no Python row evaluation anywhere."""
+    from louvain_fast_move_cuda_spark.operators.graphstats import (
+        degree_ccdf,
+        degree_gini,
+        densest_subgraph,
+        graph_profile,
+        powerlaw_alpha,
+        resource_allocation,
+        weighted_assortativity,
+        weighted_clustering,
+    )
+    from louvain_fast_move_cuda_spark.operators.triads import triad_census
+    from louvain_fast_move_cuda_spark.operators.triangles import clique4_count
+    from louvain_fast_move_cuda_spark.sources.edges import build_graph
+    from oracle import powerlaw_graph
+
+    edges = powerlaw_graph(n=120, m_attach=2, seed=1)
+    g = build_graph(
+        spark.createDataFrame(edges, "a long, b long"), relabel=False
+    )
+    gw = build_graph(
+        spark.createDataFrame(
+            [(a, b, 1.0) for a, b in edges], "a long, b long, w double"
+        ),
+        relabel=False,
+        weight="w",
+    )
+    raw = spark.createDataFrame(edges, "a long, b long")
+    for df in (
+        degree_gini(g),
+        degree_ccdf(g),
+        graph_profile(g),
+        powerlaw_alpha(g),
+        resource_allocation(g),
+        weighted_clustering(gw),
+        weighted_assortativity(gw),
+        densest_subgraph(g, max_rounds=2),
+        triad_census(raw),
+        clique4_count(g),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
