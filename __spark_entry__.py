@@ -2561,6 +2561,29 @@ def q_kmeans_clusters(spark, sf_dir):
     return assigned.select(F.col("id").alias("vec_id"), "cid")
 
 
+def q_ivf_cell_balance(spark, sf_dir):
+    """IVF index health: per-cell assignment counts + corpus share —
+    a skewed cell distribution is exactly what erodes the nprobe
+    cost/recall tradeoff. Own centroid materialization; the oracle
+    recomputes every assignment from it (kmeans_clusters' argmax CTEs)
+    and must agree on the exact integer cell census."""
+    from louvain_fast_move_cuda_spark.operators.similarity import ivf_assign
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents, assigned = ivf_assign(emb, n_centroids=16)
+    _materialize_for_oracle(cents, "ivf_balance_centroids")
+    counts = assigned.groupBy("cid").agg(F.count("*").alias("n_vectors"))
+    total = assigned.agg(F.count("*").alias("nt"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "cid",
+        "n_vectors",
+        F.round(F.col("n_vectors") / F.col("nt"), 9).alias("share_r9"),
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup over the embeddings table: k-means cells (the bridged
     centroid artifact), then within-cell cosine >= 0.3 marks a vector a
@@ -2825,6 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_community_metrics": q_lpa_community_metrics,
         "source_overlap": q_source_overlap,
         "embedding_norms": q_embedding_norms,
+        "ivf_cell_balance": q_ivf_cell_balance,
         "cc_modularity": q_cc_modularity,
         "cc_full_local": q_cc_full_local,
         "label_propagation": q_lpa,
@@ -6775,6 +6799,35 @@ SELECT vec_id, cid FROM (
   FROM scored
 )
 WHERE rn = 1
+""",
+        # cell census recomputed from the materialized centroids — same
+        # argmax-cosine + tie-break as kmeans_clusters
+        "ivf_cell_balance": f"""
+WITH c AS (
+  SELECT * FROM read_parquet('{_ORACLE_MAT_DIR}/ivf_balance_centroids.parquet/*.parquet')
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         list_sum(list_transform(range(1, len(e.vec) + 1), i -> e.vec[i] * c.cv[i]))
+           / (sqrt(list_sum(list_transform(e.vec, x -> x * x)))
+              * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS sim
+  FROM e CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM assigned)
+SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors,
+       round(CAST(count(*) AS DOUBLE) / CAST((SELECT nt FROM tot) AS DOUBLE), 9) AS share_r9
+FROM assigned GROUP BY cid
 """,
         # SemDeDup: assignment recomputed from the materialized centroids
         # (same argmax-cosine + tie-break as kmeans_clusters), then the

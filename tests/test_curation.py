@@ -491,3 +491,26 @@ def test_embedding_norm_quantiles_exact(spark):
     assert got[99]["norm"] == 5.0
     assert all(r["n"] == 3 for r in got.values())
     assert math.sqrt(9.0) == 3.0  # sanity: exact squares chosen on purpose
+
+
+def test_ivf_cell_balance_shares_sum_to_one(spark):
+    from louvain_fast_move_cuda_spark.operators.similarity import ivf_assign
+    from pyspark.sql import functions as F
+
+    # clustered data: 3 tight clusters -> 3 non-empty cells, shares sum 1
+    import math
+
+    rows = []
+    for c in range(3):
+        base = [0.0] * 8
+        base[c] = 1.0
+        for i in range(10):
+            v = list(base)
+            v[(c + 1) % 8] = 0.01 * i
+            rows.append((c * 10 + i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _, assigned = ivf_assign(df, n_centroids=3)
+    counts = assigned.groupBy("cid").agg(F.count("*").alias("n"))
+    got = {r["cid"]: r["n"] for r in counts.collect()}
+    assert sum(got.values()) == 30
+    assert len(got) <= 3
