@@ -2584,6 +2584,22 @@ def q_ivf_cell_balance(spark, sf_dir):
     )
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """MOSS matching stage: pairs sharing >= 2 distinct winnowing
+    fingerprints (own hash materialization; fingerprint selection and
+    the pair join recomputed in exact SQL)."""
+    from louvain_fast_move_cuda_spark.operators.dedup import (
+        winnow_fingerprints_from_hashes,
+        winnow_hashes,
+        winnow_pairs,
+    )
+
+    wh = _materialize_for_oracle(
+        winnow_hashes(_docs(spark, sf_dir), k=4), "winnow_pairs_hashes"
+    )
+    return winnow_pairs(winnow_fingerprints_from_hashes(wh, w=4), min_shared=2)
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup over the embeddings table: k-means cells (the bridged
     centroid artifact), then within-cell cosine >= 0.3 marks a vector a
@@ -2849,6 +2865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "embedding_norms": q_embedding_norms,
         "ivf_cell_balance": q_ivf_cell_balance,
+        "winnow_pairs": q_winnow_pairs,
         "cc_modularity": q_cc_modularity,
         "cc_full_local": q_cc_full_local,
         "label_propagation": q_lpa,
@@ -6705,6 +6722,33 @@ sel AS (
 SELECT DISTINCT doc_id, s.mh AS fp_hash, CAST(-s.np AS INTEGER) AS fp_pos
 FROM sel
 WHERE pos <= greatest(n - 4, 0)
+""",
+        # MOSS matching stage over its own materialized hash table: the
+        # same struct-min fingerprint selection, then the rare-hash
+        # prefilter + bucket self-join + >= 2 threshold in exact SQL
+        "winnow_pairs": f"""
+WITH h AS (
+  SELECT doc_id, pos, h
+  FROM read_parquet('{_ORACLE_MAT_DIR}/winnow_pairs_hashes.parquet/*.parquet')
+),
+sel AS (
+  SELECT doc_id, pos,
+         min({{'mh': h, 'np': -pos}}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM h
+),
+wfp AS (
+  SELECT DISTINCT doc_id, s.mh AS fp_hash
+  FROM sel WHERE pos <= greatest(n - 4, 0)
+),
+wrare AS (SELECT fp_hash FROM wfp GROUP BY fp_hash HAVING count(*) <= 10000),
+wdd AS (SELECT f.doc_id, f.fp_hash FROM wfp f JOIN wrare USING (fp_hash))
+SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM wdd x JOIN wdd y ON x.fp_hash = y.fp_hash AND x.doc_id < y.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
 """,
         # xxhash64-bridged oracles: the Spark query materializes its hash
         # table first; everything downstream is exact ANSI SQL

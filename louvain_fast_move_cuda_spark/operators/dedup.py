@@ -528,3 +528,38 @@ def source_overlap(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         )
     )
     return j.groupBy("source_a", "source_b").agg(F.count("*").alias("n_pairs"))
+
+
+def winnow_pairs(
+    fps: DataFrame, min_shared: int = 2, max_hash_df: int = 10000
+) -> DataFrame:
+    """(id_a, id_b, n_shared) — candidate near-dup pairs sharing at
+    least ``min_shared`` distinct winnowing fingerprints: the matching
+    stage of MOSS, completing the winnow_fingerprints surface. By the
+    SWA guarantee, docs sharing a token run of length >= w + k - 1
+    share a fingerprint — so min_shared=2 demands two independent
+    shared runs (or one long one), the standard false-positive damper.
+
+    ``max_hash_df`` drops fingerprints appearing in more docs (the
+    rare-shingle prefilter of ngram_jaccard): a boilerplate fingerprint
+    shared by 10^6 docs would otherwise explode the bucket self-join
+    quadratically. The cap is semantic and mirrored by the oracle.
+    """
+    d = fps.select("doc_id", "fp_hash").distinct()
+    rare = (
+        d.groupBy("fp_hash")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_hash_df)
+        .select("fp_hash")
+    )
+    dd = d.join(rare, "fp_hash", "left_semi")
+    return (
+        dd.alias("x")
+        .join(dd.alias("y"), "fp_hash")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

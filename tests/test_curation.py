@@ -514,3 +514,27 @@ def test_ivf_cell_balance_shares_sum_to_one(spark):
     got = {r["cid"]: r["n"] for r in counts.collect()}
     assert sum(got.values()) == 30
     assert len(got) <= 3
+
+
+def test_winnow_pairs_shared_run_guarantee(spark):
+    from louvain_fast_move_cuda_spark.operators.dedup import (
+        winnow_fingerprints_from_hashes,
+        winnow_hashes,
+        winnow_pairs,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " unique tail zero alpha beta gamma"),
+            (1, shared + " different ending one delta epsilon zeta"),
+            (2, "totally unrelated content with no overlap at all here now"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints_from_hashes(winnow_hashes(docs, k=4), w=4)
+    got = {(r["id_a"], r["id_b"]): r["n_shared"] for r in winnow_pairs(fps, min_shared=2).collect()}
+    # the long shared run guarantees multiple shared fingerprints for (0,1)
+    assert (0, 1) in got and got[(0, 1)] >= 2
+    # doc 2 must pair with nobody
+    assert not any(2 in p for p in got)
