@@ -53,7 +53,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.modularity import delta_q, modularity, modularity_fused
+from ..functions.modularity import delta_q, modularity_fused
 from ..plans.skew import salted_sum_by_key, skewed_degree_trigger
 from .louvain_arrow import arrow_round_moves
 from .louvain_local import local_louvain
@@ -87,15 +87,18 @@ def _release_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
-def _apply_moves(df: DataFrame, moves: DataFrame, key: str, comm_col: str, bcast: bool) -> DataFrame:
-    """comm_col := coalesce(move target, comm_col) for rows whose `key` moved (C5)."""
-    mv = moves.select(F.col("node").alias(key), F.col("newc").alias("_newc"))
-    if bcast:
-        mv = F.broadcast(mv)
+def _apply_moves(df: DataFrame, mv: DataFrame, key: str, comm_col: str) -> DataFrame:
+    """comm_col := coalesce(move target, comm_col) for rows whose `key` moved (C5).
+
+    ``mv`` is the caller-shared ``(node, _newc)`` projection, pre-wrapped in
+    ``F.broadcast`` when the move set fits. All per-round applies join the
+    IDENTICAL subplan (a join condition instead of a per-call rename), so
+    Spark's exchange reuse builds/ships the move set ONCE per round instead
+    of once per apply (guide §2.4: shared exchanges)."""
     return (
-        df.join(mv, key, "left")
+        df.join(mv, F.col(key) == F.col("node"), "left")
         .withColumn(comm_col, F.coalesce(F.col("_newc"), F.col(comm_col)))
-        .drop("_newc")
+        .drop("node", "_newc")
     )
 
 
@@ -353,9 +356,27 @@ def louvain(
         labels = labels.localCheckpoint(eager=True)
         cur_n = graph.n_nodes
 
-    comm_w = verts.groupBy("comm").agg(F.sum("k").alias("ctot"))
+    comm_w = verts.groupBy("comm").agg(F.sum("k").alias("ctot")).localCheckpoint(
+        eager=False
+    )
+    # per-level max weighted degree for the skew trigger, computed inside
+    # the SAME fused action as Q (one collect instead of two jobs); None
+    # means "not yet known for this level" and falls back to its own agg
+    level_max_k = None
     if q is None:
-        q = modularity(est, comm_w, m)
+        # modularity (community.h:104) + skew scalar in ONE action — the
+        # same two sums modularity() computes, identical float64 math
+        row = (
+            est.filter(F.col("cs") == F.col("cd"))
+            .agg(F.sum("w").alias("win"))
+            .crossJoin(comm_w.agg(F.sum(F.col("ctot") * F.col("ctot")).alias("s")))
+            .crossJoin(verts.agg(F.max("k").alias("mx")))
+            .collect()[0]
+        )
+        w_in0 = float(row["win"]) if row["win"] is not None else 0.0
+        sq0 = float(row["s"]) if row["s"] is not None else 0.0
+        q = w_in0 / (2.0 * m) - sq0 / (4.0 * m * m)
+        level_max_k = float(row["mx"]) if row["mx"] is not None else 0.0
 
     # local tail is only entered at a clean level start (identity comms)
     # and never while durable checkpointing is on
@@ -414,8 +435,15 @@ def louvain(
         # invariant 2m, max degree is one cheap agg per level
         level_salt = skew_salt_buckets if mode != "arrow" else 0
         if level_salt is None:
-            mx = float(verts.agg(F.max("k")).collect()[0][0] or 0.0)
+            # level_max_k was produced by this level's fused Q action when
+            # available (init / coarsen); a resume-path level computes it here
+            mx = (
+                level_max_k
+                if level_max_k is not None
+                else float(verts.agg(F.max("k")).collect()[0][0] or 0.0)
+            )
             level_salt = 16 if skewed_degree_trigger(mx, 2.0 * m, npart) else 0
+        level_max_k = None
         # community-table row count, tracked round-to-round (free: counted
         # inside the fused action) — drives the Σ_tot broadcast decision;
         # at level start communities are singletons so it equals cur_n
@@ -436,6 +464,7 @@ def louvain(
         est_moves = cur_n
         while not skip_opt:
             t0 = time.time()
+            spark.sparkContext.setJobDescription(f"louvain L{level} R{rnd}")
             q_old = q
             cand = est.filter(F.col("src") != F.col("dst"))
             if frontier is not None:
@@ -491,13 +520,19 @@ def louvain(
                         ),
                     )
 
-                cw_s = comm_w.select(F.col("comm").alias("cs"), F.col("ctot").alias("ctot_a"))
-                cw_d = comm_w.select(F.col("comm").alias("cd"), F.col("ctot").alias("ctot_c"))
+                # ONE Σ_tot subplan joined twice via conditions (not two
+                # renamed projections): identical broadcast/shuffle subplans
+                # let exchange reuse ship the community table once per round
+                cw = comm_w.select("comm", "ctot")
                 if bcast_cw:
-                    cw_s, cw_d = F.broadcast(cw_s), F.broadcast(cw_d)
+                    cw = F.broadcast(cw)
                 scored = (
-                    pairs.join(cw_s, "cs")
-                    .join(cw_d, "cd")
+                    pairs.join(cw, F.col("cs") == F.col("comm"))
+                    .withColumnRenamed("ctot", "ctot_a")
+                    .drop("comm")
+                    .join(cw, F.col("cd") == F.col("comm"))
+                    .withColumnRenamed("ctot", "ctot_c")
+                    .drop("comm")
                     .withColumn(
                         "delta",
                         delta_q(
@@ -527,11 +562,14 @@ def louvain(
             # round 0) as the estimate since this round's isn't known yet.
             moves = moves.select("node", "newc").persist()
             bcast = est_moves <= broadcast_moves_max
-            new_verts = _apply_moves(verts, moves, "id", "comm", bcast).localCheckpoint(
+            mv = moves.select("node", F.col("newc").alias("_newc"))
+            if bcast:
+                mv = F.broadcast(mv)
+            new_verts = _apply_moves(verts, mv, "id", "comm").localCheckpoint(
                 eager=False
             )
-            new_est = _apply_moves(est, moves, "src", "cs", bcast)
-            new_est = _apply_moves(new_est, moves, "dst", "cd", bcast)
+            new_est = _apply_moves(est, mv, "src", "cs")
+            new_est = _apply_moves(new_est, mv, "dst", "cd")
             if (
                 mode in ("arrow", "adaptive")
                 or (mode == "adaptive_memory" and mem_fits)
@@ -540,7 +578,11 @@ def louvain(
                 # kernel needs the CSR-block invariant back
                 new_est = new_est.repartition(npart, "src")
             new_est = new_est.localCheckpoint(eager=False)
-            new_comm_w = new_verts.groupBy("comm").agg(F.sum("k").alias("ctot"))
+            # checkpointed so next round's Σ_tot broadcast reads the cached
+            # rows instead of re-running the groupBy exchange over verts
+            new_comm_w = new_verts.groupBy("comm").agg(
+                F.sum("k").alias("ctot")
+            ).localCheckpoint(eager=False)
             fused = (
                 moves.agg(F.count("*").alias("nm"))
                 .crossJoin(
@@ -573,13 +615,10 @@ def louvain(
                 # community than src's (phaseOptimizationUpdate.cu:117-132).
                 # Kept lazy — it is consumed exactly once, by the next
                 # round's semi-join, over the already-checkpointed est.
-                moved_dst = moves.select(F.col("node").alias("dst"))
-                if bcast:
-                    moved_dst = F.broadcast(moved_dst)
                 # no .distinct(): the next round's left-semi join dedupes in
                 # its hash build — an explicit distinct is a wasted shuffle
                 frontier = (
-                    est.join(moved_dst, "dst", "left_semi")
+                    est.join(mv, F.col("dst") == F.col("node"), "left_semi")
                     .filter(F.col("cs") != F.col("cd"))
                     .select("src")
                 )
@@ -590,6 +629,7 @@ def louvain(
                 # every level otherwise leaks one est + one verts snapshot)
                 _release_local_checkpoint(new_verts)
                 _release_local_checkpoint(new_est)
+                _release_local_checkpoint(new_comm_w)
             dq = q - q_old
             metrics.append(
                 {
@@ -608,47 +648,83 @@ def louvain(
             prev_moves.unpersist()
 
         # ================= aggregation phase ==============================
+        spark.sparkContext.setJobDescription(f"louvain agg L{level}")
         continue_opt = (q - q_level_start) > threshold  # modularityAlgorithms.h:52
         comm_w = verts.groupBy("comm").agg(F.sum("k").alias("ctot"))
         surviving = comm_w.filter(F.col("ctot") > 0).select("comm")
-        relabel = assign_contiguous_ids(surviving, ["comm"], id_col="newid")
+        # surviving is a groupBy output (already distinct) and the relabel's
+        # per-partition counts give the community count for free — no dedup
+        # shuffle, no separate .count() job
+        relabel, n_best = assign_contiguous_ids(
+            surviving, ["comm"], id_col="newid",
+            assume_distinct=True, with_count=True,
+        )
         # flatten labels (P9 / community.h:48-55): orig label -> comm of its
-        # current-graph vertex -> dense coarse id
+        # current-graph vertex -> dense coarse id. Lazy checkpoint: every
+        # input (labels, verts, relabel) is already cached/checkpointed, so
+        # deferring materialization to the first consumer (checkpointer save
+        # or the caller's action on result labels) drops one job per level
+        # without recomputing anything upstream.
         labels = (
             labels.join(
                 verts.select(F.col("id").alias("community"), "comm"), "community"
             )
             .join(relabel, "comm")
             .select("orig_id", F.col("newid").alias("community"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        n_best = relabel.count()
         cur_n = n_best  # community-table size for next level's broadcast choice
 
         if not continue_opt:
             break
 
-        # coarsen (A8): relabel both endpoints, merge parallel edges
-        rl_s = relabel.select(F.col("comm").alias("cs"), F.col("newid").alias("nsrc"))
-        rl_d = relabel.select(F.col("comm").alias("cd"), F.col("newid").alias("ndst"))
+        # coarsen (A8): relabel both endpoints, merge parallel edges. ONE
+        # relabel subplan joined via conditions (exchange reuse ships it
+        # once), and the merged coarse edge table is checkpointed FIRST so
+        # k_new / verts / est all derive from the cached merge instead of
+        # re-running the two joins + groupBy per consumer (was 3x).
+        rl = relabel.select("comm", "newid")
         if n_best <= broadcast_moves_max:
-            rl_s, rl_d = F.broadcast(rl_s), F.broadcast(rl_d)
+            rl = F.broadcast(rl)
         coarse = (
-            est.join(rl_s, "cs")
-            .join(rl_d, "cd")
+            est.join(rl, F.col("cs") == F.col("comm"))
+            .withColumnRenamed("newid", "nsrc")
+            .drop("comm")
+            .join(rl, F.col("cd") == F.col("comm"))
+            .withColumnRenamed("newid", "ndst")
+            .drop("comm")
             .groupBy(F.col("nsrc").alias("src"), F.col("ndst").alias("dst"))
             .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
         )
         k_new = coarse.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("k"))
-        verts = k_new.select("id", "k", F.col("id").alias("comm")).localCheckpoint(eager=True)
+        verts = k_new.select("id", "k", F.col("id").alias("comm")).localCheckpoint(
+            eager=False
+        )
         est = (
             coarse.join(k_new.select(F.col("id").alias("src"), F.col("k").alias("k_src")), "src")
             .select("src", "dst", "w", "k_src", F.col("src").alias("cs"), F.col("dst").alias("cd"))
             .repartition(npart, "src")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        comm_w = verts.groupBy("comm").agg(F.sum("k").alias("ctot"))
-        q = modularity(est, comm_w, m)  # community.h:64 update()
+        comm_w = verts.groupBy("comm").agg(F.sum("k").alias("ctot")).localCheckpoint(
+            eager=False
+        )
+        # Q of the fresh level (community.h:64 update()) fused with the next
+        # level's skew scalar in ONE action — est/verts/comm_w materialize
+        # their lazy checkpoints inside it. Identical float64 math to
+        # modularity(): same two sums, combined the same way.
+        row = (
+            est.filter(F.col("cs") == F.col("cd"))
+            .agg(F.sum("w").alias("win"))
+            .crossJoin(comm_w.agg(F.sum(F.col("ctot") * F.col("ctot")).alias("s")))
+            .crossJoin(verts.agg(F.max("k").alias("mx")))
+            .collect()[0]
+        )
+        w_in_l = float(row["win"]) if row["win"] is not None else 0.0
+        sq_l = float(row["s"]) if row["s"] is not None else 0.0
+        q = w_in_l / (2.0 * m) - sq_l / (4.0 * m * m)
+        level_max_k = float(row["mx"]) if row["mx"] is not None else 0.0
         level += 1
         if checkpointer is not None:
             checkpointer.save(

@@ -115,12 +115,19 @@ def arrow_round_moves(
     first coarsening), then one src-partitioned mapInPandas emits the
     (node, newc) moves.
     """
-    cw_s = comm_w.select(F.col("comm").alias("cs"), F.col("ctot").alias("ctot_cs"))
-    cw_d = comm_w.select(F.col("comm").alias("cd"), F.col("ctot").alias("ctot_cd"))
+    # ONE Σ_tot subplan joined twice via conditions: identical broadcast
+    # subplans let exchange reuse ship the community table once per round
+    cw = comm_w.select("comm", "ctot")
     if broadcast_comm_w:
-        cw_s, cw_d = F.broadcast(cw_s), F.broadcast(cw_d)
-    joined = cand.join(cw_s, "cs").join(cw_d, "cd").select(
-        "src", "cd", "w", "k_src", "cs", "ctot_cs", "ctot_cd"
+        cw = F.broadcast(cw)
+    joined = (
+        cand.join(cw, F.col("cs") == F.col("comm"))
+        .withColumnRenamed("ctot", "ctot_cs")
+        .drop("comm")
+        .join(cw, F.col("cd") == F.col("comm"))
+        .withColumnRenamed("ctot", "ctot_cd")
+        .drop("comm")
+        .select("src", "cd", "w", "k_src", "cs", "ctot_cs", "ctot_cd")
     )
     if not broadcast_comm_w:
         # shuffle joins destroyed src-colocation; restore the CSR-block invariant

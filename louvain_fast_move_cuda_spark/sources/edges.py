@@ -27,7 +27,9 @@ def assign_contiguous_ids(
     cols: list[str],
     id_col: str = "vid",
     num_partitions: int | None = None,
-) -> DataFrame:
+    assume_distinct: bool = False,
+    with_count: bool = False,
+):
     """Order-preserving dense relabel: distinct key -> rank (0-based long).
 
     Scale-correct equivalent of `zipWithIndex`: range-partition the distinct
@@ -35,13 +37,19 @@ def assign_contiguous_ids(
     partition counts (N rows) to the driver, and add exclusive-scan offsets
     back via a broadcast join. No global single-partition window, no RDDs.
 
-    Returns a mapping DataFrame: ``cols..., id_col``.
+    ``assume_distinct``: the caller guarantees ``df.select(cols)`` has no
+    duplicate rows (e.g. it is a groupBy output) — skips the dedup shuffle.
+    ``with_count``: also return the total key count (known for free from
+    the per-partition counts) as ``(mapping_df, n)`` — callers needing the
+    cardinality then skip a separate ``.count()`` job.
+
+    Returns a mapping DataFrame: ``cols..., id_col`` (or ``(df, n)``).
     """
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    keys = df.select(*cols).distinct()
+    keys = df.select(*cols) if assume_distinct else df.select(*cols).distinct()
     ranged = keys.repartitionByRange(num_partitions, *cols).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -59,6 +67,8 @@ def assign_contiguous_ids(
         local.join(F.broadcast(off_df), "_pid")
         .select(*cols, (F.col("_rn") + F.col("_off")).cast("long").alias(id_col))
     )
+    if with_count:
+        return out, acc
     return out
 
 

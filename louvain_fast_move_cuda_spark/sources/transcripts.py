@@ -107,9 +107,11 @@ def transcript_graph(
     # instead of re-running the derivation per action. At cluster scale
     # these would be durable intermediate tables; localCheckpoint is the
     # single-app equivalent (executor-resident, lineage-free).
-    ids = assign_contiguous_ids(t, ["conv_id", "turn_idx"], id_col="vid").localCheckpoint(
-        eager=True
-    )
+    # (conv_id, turn_idx) is unique by construction (row_number within
+    # user), so the relabel can skip its dedup shuffle
+    ids = assign_contiguous_ids(
+        t, ["conv_id", "turn_idx"], id_col="vid", assume_distinct=True
+    ).localCheckpoint(eager=True)
     tv = t.join(ids, ["conv_id", "turn_idx"])
 
     w_conv = Window.partitionBy("conv_id").orderBy("turn_idx")
