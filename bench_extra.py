@@ -28,8 +28,42 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 def _spark():
     from louvain_fast_move_cuda_spark.session import get_spark
 
+    extra = {"spark.ui.enabled": "true"}
+    # A/B knob: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" applied on top
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            extra[k.strip()] = v.strip()
     return get_spark(app_name="bench_extra", master=f"local[{CPUS}]",
-                     shuffle_partitions=max(8, CPUS))
+                     shuffle_partitions=max(8, CPUS), extra_conf=extra)
+
+
+def _sched_counts(spark):
+    """Noise-free structural metrics: total jobs / stages / tasks so far
+    (monitoring REST API). Wall-clock on this host swings ±20% with CPU
+    throttling; scheduling counts are deterministic for a fixed plan."""
+    try:
+        import json as _json
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/jobs", timeout=10) as r:
+            jobs = _json.loads(r.read().decode())
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=COMPLETE", timeout=10
+        ) as r:
+            stages = _json.loads(r.read().decode())
+        return {
+            "jobs": len(jobs),
+            "stages": len(stages),
+            "tasks": sum(s.get("numCompleteTasks", 0) for s in stages),
+            "shuffle_write_mb": round(
+                sum(s.get("shuffleWriteBytes", 0) for s in stages) / 1e6, 1
+            ),
+        }
+    except Exception as e:  # pragma: no cover - diagnostics only
+        return {"err": str(e)}
 
 
 def _graph(spark):
@@ -63,6 +97,7 @@ def main():
                       local_finish_max_edges=0)
         out["louvain_distributed_sec"] = round(time.time() - t0, 3)
         out["modularity"] = res.modularity
+        out["sched"] = _sched_counts(spark)
         out["rounds"] = [
             {k: (round(v, 4) if isinstance(v, float) else v) for k, v in mt.items()}
             for mt in res.metrics

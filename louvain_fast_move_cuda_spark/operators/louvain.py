@@ -87,6 +87,31 @@ def _release_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+def _fused_level_scalars(est: DataFrame, comm_w: DataFrame, verts: DataFrame) -> DataFrame:
+    """One-row DataFrame (win, ne, s, mx): the level's intra-community
+    weight + edge count (over ``est``), ΣΣ_tot² (over ``comm_w``) and max
+    weighted degree (over ``verts``) — three tables tagged and unioned so
+    the whole computation is ONE partial+final aggregate over a single
+    narrow scan chain, not three separate aggregate trees crossJoined
+    (each tree is its own Exchange = its own AQE stage wave). Identical
+    float64 values: conditional sums see exactly the rows the per-table
+    aggregates saw, and every sum is integer-valued (order-proof)."""
+    t = F.col("t")
+    u = (
+        est.select(F.lit(0).alias("t"),
+                   F.when(F.col("cs") == F.col("cd"), F.col("w")).alias("a"))
+        .unionByName(comm_w.select(F.lit(1).alias("t"),
+                                   (F.col("ctot") * F.col("ctot")).alias("a")))
+        .unionByName(verts.select(F.lit(2).alias("t"), F.col("k").alias("a")))
+    )
+    return u.agg(
+        F.sum(F.when(t == 0, F.col("a"))).alias("win"),
+        F.count(F.when(t == 0, F.lit(1))).alias("ne"),
+        F.sum(F.when(t == 1, F.col("a"))).alias("s"),
+        F.max(F.when(t == 2, F.col("a"))).alias("mx"),
+    )
+
+
 def _apply_moves(df: DataFrame, mv: DataFrame, key: str, comm_col: str) -> DataFrame:
     """comm_col := coalesce(move target, comm_col) for rows whose `key` moved (C5).
 
@@ -218,6 +243,7 @@ def louvain(
     memory_budget_rows: int = 50_000_000,
     refine: bool = False,
     broadcast_comm_max: int | None = None,
+    min_rows_per_partition: int = 8192,
 ) -> LouvainResult:
     """Run Louvain to convergence. ``graph`` from sources.edges.build_graph.
 
@@ -278,6 +304,16 @@ def louvain(
     here it is Leiden's connectivity guarantee (operators/refine.py):
     every output community is split into its connected parts, which can
     only raise Q. Off by default to preserve exact reference semantics.
+
+    ``min_rows_per_partition``: floor for the scale-adaptive per-level
+    shuffle width — each level runs at
+    ``min(shuffle_partitions, ceil(level_edges / min_rows_per_partition))``
+    partitions, so coarsened tail levels with a few thousand edges stop
+    paying ``shuffle_partitions`` near-empty tasks per stage while any
+    level with real data keeps the configured width (the rule can only
+    shrink a level's width, never widen it — at cluster scale every
+    early level saturates the configured parallelism). Bit-safe by
+    design: all float sums in the loop are integer-valued.
 
     ``skew_salt_buckets``: hub-vertex skew handling for the A3
     per-(node, community) candidate sum (SURVEY.md §4 item 1 — a
@@ -359,24 +395,26 @@ def louvain(
     comm_w = verts.groupBy("comm").agg(F.sum("k").alias("ctot")).localCheckpoint(
         eager=False
     )
-    # per-level max weighted degree for the skew trigger, computed inside
-    # the SAME fused action as Q (one collect instead of two jobs); None
-    # means "not yet known for this level" and falls back to its own agg
+    # per-level max weighted degree for the skew trigger and the level's
+    # directed edge count, both computed inside the SAME fused action as Q
+    # (one collect instead of three jobs); None means "not yet known for
+    # this level" and falls back to its own agg
     level_max_k = None
+    level_ne = None
     if q is None:
-        # modularity (community.h:104) + skew scalar in ONE action — the
-        # same two sums modularity() computes, identical float64 math
-        row = (
-            est.filter(F.col("cs") == F.col("cd"))
-            .agg(F.sum("w").alias("win"))
-            .crossJoin(comm_w.agg(F.sum(F.col("ctot") * F.col("ctot")).alias("s")))
-            .crossJoin(verts.agg(F.max("k").alias("mx")))
-            .collect()[0]
-        )
+        # modularity (community.h:104) + skew scalar + edge count in ONE
+        # action — the same two sums modularity() computes, identical
+        # float64 math. The three tables are UNIONED into one tagged scan
+        # so the whole thing is a single partial+final aggregate (ONE
+        # exchange wave) instead of three crossJoined aggregate trees —
+        # each Exchange is its own AQE stage wave, and these waves are the
+        # round-latency floor of the coarsened tail (guide §2.4).
+        row = _fused_level_scalars(est, comm_w, verts).collect()[0]
         w_in0 = float(row["win"]) if row["win"] is not None else 0.0
         sq0 = float(row["s"]) if row["s"] is not None else 0.0
         q = w_in0 / (2.0 * m) - sq0 / (4.0 * m * m)
         level_max_k = float(row["mx"]) if row["mx"] is not None else 0.0
+        level_ne = int(row["ne"])
 
     # local tail is only entered at a clean level start (identity comms)
     # and never while durable checkpointing is on
@@ -430,6 +468,19 @@ def louvain(
         mem_fits = True
         if mode == "adaptive_memory":
             mem_fits = est.count() <= memory_budget_rows
+        # scale-adaptive per-level parallelism (guide §2.2/§2.4): shuffle
+        # width derives from THIS level's edge count instead of a global
+        # constant — coarsened tail levels (a few thousand edges) collapse
+        # to 1-2 partitions so every per-round stage is one task instead
+        # of npart near-empty ones, while any level with real data keeps
+        # the configured width (the min() can only shrink, never widen).
+        # Bit-safe: every float sum in the loop is integer-valued, so
+        # partition layout cannot change results. A resume-path level
+        # counts est itself (one cheap job against the checkpoint).
+        if level_ne is None:
+            level_ne = est.count()
+        level_npart = max(1, min(npart, -(-level_ne // min_rows_per_partition)))
+        level_ne = None
         # per-level skew decision: coarsening concentrates weight, so hub
         # skew can appear (or vanish) between levels; total degree is the
         # invariant 2m, max degree is one cheap agg per level
@@ -442,7 +493,7 @@ def louvain(
                 if level_max_k is not None
                 else float(verts.agg(F.max("k")).collect()[0][0] or 0.0)
             )
-            level_salt = 16 if skewed_degree_trigger(mx, 2.0 * m, npart) else 0
+            level_salt = 16 if skewed_degree_trigger(mx, 2.0 * m, level_npart) else 0
         level_max_k = None
         # community-table row count, tracked round-to-round (free: counted
         # inside the fused action) — drives the Σ_tot broadcast decision;
@@ -483,7 +534,7 @@ def louvain(
             )
             if use_arrow:
                 moves = arrow_round_moves(
-                    cand, comm_w, m, rnd, npart,
+                    cand, comm_w, m, rnd, level_npart,
                     broadcast_comm_w=bcast_cw,
                 )
             else:
@@ -576,23 +627,36 @@ def louvain(
             ) and not bcast:
                 # the shuffle join on dst broke src-colocation; the Arrow
                 # kernel needs the CSR-block invariant back
-                new_est = new_est.repartition(npart, "src")
+                new_est = new_est.repartition(level_npart, "src")
             new_est = new_est.localCheckpoint(eager=False)
             # checkpointed so next round's Σ_tot broadcast reads the cached
             # rows instead of re-running the groupBy exchange over verts
             new_comm_w = new_verts.groupBy("comm").agg(
                 F.sum("k").alias("ctot")
             ).localCheckpoint(eager=False)
+            # the round's three scalar families in ONE tagged-union
+            # aggregate (single partial+final Exchange wave instead of
+            # three crossJoined aggregate trees — see _fused_level_scalars
+            # for the rationale); all sums integer-valued, order-proof
+            _t = F.col("t")
             fused = (
-                moves.agg(F.count("*").alias("nm"))
-                .crossJoin(
-                    new_est.filter(F.col("cs") == F.col("cd")).agg(F.sum("w").alias("win"))
-                )
-                .crossJoin(
-                    new_comm_w.agg(
-                        F.sum(F.col("ctot") * F.col("ctot")).alias("s"),
-                        F.count("*").alias("nc"),  # community-table size, free here
+                moves.select(F.lit(0).alias("t"), F.lit(0.0).alias("a"))
+                .unionByName(
+                    new_est.select(
+                        F.lit(1).alias("t"),
+                        F.when(F.col("cs") == F.col("cd"), F.col("w")).alias("a"),
                     )
+                )
+                .unionByName(
+                    new_comm_w.select(
+                        F.lit(2).alias("t"), (F.col("ctot") * F.col("ctot")).alias("a")
+                    )
+                )
+                .agg(
+                    F.count(F.when(_t == 0, F.lit(1))).alias("nm"),
+                    F.sum(F.when(_t == 1, F.col("a"))).alias("win"),
+                    F.sum(F.when(_t == 2, F.col("a"))).alias("s"),
+                    F.count(F.when(_t == 2, F.lit(1))).alias("nc"),
                 )
                 .collect()[0]
             )
@@ -650,7 +714,11 @@ def louvain(
         # ================= aggregation phase ==============================
         spark.sparkContext.setJobDescription(f"louvain agg L{level}")
         continue_opt = (q - q_level_start) > threshold  # modularityAlgorithms.h:52
-        comm_w = verts.groupBy("comm").agg(F.sum("k").alias("ctot"))
+        # comm_w is maintained round-to-round (checkpointed inside each
+        # round's fused action) and is exactly groupBy(comm).sum(k) of the
+        # current verts on every path here — re-deriving it was one wasted
+        # exchange + aggregate per level (guide §2.4: don't recompute what
+        # is already partitioned/materialized)
         surviving = comm_w.filter(F.col("ctot") > 0).select("comm")
         # surviving is a groupBy output (already distinct) and the relabel's
         # per-partition counts give the community count for free — no dedup
@@ -658,6 +726,9 @@ def louvain(
         relabel, n_best = assign_contiguous_ids(
             surviving, ["comm"], id_col="newid",
             assume_distinct=True, with_count=True,
+            # the relabel shuffles community-count rows, not edges: size its
+            # range partitioning to that count, same adaptive rule as levels
+            num_partitions=max(1, min(npart, -(-cur_n // min_rows_per_partition))),
         )
         # flatten labels (P9 / community.h:48-55): orig label -> comm of its
         # current-graph vertex -> dense coarse id. Lazy checkpoint: every
@@ -665,11 +736,21 @@ def louvain(
         # deferring materialization to the first consumer (checkpointer save
         # or the caller's action on result labels) drops one job per level
         # without recomputing anything upstream.
+        # both flatten joins broadcast their small side when it fits: the
+        # vertex map is cur-graph-sized (cur_n rows) and the relabel is
+        # n_best rows — at every level past 0 both are community-counts,
+        # far under the threshold, so the 10^9-row labels table is never
+        # shuffled by the flatten (guide §3.1). The SAME broadcast relabel
+        # subplan feeds the coarsen below (exchange reuse ships it once).
+        vmap = verts.select(F.col("id").alias("community"), "comm")
+        if cur_n <= broadcast_moves_max:
+            vmap = F.broadcast(vmap)
+        rl = relabel  # (comm, newid)
+        if n_best <= broadcast_moves_max:
+            rl = F.broadcast(rl)
         labels = (
-            labels.join(
-                verts.select(F.col("id").alias("community"), "comm"), "community"
-            )
-            .join(relabel, "comm")
+            labels.join(vmap, "community")
+            .join(rl, "comm")
             .select("orig_id", F.col("newid").alias("community"))
             .localCheckpoint(eager=False)
         )
@@ -680,12 +761,10 @@ def louvain(
 
         # coarsen (A8): relabel both endpoints, merge parallel edges. ONE
         # relabel subplan joined via conditions (exchange reuse ships it
-        # once), and the merged coarse edge table is checkpointed FIRST so
-        # k_new / verts / est all derive from the cached merge instead of
-        # re-running the two joins + groupBy per consumer (was 3x).
-        rl = relabel.select("comm", "newid")
-        if n_best <= broadcast_moves_max:
-            rl = F.broadcast(rl)
+        # once — shared with the flatten above), and the merged coarse edge
+        # table is checkpointed FIRST so k_new / verts / est all derive
+        # from the cached merge instead of re-running the two joins +
+        # groupBy per consumer (was 3x).
         coarse = (
             est.join(rl, F.col("cs") == F.col("comm"))
             .withColumnRenamed("newid", "nsrc")
@@ -695,32 +774,38 @@ def louvain(
             .drop("comm")
             .groupBy(F.col("nsrc").alias("src"), F.col("ndst").alias("dst"))
             .agg(F.sum("w").alias("w"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # materialize the merge with a count (the job an eager checkpoint
+        # would have run anyway, but keeping the number): the count IS the
+        # next level's edge count, which sizes that level's adaptive width
+        level_ne = coarse.count()
+        next_npart = max(1, min(npart, -(-level_ne // min_rows_per_partition)))
         k_new = coarse.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("k"))
         verts = k_new.select("id", "k", F.col("id").alias("comm")).localCheckpoint(
             eager=False
         )
+        # k_new has exactly n_best rows — broadcast the degree join when it
+        # fits, like every other small side (a static plan choice instead
+        # of waiting for AQE's runtime conversion = one less shuffle stage)
+        kj = k_new.select(F.col("id").alias("src"), F.col("k").alias("k_src"))
+        if n_best <= broadcast_moves_max:
+            kj = F.broadcast(kj)
         est = (
-            coarse.join(k_new.select(F.col("id").alias("src"), F.col("k").alias("k_src")), "src")
+            coarse.join(kj, "src")
             .select("src", "dst", "w", "k_src", F.col("src").alias("cs"), F.col("dst").alias("cd"))
-            .repartition(npart, "src")
+            .repartition(next_npart, "src")
             .localCheckpoint(eager=False)
         )
         comm_w = verts.groupBy("comm").agg(F.sum("k").alias("ctot")).localCheckpoint(
             eager=False
         )
         # Q of the fresh level (community.h:64 update()) fused with the next
-        # level's skew scalar in ONE action — est/verts/comm_w materialize
-        # their lazy checkpoints inside it. Identical float64 math to
-        # modularity(): same two sums, combined the same way.
-        row = (
-            est.filter(F.col("cs") == F.col("cd"))
-            .agg(F.sum("w").alias("win"))
-            .crossJoin(comm_w.agg(F.sum(F.col("ctot") * F.col("ctot")).alias("s")))
-            .crossJoin(verts.agg(F.max("k").alias("mx")))
-            .collect()[0]
-        )
+        # level's skew scalar in ONE tagged-union action —
+        # est/verts/comm_w materialize their lazy checkpoints inside it.
+        # Identical float64 math to modularity(): same two sums, combined
+        # the same way.
+        row = _fused_level_scalars(est, comm_w, verts).collect()[0]
         w_in_l = float(row["win"]) if row["win"] is not None else 0.0
         sq_l = float(row["s"]) if row["s"] is not None else 0.0
         q = w_in_l / (2.0 * m) - sq_l / (4.0 * m * m)
