@@ -24,6 +24,40 @@ def _norm(a) -> F.Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+# ---------------------------------------------------------------------------
+# Arrow scoring kernels (guide §4.2): the pair-scoring hot loops hand whole
+# Arrow batches to NumPy instead of evaluating interpreted higher-order
+# array functions per pair. Bit-compatibility is load-bearing — the declared
+# ANN queries are oracle-checked — so the kernels reproduce the EXACT float64
+# operation sequence of the `_dot`/`_norm` expressions above:
+#   _dot  = left fold  acc := acc + a_d * b_d   over dims, acc0 = 0.0
+#   _norm = sqrt(left fold acc := acc + x_d * x_d)
+# The per-dim python loop below performs the same sequence per row
+# (vectorized ACROSS rows, sequential ACROSS dims), so every cosine is the
+# identical double the JVM expression produced.
+# ---------------------------------------------------------------------------
+
+
+def _fold_dot(q_row, C):
+    """Exact-fold dot of one query vector against row matrix C (n, d)."""
+    import numpy as np
+
+    acc = np.zeros(C.shape[0], dtype=np.float64)
+    for d in range(C.shape[1]):
+        acc += q_row[d] * C[:, d]
+    return acc
+
+
+def _fold_norm(C):
+    """Exact-fold L2 norm per row of C (n, d)."""
+    import numpy as np
+
+    acc = np.zeros(C.shape[0], dtype=np.float64)
+    for d in range(C.shape[1]):
+        acc += C[:, d] * C[:, d]
+    return np.sqrt(acc)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -33,44 +67,96 @@ def brute_force_topk(
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine, rank) — exact top-k by cosine.
 
-    Queries are broadcast (the small side); the corpus streams through a
-    single stage. Ranking uses one window partitioned by query — the
-    post-join row count is |Q|·|corpus| before the rank filter, so keep
-    |Q| bounded (that is the point of the IVF variant below).
+    The bounded query set rides with the scoring kernel (same bytes the
+    old broadcast cross join shipped — a broadcast is a driver collect +
+    re-ship); the corpus streams through a single mapInPandas stage that
+    scores whole Arrow batches in NumPy with `_fold_dot`/`_fold_norm`
+    (bit-identical cosines to the `_dot`/`_norm` expressions — guide
+    §4.2). Ranking uses one window partitioned by query — the pair count
+    is |Q|·|corpus| before the rank filter, so keep |Q| bounded (that is
+    the point of the IVF variant below).
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), _norm(F.col(vec_col)).alias("qn")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), _norm(F.col(vec_col)).alias("cn")
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cosine"),
-        )
-    )
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    idt = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {idt}, neighbor_id {idt}, cosine double"
+    q_rows = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")).collect()
+    if not q_rows:
+        return spark.createDataFrame([], f"{out_schema}, rank int")
+    qids = [r["qid"] for r in q_rows]
+    Q = np.asarray([list(r["qv"]) for r in q_rows], dtype=np.float64)
+    qn = _fold_norm(Q)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col]
+            C = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            cn = _fold_norm(C)
+            for j, qid in enumerate(qids):
+                cos = _fold_dot(Q[j], C) / (qn[j] * cn)
+                mask = (ids != qid).to_numpy()
+                if not mask.any():
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "query_id": [qid] * int(mask.sum()),
+                        "neighbor_id": ids[mask].tolist(),
+                        "cosine": cos[mask],
+                    }
+                )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def _assign_to_centroids(corpus_iv: DataFrame, cents: DataFrame) -> DataFrame:
-    """argmax-cosine assignment of (id, vec) rows to broadcast centroids."""
-    scored = (
-        corpus_iv.crossJoin(F.broadcast(cents))
-        .select(
-            "id", "vec", "cid",
-            (_dot(F.col("vec"), F.col("cv")) / (_norm(F.col("vec")) * _norm(F.col("cv")))).alias("sim"),
-        )
-    )
-    ww = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cid"))
-    return (
-        scored.withColumn("rn", F.row_number().over(ww))
-        .filter(F.col("rn") == 1)
-        .select("id", "vec", "cid")
+    """argmax-cosine assignment of (id, vec) rows to the centroid set.
+
+    One mapInPandas pass over the corpus with the (bounded, C-row)
+    centroid table carried into the kernel — no |corpus|·C pair rows
+    materialize, no per-id ranking shuffle (the old plan's window
+    repartitioned the pair table by id). Scoring is `_fold_dot`/
+    `_fold_norm` (bit-identical sims); the argmax reproduces the window
+    rule (sim DESC with NaN largest, ties → lowest cid) exactly:
+    NumPy's argmax keeps the first (= lowest-cid) occurrence, and rows
+    containing NaN pick their first NaN column, matching Spark's
+    NaN-sorts-largest ordering."""
+    import numpy as np
+
+    idt = corpus_iv.schema["id"].dataType.simpleString()
+    vt = corpus_iv.schema["vec"].dataType.simpleString()
+    cent_rows = cents.orderBy("cid").collect()
+    cids = np.asarray([r["cid"] for r in cent_rows], dtype=np.int64)
+    Ce = np.asarray([list(r["cv"]) for r in cent_rows], dtype=np.float64)
+    cn = _fold_norm(Ce)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            vn = _fold_norm(C)
+            S = np.empty((len(pdf), len(cids)), dtype=np.float64)
+            for c in range(len(cids)):
+                S[:, c] = _fold_dot(Ce[c], C) / (vn * cn[c])
+            nanmask = np.isnan(S)
+            has_nan = nanmask.any(axis=1)
+            best = np.where(
+                has_nan,
+                np.argmax(nanmask, axis=1),
+                np.argmax(np.where(nanmask, -np.inf, S), axis=1),
+            )
+            out = pdf[["id", "vec"]].copy()
+            out["cid"] = cids[best].astype("int32")
+            yield out
+
+    return corpus_iv.select("id", "vec").mapInPandas(
+        assign, schema=f"id {idt}, vec {vt}, cid int"
     )
 
 
@@ -207,16 +293,55 @@ def ivf_probes(
 
 
 def topk_within_cells(assigned: DataFrame, probes: DataFrame, k: int = 10) -> DataFrame:
-    """Exact cosine top-k restricted to each query's probed cells."""
-    scored = (
-        assigned.join(F.broadcast(probes), "cid")
-        .filter(F.col("id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("id").alias("neighbor_id"),
-            (_dot(F.col("qv"), F.col("vec")) / (_norm(F.col("qv")) * _norm(F.col("vec")))).alias("cosine"),
+    """Exact cosine top-k restricted to each query's probed cells.
+
+    The probe table (|Q|·nprobe rows — bounded) rides into a mapInPandas
+    kernel over the assigned corpus, replacing the broadcast join whose
+    pair rows each re-evaluated both interpreted norms; scoring is
+    `_fold_dot`/`_fold_norm`, bit-identical to the old expressions
+    (the per-pair `_norm` re-evaluations always produced the same
+    double, so hoisting them per row/probe is exact)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = assigned.sparkSession
+    idt = assigned.schema["id"].dataType.simpleString()
+    out_schema = f"query_id {idt}, neighbor_id {idt}, cosine double"
+    probe_rows = probes.collect()
+    if not probe_rows:
+        return spark.createDataFrame([], f"{out_schema}, rank int")
+    by_cid: dict = {}
+    for r in probe_rows:
+        q = np.asarray(list(r["qv"]), dtype=np.float64)
+        by_cid.setdefault(r["cid"], []).append(
+            (r["query_id"], q, float(_fold_norm(q[None, :])[0]))
         )
-    )
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for cid, sub in pdf.groupby("cid", sort=False):
+                plist = by_cid.get(cid)
+                if not plist:
+                    continue
+                ids = sub["id"]
+                C = np.asarray(sub["vec"].tolist(), dtype=np.float64)
+                cn = _fold_norm(C)
+                for qid, qv, qn in plist:
+                    cos = _fold_dot(qv, C) / (qn * cn)
+                    mask = (ids != qid).to_numpy()
+                    if not mask.any():
+                        continue
+                    yield pd.DataFrame(
+                        {
+                            "query_id": [qid] * int(mask.sum()),
+                            "neighbor_id": ids[mask].tolist(),
+                            "cosine": cos[mask],
+                        }
+                    )
+
+    scored = assigned.select("id", "vec", "cid").mapInPandas(score, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
