@@ -127,11 +127,18 @@ def connected_components(
         e1 = _large_star(edges)
         e1 = e1.unionByName(e1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         e2 = _small_star(e1)
-        sym = e2.unionByName(
-            e2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
+        # repartition BEFORE the distinct: HashPartitioning(src) satisfies
+        # the dedup's ClusteredDistribution(src, dst) (all rows of one src
+        # land together), so the distinct runs in place and the round does
+        # ONE full exchange instead of two — and the output is already
+        # src-partitioned for the next round's stars (guide §2.4).
+        sym = (
+            e2.unionByName(e2.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .repartition(npart, "src")
+            .distinct()
+        )
         # lazy: materializes inside the convergence-check agg below
-        sym = sym.repartition(npart, "src").localCheckpoint(eager=False)
+        sym = sym.localCheckpoint(eager=False)
         # fixpoint test: the alternating stars converge exactly when the edge
         # set stops changing (Kiveris et al. §3); compare an order-invariant
         # (count, hash-xor) set fingerprint — one agg, vs a full self-join.

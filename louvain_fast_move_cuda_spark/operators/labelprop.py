@@ -128,6 +128,14 @@ def label_propagation(
                 return saved  # the saved round was already a fixpoint
             labels = saved.localCheckpoint(eager=True)
             start_iter = it + 1
+    # Round shape (guide §2.4 — three exchanges, down from five/six): a
+    # null-vote SELF ROW per vertex (carrying its old label) rides into
+    # the argmax aggregate, guaranteeing every vertex a group — the
+    # argmax skips the self rows via when(wsum IS NOT NULL, struct(...))
+    # (max ignores null structs), voteless vertices coalesce to their own
+    # id exactly as the old left join did, and the change count becomes a
+    # filter-count over the new state instead of a join of consecutive
+    # label tables. All-integer values: bit-identical labels.
     for _it in range(start_iter, max_iter):
         voted = edges.join(labels.select(F.col("id").alias("dst"), "label"), "dst")
         if salt_buckets:
@@ -137,23 +145,32 @@ def label_propagation(
             )
         else:
             votes = voted.groupBy("src", "label").agg(F.sum("w").alias("wsum"))
-        new_labels = (
-            votes.groupBy("src")
-            .agg(F.max(F.struct(F.col("wsum"), (-F.col("label")).alias("nl"))).alias("b"))
-            .select(F.col("src").alias("id"), (-F.col("b.nl")).alias("label"))
+        selfrows = labels.select(
+            F.col("id").alias("src"), F.lit(None).cast("long").alias("label"),
+            F.lit(None).cast("double").alias("wsum"), F.col("label").alias("old"),
         )
-        new_labels = (
-            graph.vertices.select("id")
-            .join(new_labels, "id", "left")
-            .select("id", F.coalesce("label", F.col("id")).alias("label"))
+        st = (
+            votes.withColumn("old", F.lit(None).cast("long"))
+            .unionByName(selfrows)
+            .groupBy("src")
+            .agg(
+                F.max(
+                    F.when(
+                        F.col("wsum").isNotNull(),
+                        F.struct(F.col("wsum"), (-F.col("label")).alias("nl")),
+                    )
+                ).alias("b"),
+                F.max("old").alias("old"),
+            )
+            .select(
+                F.col("src").alias("id"),
+                F.coalesce(-F.col("b.nl"), F.col("src")).alias("label"),
+                "old",
+            )
             .localCheckpoint(eager=False)  # materializes inside the change count
         )
-        n_changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        n_changed = st.filter(F.col("label") != F.col("old")).count()
+        labels = st.select("id", "label")
         if checkpointer is not None:
             checkpointer.save(_it, labels, {"n_changed": int(n_changed)})
         if n_changed == 0:

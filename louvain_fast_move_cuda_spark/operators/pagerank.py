@@ -98,36 +98,50 @@ def personalized_pagerank(
         .repartition(npart, "src")
         .localCheckpoint(eager=True)
     )
-    ranks = pvec.select("id", F.col("p").alias("rank")).localCheckpoint(eager=True)
+    # state (id, p, rank): the restart vector rides in the state so the
+    # superstep needs no join against pvec — same two-exchange shape as
+    # :func:`pagerank` (null-term self rows carry p and the old rank into
+    # the contribution aggregate; see the comment there). Identical
+    # float64 expression per row; in_sum never sees the self rows.
+    state = pvec.select("id", "p", F.col("p").alias("rank")).localCheckpoint(eager=True)
     for _it in range(max_iter):
-        contribs = (
-            shares.join(ranks.select(F.col("id").alias("src"), "rank"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("share") * F.col("rank")).alias("in_sum"))
+        terms = shares.join(state.select(F.col("id").alias("src"), "rank"), "src").select(
+            F.col("dst").alias("id"),
+            (F.col("share") * F.col("rank")).alias("term"),
+            F.lit(None).cast("double").alias("old"),
+            F.lit(None).cast("double").alias("p"),
         )
-        new_ranks = (
-            pvec.join(contribs, "id", "left")
+        selfrows = state.select(
+            "id", F.lit(None).cast("double").alias("term"),
+            F.col("rank").alias("old"), "p",
+        )
+        st = (
+            terms.unionByName(selfrows)
+            .groupBy("id")
+            .agg(
+                F.sum("term").alias("in_sum"),
+                F.max("old").alias("old"),
+                F.max("p").alias("p"),
+            )
             .select(
                 "id",
+                "p",
                 (
                     F.lit(1.0 - alpha) * F.col("p")
                     + F.lit(alpha) * F.coalesce(F.col("in_sum"), F.lit(0.0))
                 ).alias("rank"),
+                "old",
             )
             .localCheckpoint(eager=False)
         )
         # the L1 action doubles as the per-round materialization point
         # (truncates lineage inside the lazy localCheckpoint), exactly
         # like the uniform loop — so it runs even when tol=0
-        l1 = (
-            new_ranks.join(ranks.withColumnRenamed("rank", "old"), "id")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
-            .collect()[0]["d"]
-        )
-        ranks = new_ranks
+        l1 = st.agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d")).collect()[0]["d"]
+        state = st.select("id", "p", "rank")
         if tol > 0.0 and l1 is not None and float(l1) < tol:
             break
-    return ranks
+    return state.select("id", "rank")
 
 
 def pagerank(
@@ -173,27 +187,38 @@ def pagerank(
                 return saved  # the saved iteration had already converged
             ranks = saved.localCheckpoint(eager=True)
             start_iter = it + 1
+    # Superstep shape (guide §2.4 — two exchanges, down from five): one
+    # null-term SELF ROW per vertex rides into the contribution aggregate
+    # (null contributes nothing to sum(term); max(old) picks the group's
+    # single self row), which guarantees every vertex a group — including
+    # isolated k=0 vertices, which keep rank = base exactly as the old
+    # left join's coalesce gave them — so the per-iteration join against
+    # the vertex table is gone, and the L1 convergence check is a scalar
+    # aggregate over the new state instead of a join of consecutive rank
+    # tables. Values are unchanged: identical per-row float64 ops, and
+    # in_sum never sees the self rows (null, not 0.0).
     for _it in range(start_iter, max_iter):
-        contribs = (
-            shares.join(ranks.select(F.col("id").alias("src"), "rank"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("share") * F.col("rank")).alias("in_sum"))
+        terms = shares.join(ranks.select(F.col("id").alias("src"), "rank"), "src").select(
+            F.col("dst").alias("id"),
+            (F.col("share") * F.col("rank")).alias("term"),
+            F.lit(None).cast("double").alias("old"),
         )
-        new_ranks = (
-            graph.vertices.select("id")
-            .join(contribs, "id", "left")
+        selfrows = ranks.select(
+            "id", F.lit(None).cast("double").alias("term"), F.col("rank").alias("old")
+        )
+        st = (
+            terms.unionByName(selfrows)
+            .groupBy("id")
+            .agg(F.sum("term").alias("in_sum"), F.max("old").alias("old"))
             .select(
                 "id",
                 (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("in_sum"), F.lit(0.0))).alias("rank"),
+                "old",
             )
             .localCheckpoint(eager=False)  # materializes inside the L1 action
         )
-        l1 = (
-            new_ranks.join(ranks.withColumnRenamed("rank", "old"), "id")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d"))
-            .collect()[0]["d"]
-        )
-        ranks = new_ranks
+        l1 = st.agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d")).collect()[0]["d"]
+        ranks = st.select("id", "rank")
         if checkpointer is not None:
             checkpointer.save(
                 _it, ranks, {"l1": float(l1) if l1 is not None else None}
@@ -255,14 +280,22 @@ def directed_pagerank(
     # dangling mass summed (not multiplied out) so the oracle's SQL sum
     # sees the same accumulation semantics from round 0 onward
     dang = ranks.filter(F.col("od") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
+    # same two-exchange superstep as :func:`pagerank`: null-term self rows
+    # carry od (and guarantee every vertex a group), so the per-round
+    # left join against vstate is gone; identical float64 expression
     for _ in range(max_iter):
-        contribs = (
-            shares.join(ranks.select(F.col("id").alias("a"), "rank"), "a")
-            .groupBy(F.col("b").alias("id"))
-            .agg(F.sum(F.col("share") * F.col("rank")).alias("insum"))
+        terms = shares.join(ranks.select(F.col("id").alias("a"), "rank"), "a").select(
+            F.col("b").alias("id"),
+            (F.col("share") * F.col("rank")).alias("term"),
+            F.lit(None).cast("long").alias("od"),
+        )
+        selfrows = ranks.select(
+            "id", F.lit(None).cast("double").alias("term"), F.col("od").cast("long").alias("od")
         )
         ranks = (
-            vstate.join(contribs, "id", "left")
+            terms.unionByName(selfrows)
+            .groupBy("id")
+            .agg(F.sum("term").alias("insum"), F.max("od").alias("od"))
             .select(
                 "id",
                 "od",

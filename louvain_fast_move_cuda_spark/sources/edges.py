@@ -29,6 +29,7 @@ def assign_contiguous_ids(
     num_partitions: int | None = None,
     assume_distinct: bool = False,
     with_count: bool = False,
+    carry_all: bool = False,
 ):
     """Order-preserving dense relabel: distinct key -> rank (0-based long).
 
@@ -43,13 +44,24 @@ def assign_contiguous_ids(
     the per-partition counts) as ``(mapping_df, n)`` — callers needing the
     cardinality then skip a separate ``.count()`` job.
 
+    ``carry_all`` (requires ``assume_distinct``): rank the FULL rows of
+    ``df`` instead of a key projection, returning every input column plus
+    ``id_col`` — callers that would otherwise join the mapping straight
+    back onto ``df`` (two more exchanges of the big table) get the joined
+    result in the same single range shuffle. Ranks are identical: the
+    ordering key is still ``cols`` and rows are unique in it.
+
     Returns a mapping DataFrame: ``cols..., id_col`` (or ``(df, n)``).
     """
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    keys = df.select(*cols) if assume_distinct else df.select(*cols).distinct()
+    if carry_all:
+        assert assume_distinct, "carry_all requires key-unique rows"
+        keys = df
+    else:
+        keys = df.select(*cols) if assume_distinct else df.select(*cols).distinct()
     ranged = keys.repartitionByRange(num_partitions, *cols).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -63,9 +75,10 @@ def assign_contiguous_ids(
         offsets.append((pid, acc))
         acc += counts[pid]
     off_df = spark.createDataFrame(offsets, schema="_pid int, _off long")
+    keep = keys.columns if carry_all else list(cols)
     out = (
         local.join(F.broadcast(off_df), "_pid")
-        .select(*cols, (F.col("_rn") + F.col("_off")).cast("long").alias(id_col))
+        .select(*keep, (F.col("_rn") + F.col("_off")).cast("long").alias(id_col))
     )
     if with_count:
         return out, acc

@@ -101,18 +101,24 @@ def transcript_graph(
     )
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    t = transcripts_from_events(events)
-    # materialize the vid map and the joined turns once: every downstream
-    # branch (reply window, tool window, degree agg, m agg) reuses them
-    # instead of re-running the derivation per action. At cluster scale
-    # these would be durable intermediate tables; localCheckpoint is the
-    # single-app equivalent (executor-resident, lineage-free).
+    # materialize the derived transcripts once: the relabel's range
+    # shuffle SAMPLES its input before exchanging it, and previously both
+    # passes (plus the map-back join) re-ran the events window from the
+    # parquet scan. The lazy checkpoint materializes inside the sampling
+    # job; everything after reads executor-resident rows.
+    t = transcripts_from_events(events).localCheckpoint(eager=False)
     # (conv_id, turn_idx) is unique by construction (row_number within
-    # user), so the relabel can skip its dedup shuffle
-    ids = assign_contiguous_ids(
-        t, ["conv_id", "turn_idx"], id_col="vid", assume_distinct=True
+    # user), so the relabel skips its dedup shuffle AND carries the full
+    # transcript row through its one range shuffle (carry_all) — the old
+    # plan joined the vid map back onto t, re-exchanging both sides.
+    # At cluster scale these would be durable intermediate tables;
+    # localCheckpoint is the single-app equivalent (executor-resident,
+    # lineage-free).
+    tv = assign_contiguous_ids(
+        t, ["conv_id", "turn_idx"], id_col="vid",
+        assume_distinct=True, carry_all=True,
     ).localCheckpoint(eager=True)
-    tv = t.join(ids, ["conv_id", "turn_idx"])
+    ids = tv.select("conv_id", "turn_idx", "vid")
 
     w_conv = Window.partitionBy("conv_id").orderBy("turn_idx")
     reply = (
