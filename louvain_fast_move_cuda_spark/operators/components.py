@@ -137,6 +137,10 @@ def connected_components(
             .repartition(npart, "src")
             .distinct()
         )
+        if _it == start_iter:
+            from ..plans.debug import dump_plan
+
+            dump_plan(sym, "superstep_cc")
         # lazy: materializes inside the convergence-check agg below
         sym = sym.localCheckpoint(eager=False)
         # fixpoint test: the alternating stars converge exactly when the edge

@@ -167,8 +167,12 @@ def label_propagation(
                 F.coalesce(-F.col("b.nl"), F.col("src")).alias("label"),
                 "old",
             )
-            .localCheckpoint(eager=False)  # materializes inside the change count
         )
+        if _it == start_iter:
+            from ..plans.debug import dump_plan
+
+            dump_plan(st, "superstep_lpa")
+        st = st.localCheckpoint(eager=False)  # materializes inside the change count
         n_changed = st.filter(F.col("label") != F.col("old")).count()
         labels = st.select("id", "label")
         if checkpointer is not None:

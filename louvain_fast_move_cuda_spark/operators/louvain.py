@@ -611,6 +611,10 @@ def louvain(
             # every localCheckpoint materializes inside it. The broadcast
             # decision uses the previous round's move count (vertex count on
             # round 0) as the estimate since this round's isn't known yet.
+            if rnd <= 1:
+                from ..plans.debug import dump_plan
+
+                dump_plan(moves, f"superstep_louvain_round{rnd}")
             moves = moves.select("node", "newc").persist()
             bcast = est_moves <= broadcast_moves_max
             mv = moves.select("node", F.col("newc").alias("_newc"))
@@ -774,8 +778,11 @@ def louvain(
             .drop("comm")
             .groupBy(F.col("nsrc").alias("src"), F.col("ndst").alias("dst"))
             .agg(F.sum("w").alias("w"))
-            .localCheckpoint(eager=False)
         )
+        from ..plans.debug import dump_plan
+
+        dump_plan(coarse, "louvain_coarsen")
+        coarse = coarse.localCheckpoint(eager=False)
         # materialize the merge with a count (the job an eager checkpoint
         # would have run anyway, but keeping the number): the count IS the
         # next level's edge count, which sizes that level's adaptive width

@@ -215,8 +215,12 @@ def pagerank(
                 (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("in_sum"), F.lit(0.0))).alias("rank"),
                 "old",
             )
-            .localCheckpoint(eager=False)  # materializes inside the L1 action
         )
+        if _it == start_iter:
+            from ..plans.debug import dump_plan
+
+            dump_plan(st, "superstep_pagerank")
+        st = st.localCheckpoint(eager=False)  # materializes inside the L1 action
         l1 = st.agg(F.sum(F.abs(F.col("rank") - F.col("old"))).alias("d")).collect()[0]["d"]
         ranks = st.select("id", "rank")
         if checkpointer is not None:
