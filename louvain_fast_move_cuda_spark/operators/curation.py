@@ -438,7 +438,15 @@ def chunk_documents(
     sum(n_chunks) ~ |corpus| / stride, never quadratic; no shuffle at
     all (a pure per-row projection), so the operator inherits the
     scan's partitioning at any corpus size.
+
+    ``stride`` must be <= ``window``: chunk i covers
+    [i*stride, i*stride + window), so a larger stride would leave the
+    gap tokens in no chunk, violating the coverage contract above.
     """
+    if stride > window:
+        raise ValueError(
+            f"stride ({stride}) > window ({window}) leaves token gaps uncovered"
+        )
     toks = F.filter(
         F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.length(x) > 0
     )

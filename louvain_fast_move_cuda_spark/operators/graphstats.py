@@ -840,8 +840,11 @@ def densest_subgraph(
 
     Scale: since the vertices NOT removed have deg*n > 3e while degrees
     sum to 2e, each round keeps < 2n/3 — the peel empties within
-    log_1.5(n) rounds (29 at 100k vertices; ``max_rounds=32`` covers
-    10^14). Each round is one degree agg + one action (the (n, e)
+    log_1.5(n) rounds, so ``max_rounds=32`` fully peels graphs up to
+    ~1.5^32 ≈ 4×10^5 vertices (a 10^14-vertex graph needs ~80 rounds —
+    raise ``max_rounds`` there; a truncated trace can miss the round
+    that attains the 3-approximation guarantee, though the best-seen
+    density is still reported). Each round is one degree agg + one action (the (n, e)
     scalar pair) + two semi-joins, the k_core pattern exactly; the
     ``deg * n`` product stays inside int64 up to ~10^12-vertex graphs.
 
