@@ -72,8 +72,8 @@ def personalized_pagerank(
     Same superstep shape and scale properties as :func:`pagerank`: the
     static share table is built once, each iteration is one shuffle
     join + groupBy, lineage truncated per round. Non-seed vertices
-    unreachable from any seed keep rank exactly 0 and the left join's
-    coalesce handles them without a dense vector. tol=0 (default) runs
+    unreachable from any seed keep rank exactly 0 via their self row's
+    coalesce, without a dense vector. tol=0 (default) runs
     exactly ``max_iter`` supersteps — the deterministic fixed-iteration
     contract the cross-engine oracle checks; a positive tol enables the
     same L1 early stop as :func:`pagerank`.

@@ -47,6 +47,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # allow shuffled-hash join where its size conditions hold (guide
+        # §3.1/§9): the iterative supersteps join pre-partitioned state
+        # tables whose per-partition build sides are bounded by the
+        # scale-adaptive width rule, so skipping the sort-merge sorts is
+        # pure win; AQE skew handling stays on, and a cluster profile can
+        # flip this back via extra_conf if a build side outgrows memory
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     if extra_conf:
         for k, v in extra_conf.items():
