@@ -467,6 +467,9 @@ def semantic_dedup(
     downstream (assignment argmax, within-cell cosines, the dup rule)
     is exact ANSI-SQL-checkable arithmetic.
     """
+    import numpy as np
+    import pandas as pd
+
     cents, assigned = ivf_assign(
         corpus, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
     )
@@ -476,37 +479,63 @@ def semantic_dedup(
     a = assigned.select("id", "cid", "vec", nrm.alias("nrm")).localCheckpoint(
         eager=True
     )
-    pairs = (
-        a.alias("x")
-        .join(a.alias("y"), "cid")
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            (
-                F.aggregate(
-                    F.zip_with("x.vec", "y.vec", lambda u, v: u * v),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                / (F.col("x.nrm") * F.col("y.nrm"))
-            ).alias("cosine"),
+    idt = a.schema["id"].dataType.simpleString()
+    thr = float(threshold)
+
+    # Per-cell Arrow kernel (guide §4.2): ONE shuffle of the assignment
+    # table on cid and the quadratic pair scoring happens in-kernel —
+    # the old plan materialized every within-cell pair row (two vectors
+    # per row) through a self-join, re-shuffled the pairs for the min
+    # aggregate, and joined the verdicts back. Cosines are bit-identical:
+    # the dim loop reproduces the zip_with/aggregate fold sequence per
+    # pair (see _fold_dot), the denominator is the same nrm_x*nrm_y
+    # product of the JVM-computed norms, and the NaN disjunct replicates
+    # Spark's NaN-is-largest comparison (NaN >= threshold is TRUE there).
+    def cell_dupes(pdf):
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        n = len(pdf)
+        ids = pdf["id"].to_numpy()
+        dup_of = np.full(n, -1, dtype=np.int64)
+        if n > 1:
+            V = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            nr = pdf["nrm"].to_numpy()
+            # column blocks bound peak memory at n*block doubles; the
+            # per-pair op sequence is block-invariant
+            block = 2048
+            for j0 in range(0, n, block):
+                j1 = min(j0 + block, n)
+                S = np.zeros((n, j1 - j0), dtype=np.float64)
+                for d in range(V.shape[1]):
+                    col = V[:, d]
+                    S += np.outer(col, col[j0:j1])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = S / np.outer(nr, nr[j0:j1])
+                hit = (cos >= thr) | np.isnan(cos)
+                # keep i < j (id order) only
+                rows = np.arange(n)[:, None]
+                hit &= rows < np.arange(j0, j1)[None, :]
+                any_hit = hit.any(axis=0)
+                first = np.argmax(hit, axis=0)
+                tgt = np.arange(j0, j1)[any_hit]
+                dup_of[tgt] = ids[first[any_hit]]
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "cid": pdf["cid"],
+                "dup_of": pd.array(
+                    [None if d < 0 else int(d) for d in dup_of], dtype="Int64"
+                ),
+            }
         )
+
+    verdicts = a.groupBy("cid").applyInPandas(
+        cell_dupes, schema=f"id {idt}, cid int, dup_of long"
     )
-    dup = (
-        pairs.filter(F.col("cosine") >= F.lit(threshold))
-        .groupBy(F.col("id_b").alias("id"))
-        .agg(F.min("id_a").alias("dup_of"))
-    )
-    out = (
-        a.select("id", "cid")
-        .join(dup, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            "cid",
-            F.col("dup_of").isNotNull().alias("is_dupe"),
-            "dup_of",
-        )
+    out = verdicts.select(
+        F.col("id").alias(id_col),
+        "cid",
+        F.col("dup_of").isNotNull().alias("is_dupe"),
+        "dup_of",
     )
     return cents, out
 
